@@ -1,0 +1,26 @@
+"""Global configuration for the TPU-native runtime.
+
+The reference framework (pydynet) computes on NumPy, whose default float dtype is
+float64 and whose type-promotion rules the test-suite asserts exactly
+(cf. /root/reference/tests/test_tensor_basic.py:103).  JAX matches the NumPy
+promotion lattice for floating types only when 64-bit mode is enabled, so we
+turn on ``jax_enable_x64`` at import time (override with PYDYNET_TPU_X64=0).
+
+Hot compute paths (Llama decode, train steps) always use explicit float32 /
+bfloat16 arrays, so nothing 64-bit ever reaches the TPU MXU.
+"""
+import os
+
+import jax
+
+_X64 = os.environ.get("PYDYNET_TPU_X64", "1") != "0"
+if _X64:
+    jax.config.update("jax_enable_x64", True)
+
+
+def x64_enabled() -> bool:
+    return _X64
+
+
+# Numerical tolerance the test-suite targets (BASELINE.md: grad parity <= 1e-5).
+GRAD_ATOL = 1e-5

@@ -1,0 +1,192 @@
+"""``pydynet_tpu.jit`` — compile imperative train/eval steps to one XLA program.
+
+The reference executes ~thousands of tiny NumPy ops per step (see the call
+stack in SURVEY.md §3.2).  Here the same *imperative* code — forward through
+``nn.Module``s, ``loss.backward()`` mutating ``.grad``, ``optimizer.step()``
+mutating ``.data`` — is traced **once**: every stateful tensor (parameters,
+optimizer moments, batch-norm running stats, the PRNG key) is temporarily
+rebound to a traced input, the Python step function runs under ``jax.jit``
+tracing (the global tape works on tracers transparently), and the mutated
+state comes back out as donated XLA outputs.  Subsequent calls skip Python
+entirely except for one dispatch.
+
+Usage::
+
+    step = pdn.jit(train_step, state=(net, optimizer))
+    loss = step(batch_x, batch_y)      # compiled; params/opt updated in place
+
+State providers implement ``_state_tensors() -> list[Tensor]`` (Module,
+Optimizer, Generator).  The global default PRNG generator is always included
+so Dropout etc. stay random across compiled steps.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .core.tensor import Graph, Tensor, _DataRef
+from . import random as _random
+
+__all__ = ["jit"]
+
+
+def _collect_state(state):
+    """Returns (tensors, flexible) — ``flexible`` marks device-agnostic
+    framework state (PRNG keys) the bridge may freely re-place to match the
+    step's device."""
+    seen, out, flexible = set(), [], []
+
+    def visit(obj, flex=False):
+        if obj is None:
+            return
+        if isinstance(obj, Tensor):
+            if id(obj) not in seen:
+                seen.add(id(obj))
+                out.append(obj)
+                flexible.append(flex)
+        elif isinstance(obj, _random.Generator):
+            for t in obj._state_tensors():
+                visit(t, flex=True)
+        elif hasattr(obj, "_state_tensors"):
+            for t in obj._state_tensors():
+                visit(t, flex=flex)
+        elif isinstance(obj, (list, tuple)):
+            for o in obj:
+                visit(o, flex=flex)
+        elif isinstance(obj, dict):
+            for o in obj.values():
+                visit(o, flex=flex)
+        else:
+            raise TypeError(
+                f"Cannot extract jit state from object of type {type(obj)}")
+
+    visit(state)
+    visit(_random.default_generator)
+    return out, flexible
+
+
+def _is_dynamic_leaf(x) -> bool:
+    return isinstance(x, (Tensor, _DataRef, jax.Array, np.ndarray, np.generic))
+
+
+class _JitFunction:
+    def __init__(self, fn, state: Iterable = (), donate_state: bool = True):
+        self._fn = fn
+        self._state_tensors, self._state_flexible = _collect_state(state)
+        self._out_template = None  # Tensor-position mask of the output pytree
+        donate = (0,) if donate_state else ()
+        self._compiled = jax.jit(self._pure, static_argnums=(2, 3),
+                                 donate_argnums=donate)
+        functools.update_wrapper(self, fn, updated=())
+
+    # -- runs under trace --------------------------------------------------
+    def _pure(self, state_vals, dyn_leaves, dyn_mask, packed_static):
+        treedef, static_leaves, _ = packed_static
+        sts = self._state_tensors
+        for t, v in zip(sts, state_vals):
+            t._data = v
+            t._grad = None
+
+        # reassemble (args, kwargs): splice dynamic leaves (wrapping arrays
+        # that were Tensors) back into the static skeleton
+        leaves = list(static_leaves)
+        for (pos, was_tensor, dev), val in zip(dyn_mask, dyn_leaves):
+            leaves[pos] = Tensor._wrap(val, dev, False) if was_tensor else val
+        args, kwargs = jax.tree.unflatten(treedef, leaves)
+
+        out = self._fn(*args, **kwargs)
+
+        out_leaves, out_tree = jax.tree.flatten(
+            out, is_leaf=lambda x: isinstance(x, Tensor))
+        tensor_mask = tuple(isinstance(l, Tensor) for l in out_leaves)
+        devices = tuple(l.device if isinstance(l, Tensor) else None
+                        for l in out_leaves)
+        self._out_template = (out_tree, tensor_mask, devices)
+        raw_out = [l._data if isinstance(l, Tensor) else l
+                   for l in out_leaves]
+        new_state = [t._data for t in sts]
+        return new_state, raw_out
+
+    # -- host-side call ----------------------------------------------------
+    def __call__(self, *args, **kwargs):
+        sts = self._state_tensors
+        state_vals = [t._data for t in sts]
+
+        # co-locate device-flexible state (PRNG keys) with the real state /
+        # first tensor arg so cross-device steps don't trip XLA placement
+        target = None
+        for t, flex in zip(sts, self._state_flexible):
+            if not flex:
+                target = t.device.jax_device
+                break
+        if target is None:
+            for a in jax.tree.leaves(
+                    (args, kwargs),
+                    is_leaf=lambda x: isinstance(x, Tensor)):
+                if isinstance(a, Tensor):
+                    target = a.device.jax_device
+                    break
+        if target is not None:
+            for i, flex in enumerate(self._state_flexible):
+                if flex and state_vals[i].devices() != {target}:
+                    state_vals[i] = jax.device_put(state_vals[i], target)
+
+        leaves, treedef = jax.tree.flatten(
+            (args, kwargs), is_leaf=lambda x: isinstance(x, Tensor))
+        dyn_leaves, dyn_mask, static_leaves = [], [], []
+        for pos, leaf in enumerate(leaves):
+            if _is_dynamic_leaf(leaf):
+                if isinstance(leaf, _DataRef):
+                    leaf = leaf._t
+                if isinstance(leaf, Tensor):
+                    dyn_leaves.append(leaf._data)
+                    dyn_mask.append((pos, True, leaf.device))
+                else:
+                    dyn_leaves.append(leaf)
+                    dyn_mask.append((pos, False, None))
+                static_leaves.append(None)
+            else:
+                static_leaves.append(leaf)
+        packed_static = (treedef, tuple(static_leaves), None)
+
+        tape_len = Graph.size()
+        try:
+            new_state, raw_out = self._compiled(
+                state_vals, dyn_leaves, tuple(dyn_mask), packed_static)
+        except Exception:
+            # tracing failed midway: restore concrete state
+            for t, v in zip(sts, state_vals):
+                if isinstance(t._data, jax.core.Tracer):
+                    t._data = v
+                t._grad = None
+            raise
+        finally:
+            # drop tape nodes created during tracing (they hold tracers)
+            if Graph.size() > tape_len:
+                for node in Graph.node_list[tape_len:]:
+                    node._inputs = ()
+                    node._backward_fn = None
+                del Graph.node_list[tape_len:]
+
+        for t, v in zip(sts, new_state):
+            t._data = v
+            t._grad = None
+
+        out_tree, tensor_mask, devices = self._out_template
+        wrapped = [
+            Tensor._wrap(v, dev, False) if is_t else v
+            for v, is_t, dev in zip(raw_out, tensor_mask, devices)
+        ]
+        return jax.tree.unflatten(out_tree, wrapped)
+
+
+def jit(fn=None, *, state: Any = (), donate_state: bool = True):
+    """Compile an imperative step function; see module docstring."""
+    if fn is None:
+        return lambda f: _JitFunction(f, state=state,
+                                      donate_state=donate_state)
+    return _JitFunction(fn, state=state, donate_state=donate_state)

@@ -1,0 +1,17 @@
+"""Test harness config.
+
+Must run before jax is imported anywhere: forces the CPU platform with 8
+virtual devices so sharding/collective tests exercise a real Mesh without
+TPU hardware, and keeps unit tests off the (single) real TPU chip.
+"""
+import os
+import sys
+from pathlib import Path
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
