@@ -25,6 +25,9 @@ from . import cuda
 from . import special
 from . import random
 from . import core
+from . import nn
+from . import optim
+from . import data
 
 __all__ = [
     "Tensor", "add", "sub", "mul", "div", "pow", "matmul", "abs", "sum",

@@ -116,8 +116,11 @@ class _JitFunction:
         sts = self._state_tensors
         state_vals = [t._data for t in sts]
 
-        # co-locate device-flexible state (PRNG keys) with the real state /
-        # first tensor arg so cross-device steps don't trip XLA placement
+        # Co-locate ALL state on one device: model parameters define the
+        # target (first non-flexible leaf — typically a Module weight), and
+        # any straggler (PRNG key, optimizer lr/t scalars, buffers created
+        # before a .to(device) move) is device_put there once; after the
+        # first call the returned state is already resident.
         target = None
         for t, flex in zip(sts, self._state_flexible):
             if not flex:
@@ -131,9 +134,10 @@ class _JitFunction:
                     target = a.device.jax_device
                     break
         if target is not None:
-            for i, flex in enumerate(self._state_flexible):
-                if flex and state_vals[i].devices() != {target}:
-                    state_vals[i] = jax.device_put(state_vals[i], target)
+            for i, v in enumerate(state_vals):
+                if isinstance(v, jax.Array) and v.committed \
+                        and v.devices() != {target}:
+                    state_vals[i] = jax.device_put(v, target)
 
         leaves, treedef = jax.tree.flatten(
             (args, kwargs), is_leaf=lambda x: isinstance(x, Tensor))

@@ -1,0 +1,30 @@
+"""Inverted dropout.
+
+Same semantics as /root/reference/pydynet/nn/modules/dropout.py:13-17, but
+the mask comes from the framework's device-side Generator (not NumPy's global
+RNG) so it stays random *inside* jit-compiled train steps — the key state is
+threaded through the compiled program functionally.
+"""
+from .module import Module
+from ...core.tensor import Tensor, wrap_pure
+from ... import random as _random
+
+
+class Dropout(Module):
+
+    def __init__(self, p: float = 0.5) -> None:
+        super().__init__()
+        assert 0 <= p < 1
+        self.p = p
+
+    def forward(self, x: Tensor) -> Tensor:
+        if self._train and self.p > 0:
+            keep = _random.default_generator.uniform(
+                x.shape, dtype=x.dtype) < (1 - self.p)
+            mask = Tensor._wrap(
+                keep.astype(x.dtype) / (1 - self.p), x.device, False)
+            return x * mask
+        return x
+
+    def __repr__(self) -> str:
+        return "{}(p={})".format(self.__class__.__name__, self.p)

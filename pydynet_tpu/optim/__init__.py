@@ -1,0 +1,3 @@
+from .optimizer import Optimizer, SGD, Adagrad, Adadelta, Adam
+from .lr_scheduler import (_LRScheduler, ExponentialLR, StepLR, MultiStepLR,
+                           CosineAnnealingLR)

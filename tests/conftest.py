@@ -15,3 +15,15 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8").strip()
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import pytest
+
+
+@pytest.fixture(autouse=True)
+def _reset_grad_mode():
+    """Module.eval() flips the process-global grad switch (reference parity,
+    module.py:45-47); re-enable it between tests so suites stay independent."""
+    import pydynet_tpu as pdn
+    pdn.set_grad_enabled(True)
+    yield
+    pdn.set_grad_enabled(True)

@@ -1,0 +1,187 @@
+"""Optimizers vs hand-computed NumPy update rules + schedulers + jit training."""
+import numpy as np
+
+import pydynet_tpu as pdn
+from pydynet_tpu import nn, optim
+
+np.random.seed(0)
+
+
+def _quadratic_setup():
+    w = pdn.Tensor(np.array([3.0, -2.0]), requires_grad=True)
+
+    def loss_fn():
+        w.zero_grad()
+        loss = ((w - pdn.Tensor(np.array([1.0, 1.0]))) ** 2).sum()
+        loss.backward()
+        return loss
+
+    return w, loss_fn
+
+
+def test_sgd_matches_reference_rule():
+    w, loss_fn = _quadratic_setup()
+    opt = optim.SGD([w], lr=0.1, momentum=0.5, nesterov=True)
+    # NumPy oracle
+    p = np.array([3.0, -2.0])
+    v = np.zeros(2)
+    for _ in range(3):
+        loss_fn()
+        opt.step()
+        g = 2 * (p - np.array([1.0, 1.0]))
+        v = 0.5 * v + 0.1 * g
+        p = p - v - 0.1 * g  # nesterov extra step (reference optimizer.py:73-75)
+    assert np.allclose(w.numpy(), p, atol=1e-7)
+
+
+def test_sgd_weight_decay_and_no_nesterov():
+    w, loss_fn = _quadratic_setup()
+    opt = optim.SGD([w], lr=0.1, momentum=0.0, weight_decay=0.01,
+                    nesterov=False)
+    loss_fn()
+    opt.step()
+    g = 2 * (np.array([3.0, -2.0]) - 1) + 0.01 * np.array([3.0, -2.0])
+    assert np.allclose(w.numpy(), np.array([3.0, -2.0]) - 0.1 * g, atol=1e-7)
+
+
+def test_adagrad_rule():
+    w, loss_fn = _quadratic_setup()
+    opt = optim.Adagrad([w], lr=0.5)
+    p, G = np.array([3.0, -2.0]), np.zeros(2)
+    for _ in range(3):
+        loss_fn()
+        opt.step()
+        g = 2 * (p - 1)
+        G += g**2
+        p = p - 0.5 * g / np.sqrt(1e-10 + G)
+    assert np.allclose(w.numpy(), p, atol=1e-6)
+
+
+def test_adadelta_rule():
+    w, loss_fn = _quadratic_setup()
+    opt = optim.Adadelta([w], lr=1.0, rho=0.9)
+    p, G = np.array([3.0, -2.0]), np.zeros(2)
+    for _ in range(3):
+        loss_fn()
+        opt.step()
+        g = 2 * (p - 1)
+        G = 0.9 * G + 0.1 * g**2
+        p = p - g / np.sqrt(G + 1e-6)
+    assert np.allclose(w.numpy(), p, atol=1e-6)
+
+
+def test_adam_rule():
+    w, loss_fn = _quadratic_setup()
+    opt = optim.Adam([w], lr=0.1)
+    p = np.array([3.0, -2.0])
+    m, v = np.zeros(2), np.zeros(2)
+    for t in range(1, 4):
+        loss_fn()
+        opt.step()
+        g = 2 * (p - 1)
+        m = 0.9 * m + 0.1 * g
+        v = 0.999 * v + 0.001 * g**2
+        a_t = np.sqrt(1 - 0.999**t) / (1 - 0.9**t)
+        p = p - 0.1 * a_t * m / (np.sqrt(v) + 1e-8)
+    assert np.allclose(w.numpy(), p, atol=1e-5)
+
+
+def test_optimizer_converges_jitted():
+    net = nn.Sequential(nn.Linear(3, 8), nn.Tanh(), nn.Linear(8, 1))
+    opt = optim.Adam(net.parameters(), lr=1e-2)
+    X = np.random.randn(32, 3)
+    y = (X @ np.array([[1.0], [2.0], [-1.0]])).astype(np.float64)
+
+    def step(bx, by):
+        opt.zero_grad()
+        loss = pdn.nn.functional.mse_loss(net(bx), by)
+        loss.backward()
+        opt.step()
+        return loss
+
+    jstep = pdn.jit(step, state=(net, opt))
+    bx, by = pdn.Tensor(X), pdn.Tensor(y)
+    losses = [float(jstep(bx, by).item()) for _ in range(300)]
+    assert losses[-1] < losses[0] * 0.05
+    assert float(np.asarray(opt._t_tensor._data)) == 301  # Adam t advanced under jit
+
+
+def test_scheduler_exponential():
+    w = pdn.Tensor(np.array([1.0]), requires_grad=True)
+    opt = optim.SGD([w], lr=1.0, momentum=0.0, nesterov=False)
+    sched = optim.ExponentialLR(opt, gamma=0.5)
+    assert np.isclose(opt.lr, 1.0)  # gamma**0 on init step
+    sched.step()
+    assert np.isclose(opt.lr, 0.5)
+    sched.step()
+    assert np.isclose(opt.lr, 0.5 * 0.25)  # recursive reference formula
+
+
+def test_scheduler_step_and_multistep():
+    w = pdn.Tensor(np.array([1.0]), requires_grad=True)
+    opt = optim.SGD([w], lr=1.0, momentum=0.0)
+    sched = optim.StepLR(opt, step_size=2, gamma=0.1)
+    lrs = [opt.lr]
+    for _ in range(3):
+        sched.step()
+        lrs.append(opt.lr)
+    assert np.isclose(lrs[0], 1.0) and np.isclose(lrs[1], 1.0)
+
+    opt2 = optim.SGD([w], lr=1.0, momentum=0.0)
+    sched2 = optim.MultiStepLR(opt2, milestones=[2], gamma=0.1)
+    sched2.step()
+    assert np.isclose(opt2.lr, 1.0)
+    sched2.step()
+    assert np.isclose(opt2.lr, 0.1)
+
+
+def test_scheduler_cosine_annealing():
+    w = pdn.Tensor(np.array([1.0]), requires_grad=True)
+    opt = optim.SGD([w], lr=1.0, momentum=0.0)
+    sched = optim.CosineAnnealingLR(opt, T_max=10)
+    lrs = [opt.lr]
+    for _ in range(10):
+        sched.step()
+        lrs.append(opt.lr)
+    # The reference's recursive form reads _last_lr, which lags one extra
+    # step (lr_scheduler.py:83-87,150-160): lr_t = ratio(t) * lr_{t-2}.
+    # We reproduce that behavior faithfully; assert the same recursion.
+    T = 10
+    want = [1.0]
+    last_lr_cell = [1.0]  # _last_lr after init step
+    for t in range(1, 11):
+        ratio = (1 + np.cos(np.pi * t / T)) / (1 + np.cos(np.pi * (t - 1) / T))
+        new = ratio * last_lr_cell[0]
+        last_lr_cell[0] = want[-1]
+        want.append(new)
+    assert np.allclose(lrs, want, atol=1e-5)
+    assert lrs[-1] == 0.0  # anneals to zero at T_max
+
+
+def test_lr_change_does_not_retrace():
+    traces = []
+    w = pdn.Tensor(np.array([5.0]), requires_grad=True)
+    opt = optim.SGD([w], lr=0.1, momentum=0.0, nesterov=False)
+
+    def step():
+        traces.append(1)
+        opt.zero_grad()
+        loss = (w * w).sum()
+        loss.backward()
+        opt.step()
+        return loss
+
+    jstep = pdn.jit(step, state=(opt,))
+    jstep()
+    opt.lr = 0.05
+    jstep()
+    assert sum(traces) == 1  # traced once despite lr change
+
+
+def test_zero_grad_via_optimizer():
+    w = pdn.Tensor(np.array([2.0]), requires_grad=True)
+    opt = optim.SGD([w], lr=0.1)
+    (w * w).sum().backward()
+    assert float(np.asarray(w.grad)[0]) != 0
+    opt.zero_grad()
+    assert float(np.asarray(w.grad)[0]) == 0
