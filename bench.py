@@ -1,0 +1,51 @@
+"""Headline benchmark: Llama-6L (stories15M config) greedy decode throughput
+on one TPU chip, end-to-end through ``Llama.generate`` (tokenizer-to-tokens
+path, including host streaming).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: 300 tokens/s — the reference's published NumPy decode rate
+(/root/reference/README.md:23, BASELINE.md).
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax.numpy as jnp
+    import pydynet_tpu as pdn
+    from pydynet_tpu.models.llama.model import Llama
+
+    model = Llama(vocab_size=32000, embed_dim=288, n_heads=6, ffn_dim=768,
+                  max_seq_len=1024, max_batch_size=1, n_layers=6,
+                  dtype=np.float32)
+    if pdn.cuda.is_available():
+        model = model.to("cuda:0")
+    model.eval()
+
+    prompt_ids = np.array([[1, 243, 532, 991]])
+    total = 1024
+    dtype = jnp.bfloat16
+
+    with pdn.no_grad():
+        # warmup / compile
+        list(model.generate(prompt_ids, 160, dtype=dtype))
+        best = 0.0
+        for _ in range(4):
+            t0 = time.time()
+            toks = list(model.generate(prompt_ids, total, dtype=dtype))
+            dt = time.time() - t0
+            best = max(best, len(toks) / dt)
+
+    print(json.dumps({
+        "metric": "llama3_6L_decode_throughput",
+        "value": round(best, 1),
+        "unit": "tokens/s",
+        "vs_baseline": round(best / 300.0, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

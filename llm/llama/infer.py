@@ -1,0 +1,89 @@
+"""Llama greedy-decode CLI.
+
+Flag/behavior parity with /root/reference/llm/llama/infer.py (same config
+constants, prompt flag, per-token streaming print, tok/s report).  Extras:
+``--weights``/``--tokenizer`` paths, ``--max-new-tokens``, and a
+``--random-init`` fallback so the benchmark runs in offline sandboxes with
+no stories15M checkpoint (throughput is weight-value independent).
+"""
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+import pydynet_tpu as pdn
+from .tokenizer import Tokenizer
+from .model import Llama
+from .io import load_model, load_finetuned_parameters
+
+DIM = 288
+N_LAYERS = 6
+N_HEADS = 6
+VOCAB_SIZE = 32000
+MAX_SEQ_LEN = 1024
+MAX_BATCH = 1
+FFN_DIM = 768
+
+
+def build_model(args):
+    datatype = np.float32
+    model = Llama(VOCAB_SIZE, DIM, N_HEADS, FFN_DIM, MAX_SEQ_LEN, MAX_BATCH,
+                  N_LAYERS, dtype=datatype)
+    if os.path.exists(args.weights) and not args.random_init:
+        model = load_model(model, args.weights)
+    else:
+        print(f"[infer] checkpoint {args.weights!r} not found -> "
+              "random-initialized weights (throughput benchmark mode)")
+    if args.finetuned is not None:
+        model = load_finetuned_parameters(model, args.finetuned)
+    return model
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        description="Prompt input, e.g. There was a boy")
+    parser.add_argument("--prompt", type=str, default="There was a boy")
+    parser.add_argument("--cuda", action="store_true")
+    parser.add_argument("--finetuned", type=str, default=None,
+                        help="Optional finetuned parameter file (.npz)")
+    parser.add_argument("--weights", type=str,
+                        default="llm/llama/data/stories15M.model.npz")
+    parser.add_argument("--tokenizer", type=str,
+                        default="llm/llama/data/tokenizer.model.np")
+    parser.add_argument("--max-new-tokens", type=int, default=1024)
+    parser.add_argument("--random-init", action="store_true")
+    args = parser.parse_args(argv)
+
+    tokenizer = Tokenizer(args.tokenizer)
+    model = build_model(args)
+
+    if args.cuda and pdn.cuda.is_available():
+        model = model.to("cuda:0")
+    elif pdn.cuda.is_available():
+        # default to the accelerator: this is the TPU-native framework
+        model = model.to("cuda:0")
+
+    model.eval()
+    with pdn.no_grad():
+        print(f"\n{args.prompt}", end="")
+        input_ids = np.array([tokenizer.encode(args.prompt)])
+
+        _, L = input_ids.shape
+        start = time.time()
+        for token in model.generate(input_ids, args.max_new_tokens):
+            L += 1
+            output_id = token[0].numpy().tolist()
+            if output_id[-1] in [tokenizer.eos_id, tokenizer.bos_id]:
+                break
+            print(tokenizer.decode(output_id), end="")
+            sys.stdout.flush()
+        elapsed = time.time() - start
+        print(f"\n\nToken count: {L}, elapsed: {elapsed:.2f}s, "
+              f"{round(L / elapsed)} tokens/s")
+        return L / elapsed
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,463 @@
+"""Llama (stories15M-class): 6-layer decoder with RoPE, KV-cache, greedy
+generate, and lm_head finetuning.
+
+API parity with /root/reference/llm/llama/model.py (same constructor, module
+tree / dotted parameter names, ``forward(input_ids, start_pos)`` returning
+last-position logits, ``forward_logits`` for finetuning,
+``set_trainable_parameters`` prefix freezing, ``finetune_step``, and a
+``generate`` Python generator yielding greedy token ids).
+
+TPU-native execution — this is the north-star benchmark path
+(BASELINE.md: >=5,000 tok/s/chip vs the reference's 300 tok/s NumPy loop):
+
+* The reference decodes one token per Python forward, re-running 6 layers of
+  eager NumPy per step (model.py:258-269).  Here ``generate`` runs a
+  **compiled ``lax.scan`` decode loop**: CHUNK tokens per device dispatch,
+  KV-cache threaded functionally through the carry with
+  ``lax.dynamic_update_slice`` (static shapes — zero recompiles across
+  positions), argmax sampling on-chip.  The host only feeds chunks and
+  checks for EOS.
+* Prefill is a second jitted function (one compile per prompt length).
+* Attention over the cache uses a position-masked full-length (max_seq)
+  einsum — static shape, fused by XLA onto the MXU.
+* The eager/finetune path keeps the reference's KV-cache-as-Parameters
+  in-place semantics (model.py:86-110) so the module is drop-in; finetuning
+  compiles the whole step via ``pydynet_tpu.jit``.
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import pydynet_tpu as pdn
+from ...core.tensor import Tensor
+from ... import nn
+from ...nn import functional as F
+
+# tokens generated per device dispatch; large because the remote-TPU tunnel
+# charges ~30ms per device->host readback, which the async-copy pipeline can
+# only hide under a chunk's worth of compute
+DECODE_CHUNK = 512
+
+
+# ===================================================================== #
+#                         rotary embeddings                              #
+# ===================================================================== #
+def compute_cos_sin_cache(head_dim: int, max_seq_len: int, base: int = 10000,
+                          dtype=None):
+    """Interleaved-pair RoPE caches, shape (max_seq, head_dim//2)
+    (reference llama/model.py:11-20)."""
+    inv_freq = 1.0 / (base**(np.arange(0, head_dim, 2)[:head_dim // 2] /
+                             head_dim))
+    freqs = np.outer(np.arange(max_seq_len), inv_freq).astype(dtype)
+    return Tensor(np.cos(freqs)), Tensor(np.sin(freqs))
+
+
+def _rope_pure(x, cos, sin):
+    """Rotate interleaved (real, imag) feature pairs; pure-jnp.
+
+    x: (..., n_heads, head_dim); cos/sin: (L, head_dim//2) broadcast over
+    heads (reference model.py:23-44 semantics)."""
+    xr = x[..., 0::2]
+    xi = x[..., 1::2]
+    cos = cos[..., None, :]  # (L, 1, hd/2) -> broadcast over heads
+    sin = sin[..., None, :]
+    out_r = xr * cos - xi * sin
+    out_i = xr * sin + xi * cos
+    return jnp.stack([out_r, out_i], axis=-1).reshape(x.shape)
+
+
+def apply_rotary_emb(xq: Tensor, xk: Tensor, freqs_cos, freqs_sin):
+    """Tensor-level RoPE (one tape node per operand)."""
+    cos, sin = freqs_cos, freqs_sin
+    q = pdn.wrap_pure(lambda a, c, s: _rope_pure(a, c, s), xq, cos, sin)
+    k = pdn.wrap_pure(lambda a, c, s: _rope_pure(a, c, s), xk, cos, sin)
+    return q, k
+
+
+# ===================================================================== #
+#                         module-tree model                              #
+# ===================================================================== #
+class FeedForward(nn.Module):
+    """SwiGLU feed-forward (reference model.py:49-58)."""
+
+    def __init__(self, dim, up_dim, dtype=None):
+        super().__init__()
+        self.dim, self.up_dim = dim, up_dim
+        self.up = nn.Linear(dim, up_dim, bias=False, dtype=dtype)
+        self.gate = nn.Linear(dim, up_dim, bias=False, dtype=dtype)
+        self.down = nn.Linear(up_dim, dim, bias=False, dtype=dtype)
+
+    def forward(self, x):
+        return self.down(F.silu(self.gate(x)) * self.up(x))
+
+
+class Attention(nn.Module):
+    """Multi-head attention with an in-module KV cache used in eval mode
+    (reference model.py:61-121)."""
+
+    def __init__(self, dim: int, n_heads: int, max_seq_len: int,
+                 max_batch_size: int = None, dtype=None):
+        super().__init__()
+        self.dim = dim
+        self.n_heads = n_heads
+        assert dim % n_heads == 0
+        self.head_dim = dim // n_heads
+        self.max_seq_len = max_seq_len
+        self.max_batch_size = max_batch_size if max_batch_size else 1
+
+        self.Q = nn.Linear(dim, dim, bias=False, dtype=dtype)
+        self.K = nn.Linear(dim, dim, bias=False, dtype=dtype)
+        self.V = nn.Linear(dim, dim, bias=False, dtype=dtype)
+        self.O = nn.Linear(dim, dim, bias=False, dtype=dtype)
+
+        cache_shape = (self.max_batch_size, max_seq_len, n_heads,
+                       self.head_dim)
+        self.cache_k = nn.Parameter(pdn.special.zeros(cache_shape,
+                                                      dtype=dtype),
+                                    requires_grad=False)
+        self.cache_v = nn.Parameter(pdn.special.zeros(cache_shape,
+                                                      dtype=dtype),
+                                    requires_grad=False)
+
+    def __call__(self, x, start_pos: int, mask, freqs_cos, freqs_sin):
+        B, L, _ = x.shape
+        xq = self.Q(x).reshape(B, L, self.n_heads, self.head_dim)
+        xk = self.K(x).reshape(B, L, self.n_heads, self.head_dim)
+        xv = self.V(x).reshape(B, L, self.n_heads, self.head_dim)
+
+        xq, xk = apply_rotary_emb(xq, xk, freqs_cos, freqs_sin)
+
+        if not self._train:
+            self.cache_k[:B, start_pos:start_pos + L] = xk
+            self.cache_v[:B, start_pos:start_pos + L] = xv
+            xk = self.cache_k[:B, :start_pos + L]
+            xv = self.cache_v[:B, :start_pos + L]
+
+        # fused scaled-dot-product attention: ONE tape node, XLA/MXU inside
+        scale = 1.0 / math.sqrt(self.head_dim)
+        if mask is not None:
+            def sdpa(q, k, v, m):
+                s = jnp.einsum("blhd,bmhd->bhlm", q, k) * scale + m
+                p = jax.nn.softmax(s, axis=-1)
+                return jnp.einsum("bhlm,bmhd->blhd", p, v)
+            out = pdn.wrap_pure(sdpa, xq, xk, xv, mask)
+        else:
+            def sdpa(q, k, v):
+                s = jnp.einsum("blhd,bmhd->bhlm", q, k) * scale
+                p = jax.nn.softmax(s, axis=-1)
+                return jnp.einsum("bhlm,bmhd->blhd", p, v)
+            out = pdn.wrap_pure(sdpa, xq, xk, xv)
+
+        return self.O(out.reshape(B, L, -1))
+
+
+class TransformerBlock(nn.Module):
+    """Pre-norm block (reference model.py:124-150)."""
+
+    def __init__(self, dim, n_heads, ffn_dim, max_seq_len,
+                 max_batch_size=None, dtype=None):
+        super().__init__()
+        self.attention = Attention(dim, n_heads, max_seq_len, max_batch_size,
+                                   dtype)
+        self.ffn = FeedForward(dim, ffn_dim, dtype)
+        self.input_norm = nn.RMSNorm(dim, dtype=dtype)
+        self.post_attn_norm = nn.RMSNorm(dim, dtype=dtype)
+
+    def forward(self, x, start_pos, mask, freqs_cos, freqs_sin):
+        z = x + self.attention(self.input_norm(x), start_pos, mask,
+                               freqs_cos, freqs_sin)
+        return z + self.ffn(self.post_attn_norm(z))
+
+
+class Llama(nn.Module):
+
+    def __init__(self, vocab_size, embed_dim, n_heads, ffn_dim: int,
+                 max_seq_len: int, max_batch_size: int = None,
+                 n_layers: int = 6, dtype=None):
+        super().__init__()
+        self.vocab_size = vocab_size
+        self.embed_dim = embed_dim
+        self.n_heads = n_heads
+        self.ffn_dim = ffn_dim
+        self.max_seq_len = max_seq_len
+        self.max_batch_size = max_batch_size
+        self.n_layers = n_layers
+        self.head_dim = embed_dim // n_heads
+
+        self.tok_embedding = nn.Embedding(vocab_size, embed_dim, dtype=dtype)
+        freqs_cos, freqs_sin = compute_cos_sin_cache(self.head_dim,
+                                                     max_seq_len, dtype=dtype)
+        self.freqs_cos = nn.Parameter(freqs_cos, False)
+        self.freqs_sin = nn.Parameter(freqs_sin, False)
+
+        self.layers = nn.ModuleList([
+            TransformerBlock(embed_dim, n_heads, ffn_dim, max_seq_len,
+                             max_batch_size, dtype)
+            for _ in range(n_layers)
+        ])
+        self.norm = nn.RMSNorm(embed_dim, dtype=dtype)
+        self.lm_head = nn.Linear(embed_dim, vocab_size, dtype=dtype)
+
+        self._ft_step = None
+        self._ft_opt = None
+        self._decode_fns = None
+        self._weights_cache = {}  # dtype -> stacked decode weights
+
+    # ------------------------- eager/module path ----------------------- #
+    def _forward_hidden(self, input_ids, start_pos: int):
+        if not isinstance(input_ids, Tensor):
+            input_ids = Tensor(np.asarray(input_ids), device=self.device)
+        L = input_ids.shape[-1]
+        h = self.tok_embedding(input_ids)
+
+        freqs_cos = self.freqs_cos[start_pos:start_pos + L]
+        freqs_sin = self.freqs_sin[start_pos:start_pos + L]
+
+        mask = None
+        if L > 1:
+            m = np.triu(np.full((L, L), float("-inf")), k=1)
+            m = np.concatenate([np.zeros((L, start_pos)), m], axis=1)
+            mask = Tensor(m, device=h.device, dtype=h.dtype)
+
+        for layer in self.layers:
+            h = layer(h, start_pos, mask, freqs_cos, freqs_sin)
+        return self.norm(h)
+
+    def forward_logits(self, input_ids, start_pos: int = 0):
+        """Logits for every position (finetuning path)."""
+        return self.lm_head(self._forward_hidden(input_ids, start_pos))
+
+    def forward(self, input_ids, start_pos: int):
+        h = self._forward_hidden(input_ids, start_pos)
+        return self.lm_head(h[:, [-1], :])
+
+    # ---------------------- freezing / finetuning ---------------------- #
+    def set_trainable_parameters(self, trainable_prefixes=("lm_head",)):
+        trainable_count, frozen_count = 0, 0
+        for name, param in self._parameters.items():
+            is_trainable = any(
+                name.startswith(prefix) for prefix in trainable_prefixes)
+            param.requires_grad = is_trainable
+            if is_trainable:
+                trainable_count += 1
+            else:
+                frozen_count += 1
+        return trainable_count, frozen_count
+
+    def finetune_step(self, input_ids, target_ids, optimizer, criterion=None,
+                      start_pos: int = 0):
+        """One compiled fine-tune step; same signature/semantics as the
+        reference (model.py:226-252), but the whole
+        forward+backward+optimizer update is a single XLA program."""
+        if criterion is None:
+            criterion = nn.CrossEntropyLoss()
+        self.train(True)
+
+        if self._ft_step is None or self._ft_opt is not optimizer:
+            def inner(inp, tgt):
+                optimizer.zero_grad()
+                logits = self.forward_logits(inp, start_pos)
+                B, L, V = logits.shape
+                loss = criterion(logits.reshape(B * L, V), tgt)
+                loss.backward()
+                optimizer.step()
+                return loss
+
+            self._ft_step = pdn.jit(inner, state=(self, optimizer))
+            self._ft_opt = optimizer
+
+        inp = Tensor(np.asarray(input_ids), device=self.device)
+        tgt = Tensor(np.asarray(target_ids).reshape(-1), dtype=np.int64,
+                     device=self.device)
+        loss = self._ft_step(inp, tgt).item()
+        self._weights_cache.clear()  # decode must see the updated weights
+        return loss
+
+    # ------------------------ compiled decode path ---------------------- #
+    def _weights(self, compute_dtype=None):
+        """Layer-stacked raw-array weight pytree for the functional decode.
+
+        Per-layer matrices are stacked along a leading layer axis so the
+        decode program scans over layers: ~15 device buffers instead of ~60,
+        which cuts both compile size and per-dispatch host overhead (the
+        remote-TPU tunnel charges per argument)."""
+        P = self._parameters
+
+        def g(name):
+            a = P[name]._data
+            return a.astype(compute_dtype) if compute_dtype else a
+
+        def stack(fmt):
+            return jnp.stack([g(fmt.format(i)) for i in range(self.n_layers)])
+
+        # QKV and gate/up are fused into single matmuls: fewer, larger MXU
+        # kernels per decode step (kernel-launch count is the latency floor
+        # for a 15M-param model)
+        return {
+            "tok": g("tok_embedding.weight"),
+            "cos": g("freqs_cos"),
+            "sin": g("freqs_sin"),
+            "norm": g("norm.weight"),
+            "head_w": g("lm_head.weight"),
+            "head_b": g("lm_head.bias"),
+            "wqkv": jnp.concatenate([
+                stack("layers.{}.attention.Q.weight"),
+                stack("layers.{}.attention.K.weight"),
+                stack("layers.{}.attention.V.weight"),
+            ], axis=-1),
+            "wo": stack("layers.{}.attention.O.weight"),
+            "wgu": jnp.concatenate([
+                stack("layers.{}.ffn.gate.weight"),
+                stack("layers.{}.ffn.up.weight"),
+            ], axis=-1),
+            "down": stack("layers.{}.ffn.down.weight"),
+            "in_norm": stack("layers.{}.input_norm.weight"),
+            "post_norm": stack("layers.{}.post_attn_norm.weight"),
+        }
+
+    def _make_decode_fns(self):
+        S = self.max_seq_len
+        H, hd = self.n_heads, self.head_dim
+        scale = 1.0 / math.sqrt(hd)
+
+        def rms(x, w):
+            x32 = x.astype(jnp.float32)
+            n = x32 * jax.lax.rsqrt(jnp.mean(x32 * x32, -1,
+                                             keepdims=True) + 1e-6)
+            return (n * w).astype(x.dtype)
+
+        def forward_tokens(weights, ck, cv, tokens, pos):
+            """tokens (B, L) at absolute pos; ck/cv (layers, B, S, H, hd).
+            One transformer forward as a scan over the layer axis."""
+            B, L = tokens.shape
+            h = weights["tok"][tokens]
+            cos = jax.lax.dynamic_slice_in_dim(weights["cos"], pos, L)
+            sin = jax.lax.dynamic_slice_in_dim(weights["sin"], pos, L)
+            # query at abs position pos+i may attend cache slot j <= pos+i
+            qpos = pos + jnp.arange(L)[:, None]
+            jpos = jnp.arange(S)[None, :]
+            mask = jnp.where(jpos <= qpos, 0.0, -jnp.inf).astype(jnp.float32)
+            zero = jnp.zeros((), jnp.int32)
+            pos32 = jnp.asarray(pos, jnp.int32)
+
+            D = H * hd
+
+            def layer(h, xs):
+                W, ck_i, cv_i = xs
+                hn = rms(h, W["in_norm"])
+                qkv = hn @ W["wqkv"]  # one fused (D, 3D) matmul
+                q = qkv[..., :D].reshape(B, L, H, hd)
+                k = qkv[..., D:2 * D].reshape(B, L, H, hd)
+                v = qkv[..., 2 * D:].reshape(B, L, H, hd)
+                q = _rope_pure(q, cos.astype(q.dtype), sin.astype(q.dtype))
+                k = _rope_pure(k, cos.astype(k.dtype), sin.astype(k.dtype))
+                ck_i = jax.lax.dynamic_update_slice(
+                    ck_i, k, (zero, pos32, zero, zero))
+                cv_i = jax.lax.dynamic_update_slice(
+                    cv_i, v, (zero, pos32, zero, zero))
+                s = jnp.einsum("blhd,bmhd->bhlm", q, ck_i,
+                               preferred_element_type=jnp.float32) * scale
+                p = jax.nn.softmax(s + mask, axis=-1).astype(h.dtype)
+                att = jnp.einsum("bhlm,bmhd->blhd", p,
+                                 cv_i).reshape(B, L, -1)
+                z = h + att @ W["wo"]
+                zn = rms(z, W["post_norm"])
+                gu = zn @ W["wgu"]  # fused (D, 2F) gate+up matmul
+                gate, up = jnp.split(gu, 2, axis=-1)
+                ff = (gate * jax.nn.sigmoid(gate)) * up
+                return z + ff @ W["down"], (ck_i, cv_i)
+
+            layer_w = {k: weights[k]
+                       for k in ("wqkv", "wo", "wgu", "down", "in_norm",
+                                 "post_norm")}
+            h, (ck, cv) = jax.lax.scan(layer, h, (layer_w, ck, cv),
+                                       unroll=True)
+            h = rms(h, weights["norm"])
+            logits = (h[:, -1] @ weights["head_w"]).astype(jnp.float32) \
+                + weights["head_b"].astype(jnp.float32)
+            return jnp.argmax(logits, axis=-1).astype(tokens.dtype), ck, cv
+
+        @jax.jit
+        def prefill(weights, ck, cv, tokens, pos):
+            return forward_tokens(weights, ck, cv, tokens, pos)
+
+        @partial(jax.jit, static_argnames=("n_steps",),
+                 donate_argnames=("ck", "cv"))
+        def decode_chunk(weights, ck, cv, last_tok, pos, n_steps):
+            """Greedy-decode n_steps tokens in one on-device scan."""
+            def step(carry, _):
+                ck, cv, tok, p = carry
+                nxt, ck, cv = forward_tokens(weights, ck, cv, tok[:, None], p)
+                return (ck, cv, nxt, p + 1), nxt
+
+            pos = jnp.asarray(pos, jnp.int32)
+            (ck, cv, tok, p), toks = jax.lax.scan(
+                step, (ck, cv, last_tok, pos), None, length=n_steps,
+                unroll=8)
+            return ck, cv, toks  # toks: (n_steps, B)
+
+        return prefill, decode_chunk
+
+    def _empty_caches(self, B, dtype):
+        shape = (self.n_layers, B, self.max_seq_len, self.n_heads,
+                 self.head_dim)
+        return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+
+    def generate(self, input_ids, max_new_tokens: int,
+                 chunk: int = DECODE_CHUNK, dtype=None):
+        """Greedy generation; yields (B,1) id tensors one token at a time
+        like the reference (model.py:258-269), while computing CHUNK tokens
+        per compiled on-device scan, with the next chunk dispatched before
+        the previous one's tokens are read back (1-deep pipeline hides the
+        host->TPU dispatch latency).  ``max_new_tokens`` bounds the TOTAL
+        sequence length (reference quirk).  ``dtype=jnp.bfloat16`` runs the
+        weights/caches in bf16 with f32 softmax/norm/logits.  Deliberate fix
+        vs the reference: its decode feeds token L at start_pos L+1, leaving
+        cache slot L zeroed (model.py:259-265); we decode at the correct
+        positions."""
+        if self._decode_fns is None:
+            self._decode_fns = self._make_decode_fns()
+        prefill, decode_chunk = self._decode_fns
+
+        input_ids = np.asarray(input_ids)
+        B, L = input_ids.shape
+        key = np.dtype(dtype).name if dtype else "native"
+        weights = self._weights_cache.get(key)
+        if weights is None:
+            weights = self._weights(dtype)
+            self._weights_cache[key] = weights
+        ck, cv = self._empty_caches(B, weights["tok"].dtype)
+
+        tok, ck, cv = prefill(weights, ck, cv,
+                              jnp.asarray(input_ids, jnp.int32), 0)
+        yield Tensor(np.asarray(tok)[:, None], device=self.device)
+
+        total = max_new_tokens  # reference: total-length bound
+        pos = L
+        pending = None  # device tokens not yet read back: (toks, keep)
+        while pos + 1 < total:
+            # fixed-size scan every time -> exactly one compiled executable;
+            # surplus tokens past `total` are discarded on the host
+            need = total - pos - 1
+            ck, cv, toks = decode_chunk(weights, ck, cv, tok, pos, chunk)
+            keep = min(chunk, need)
+            tok = toks[chunk - 1]
+            pos += keep
+            try:  # overlap the device->host copy with the next chunk
+                toks.copy_to_host_async()
+            except Exception:
+                pass
+            if pending is not None:
+                p_toks, p_keep = pending
+                for row in np.asarray(p_toks)[:p_keep]:
+                    yield Tensor(row[:, None], device=self.device)
+            pending = (toks, keep)
+        if pending is not None:
+            p_toks, p_keep = pending
+            for row in np.asarray(p_toks)[:p_keep]:
+                yield Tensor(row[:, None], device=self.device)

@@ -1,0 +1,159 @@
+"""SPMD Llama training: dp x tp sharded full-sequence train step.
+
+This is the framework's multi-chip scale-out demonstration (the reference
+has no distributed path, SURVEY.md §2.6).  Design follows the standard TPU
+recipe: a 2-D ``(dp, tp)`` mesh; batch sharded over ``dp``; Megatron-style
+tensor parallelism over ``tp`` — QKV/gate-up columns and output/down rows —
+so each block needs exactly one psum per matmul pair, inserted automatically
+by GSPMD from the NamedSharding annotations.  The vocab dimension of the
+embedding and lm_head is also sharded over ``tp``.
+
+Everything is pure-functional jax (params pytree in, params pytree out), jit
+over the mesh; collectives ride ICI.
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .mesh import Mesh, named_sharding, P
+
+
+def config(vocab_size=32000, dim=288, n_heads=6, ffn_dim=768, n_layers=6,
+           max_seq_len=1024):
+    return dict(vocab_size=vocab_size, dim=dim, n_heads=n_heads,
+                ffn_dim=ffn_dim, n_layers=n_layers, max_seq_len=max_seq_len)
+
+
+def init_params(rng: np.random.RandomState, cfg, dtype=jnp.float32):
+    """Layer-stacked parameter pytree (matches the decode-path layout)."""
+    V, D, F, N = (cfg["vocab_size"], cfg["dim"], cfg["ffn_dim"],
+                  cfg["n_layers"])
+    s = 0.02
+
+    def w(*shape):
+        return jnp.asarray(rng.standard_normal(shape) * s, dtype)
+
+    hd = D // cfg["n_heads"]
+    inv_freq = 1.0 / (10000**(np.arange(0, hd, 2)[:hd // 2] / hd))
+    freqs = np.outer(np.arange(cfg["max_seq_len"]), inv_freq)
+    return {
+        "tok": w(V, D),
+        "cos": jnp.asarray(np.cos(freqs), dtype),
+        "sin": jnp.asarray(np.sin(freqs), dtype),
+        "norm": jnp.ones((D,), dtype),
+        "head_w": w(D, V),
+        "head_b": jnp.zeros((V,), dtype),
+        "wqkv": w(N, D, 3 * D),
+        "wo": w(N, D, D),
+        "wgu": w(N, D, 2 * F),
+        "down": w(N, F, D),
+        "in_norm": jnp.ones((N, D), dtype),
+        "post_norm": jnp.ones((N, D), dtype),
+    }
+
+
+def param_shardings(mesh: Mesh):
+    """Megatron-style PartitionSpecs per parameter."""
+    specs = {
+        "tok": P("tp", None),          # vocab-sharded embedding
+        "cos": P(),
+        "sin": P(),
+        "norm": P(),
+        "head_w": P(None, "tp"),       # column-parallel lm head
+        "head_b": P("tp"),
+        "wqkv": P(None, None, "tp"),   # column-parallel fused QKV
+        "wo": P(None, "tp", None),     # row-parallel output proj
+        "wgu": P(None, None, "tp"),    # column-parallel gate/up
+        "down": P(None, "tp", None),   # row-parallel down proj
+        "in_norm": P(),
+        "post_norm": P(),
+    }
+    return {k: named_sharding(mesh, *spec) for k, spec in specs.items()}
+
+
+def shard_params(params, mesh: Mesh):
+    sh = param_shardings(mesh)
+    return {k: jax.device_put(v, sh[k]) for k, v in params.items()}
+
+
+def _rms(x, w):
+    return x * jax.lax.rsqrt(jnp.mean(x * x, -1, keepdims=True) + 1e-6) * w
+
+
+def _rope(x, cos, sin):
+    xr, xi = x[..., 0::2], x[..., 1::2]
+    cos = cos[:, None, :]
+    sin = sin[:, None, :]
+    return jnp.stack([xr * cos - xi * sin, xr * sin + xi * cos],
+                     axis=-1).reshape(x.shape)
+
+
+def forward_logits(params, tokens, cfg):
+    """Full-sequence causal forward -> (B, L, V) logits."""
+    B, L = tokens.shape
+    H = cfg["n_heads"]
+    D = cfg["dim"]
+    hd = D // H
+    h = params["tok"][tokens]
+    cos, sin = params["cos"][:L], params["sin"][:L]
+    mask = jnp.where(
+        jnp.arange(L)[:, None] >= jnp.arange(L)[None, :], 0.0,
+        -jnp.inf).astype(h.dtype)
+
+    def layer(h, xs):
+        hn = _rms(h, xs["in_norm"])
+        qkv = hn @ xs["wqkv"]
+        q = qkv[..., :D].reshape(B, L, H, hd)
+        k = qkv[..., D:2 * D].reshape(B, L, H, hd)
+        v = qkv[..., 2 * D:].reshape(B, L, H, hd)
+        q, k = _rope(q, cos, sin), _rope(k, cos, sin)
+        s = jnp.einsum("blhd,bmhd->bhlm", q, k) / math.sqrt(hd)
+        p = jax.nn.softmax(s + mask, axis=-1)
+        att = jnp.einsum("bhlm,bmhd->blhd", p, v).reshape(B, L, D)
+        z = h + att @ xs["wo"]
+        zn = _rms(z, xs["post_norm"])
+        gu = zn @ xs["wgu"]
+        gate, up = jnp.split(gu, 2, axis=-1)
+        return z + ((gate * jax.nn.sigmoid(gate)) * up) @ xs["down"], None
+
+    layer_w = {k: params[k] for k in ("wqkv", "wo", "wgu", "down",
+                                      "in_norm", "post_norm")}
+    h, _ = jax.lax.scan(layer, h, layer_w)
+    h = _rms(h, params["norm"])
+    return h @ params["head_w"] + params["head_b"]
+
+
+def loss_fn(params, tokens, targets, cfg):
+    logits = forward_logits(params, tokens, cfg)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)
+    return jnp.mean(nll)
+
+
+def make_train_step(mesh: Mesh, cfg, lr: float = 1e-3):
+    """Compiled SPMD train step: batch sharded dp, params sharded tp.
+
+    Returns ``step(params, tokens, targets) -> (params, loss)``; GSPMD
+    derives the dp gradient psum and the tp activation collectives from the
+    in/out shardings.
+    """
+    p_sh = param_shardings(mesh)
+    batch_sh = named_sharding(mesh, "dp", None)
+    scalar_sh = named_sharding(mesh)
+
+    @partial(jax.jit,
+             in_shardings=(p_sh, batch_sh, batch_sh),
+             out_shardings=(p_sh, scalar_sh),
+             donate_argnums=(0,))
+    def step(params, tokens, targets):
+        loss, grads = jax.value_and_grad(
+            lambda p, t, y: loss_fn(p, t, y, cfg))(params, tokens, targets)
+        new_params = jax.tree.map(lambda p, g: p - lr * g, params, grads)
+        return new_params, loss
+
+    return step

@@ -1,0 +1,175 @@
+"""Llama path: compiled scan decode vs eager module decode (token-exact),
+finetune step, freezing, npz IO mapping, tokenizer merges."""
+import json
+
+import numpy as np
+import pytest
+
+import pydynet_tpu as pdn
+from pydynet_tpu import optim
+from pydynet_tpu.models.llama.model import Llama
+from pydynet_tpu.models.llama.tokenizer import Tokenizer
+from pydynet_tpu.models.llama import io as llama_io
+
+np.random.seed(0)
+
+CFG = dict(vocab_size=97, embed_dim=24, n_heads=2, ffn_dim=40,
+           max_seq_len=32, max_batch_size=1, n_layers=2,
+           dtype=np.float32)
+
+
+def tiny_model(seed=0):
+    np.random.seed(seed)
+    return Llama(**CFG)
+
+
+def eager_generate(model, input_ids, total):
+    """Reference-style eager loop (module path, KV-cache Parameters), at the
+    *correct* positions: token for position p is fed with start_pos=p."""
+    out = []
+    with pdn.no_grad():
+        logits = model(pdn.Tensor(input_ids), 0)
+        next_id = logits[:, -1, :].argmax(-1, True)
+        out.append(int(next_id.numpy()[0, 0]))
+        pos = input_ids.shape[1]
+        while pos + 1 < total:
+            logits = model(pdn.Tensor(next_id.numpy()), pos)
+            next_id = logits[:, -1, :].argmax(-1, True)
+            out.append(int(next_id.numpy()[0, 0]))
+            pos += 1
+    return out
+
+
+def test_generate_scan_matches_eager_module_path():
+    model = tiny_model()
+    model.eval()
+    ids = np.array([[1, 5, 9]])
+    total = 20
+    with pdn.no_grad():
+        fast = [int(t.numpy()[0, 0])
+                for t in model.generate(ids, total, chunk=4)]
+    model2 = tiny_model()  # same seed -> same weights, fresh cache
+    model2.eval()
+    slow = eager_generate(model2, ids, total)
+    assert fast == slow, f"{fast} != {slow}"
+
+
+def test_generate_count_and_chunk_independence():
+    model = tiny_model()
+    model.eval()
+    ids = np.array([[1, 2]])
+    with pdn.no_grad():
+        a = [int(t.numpy()[0, 0]) for t in model.generate(ids, 17, chunk=3)]
+        b = [int(t.numpy()[0, 0]) for t in model.generate(ids, 17, chunk=16)]
+    assert len(a) == 17 - 2  # total-length semantics (reference quirk)
+    assert a == b
+
+
+def test_forward_logits_shapes():
+    model = tiny_model()
+    model.train(True)
+    logits = model.forward_logits(np.array([[1, 2, 3, 4]]))
+    assert logits.shape == (1, 4, CFG["vocab_size"])
+    assert logits.requires_grad
+
+
+def test_set_trainable_parameters():
+    model = tiny_model()
+    t, f = model.set_trainable_parameters(("lm_head",))
+    assert t == 2  # lm_head weight+bias
+    names = [n for n, p in model._parameters.items() if p.requires_grad]
+    assert all(n.startswith("lm_head") for n in names)
+    assert len(list(model.parameters())) == 2
+
+
+def test_finetune_step_decreases_loss():
+    model = tiny_model()
+    model.set_trainable_parameters(("lm_head", "norm"))
+    opt = optim.Adam(model.parameters(), lr=5e-2)
+    inp = np.array([[1, 5, 9, 3]])
+    tgt = np.array([[5, 9, 3, 7]])
+    losses = [model.finetune_step(inp, tgt, opt) for _ in range(20)]
+    assert losses[-1] < losses[0] * 0.8
+    assert all(np.isfinite(losses))
+
+
+def test_finetune_io_roundtrip(tmp_path):
+    model = tiny_model()
+    model.set_trainable_parameters(("lm_head",))
+    path = str(tmp_path / "ft.npz")
+    llama_io.save_finetuned_parameters(model, path)
+    saved = np.load(path)
+    assert set(saved.files) == {"lm_head.weight", "lm_head.bias"}
+
+    model2 = tiny_model(seed=1)
+    llama_io.load_finetuned_parameters(model2, path)
+    assert np.allclose(model2._parameters["lm_head.weight"].numpy(),
+                       model._parameters["lm_head.weight"].numpy())
+
+
+def test_load_model_hf_mapping(tmp_path):
+    """load_model maps transposed HF names onto (in,out) Linear weights."""
+    rng = np.random.default_rng(0)
+    D, V, F = CFG["embed_dim"], CFG["vocab_size"], CFG["ffn_dim"]
+    ckpt = {
+        "model.embed_tokens.weight": rng.standard_normal((V, D)),
+        "lm_head.weight": rng.standard_normal((V, D)),
+        "model.norm.weight": rng.standard_normal(D),
+    }
+    for i in range(CFG["n_layers"]):
+        p = f"model.layers.{i}."
+        ckpt[p + "self_attn.q_proj.weight"] = rng.standard_normal((D, D))
+        ckpt[p + "self_attn.k_proj.weight"] = rng.standard_normal((D, D))
+        ckpt[p + "self_attn.v_proj.weight"] = rng.standard_normal((D, D))
+        ckpt[p + "self_attn.o_proj.weight"] = rng.standard_normal((D, D))
+        ckpt[p + "mlp.up_proj.weight"] = rng.standard_normal((F, D))
+        ckpt[p + "mlp.gate_proj.weight"] = rng.standard_normal((F, D))
+        ckpt[p + "mlp.down_proj.weight"] = rng.standard_normal((D, F))
+        ckpt[p + "input_layernorm.weight"] = rng.standard_normal(D)
+        ckpt[p + "post_attention_layernorm.weight"] = rng.standard_normal(D)
+    path = str(tmp_path / "model.npz")
+    np.savez(path, **ckpt)
+
+    model = llama_io.load_model(tiny_model(), path)
+    assert np.allclose(model._parameters["tok_embedding.weight"].numpy(),
+                       ckpt["model.embed_tokens.weight"])
+    assert np.allclose(model._parameters["lm_head.weight"].numpy(),
+                       ckpt["lm_head.weight"].T)
+    assert np.allclose(
+        model._parameters["layers.1.ffn.down.weight"].numpy(),
+        ckpt["model.layers.1.mlp.down_proj.weight"].T)
+    assert np.allclose(
+        model._parameters["layers.0.input_norm.weight"].numpy(),
+        ckpt["model.layers.0.input_layernorm.weight"])
+
+
+def test_tokenizer_greedy_merges(tmp_path):
+    vocab = {
+        "tokens": ["<unk>", "<s>", "</s>", "a", "b", "c", "ab", "abc"],
+        "scores": [0.0, 0.0, 0.0, 1.0, 1.0, 1.0, 5.0, 9.0],
+    }
+    path = str(tmp_path / "tok.json")
+    with open(path, "w") as f:
+        json.dump(vocab, f)
+    tok = Tokenizer(path)
+    assert tok.encode("abc", add_bos=False) == [7]     # best-score merge wins
+    assert tok.encode("abc") == [1, 7]                 # bos prepended
+    assert tok.encode("cab", add_bos=False) == [5, 6]  # c + ab
+    assert tok.decode([3, 4, 5]) == "abc"
+    assert tok.decode([1, 3]) == "a"                   # <s> stripped
+
+
+def test_tokenizer_fallback_vocab():
+    tok = Tokenizer("/nonexistent/path.json")
+    ids = tok.encode("hi", add_bos=True, add_eos=True)
+    assert ids[0] == 1 and ids[-1] == 2
+    assert tok.decode([99999]) == ""
+
+
+def test_rotary_cache_values():
+    from pydynet_tpu.models.llama.model import compute_cos_sin_cache
+    cos, sin = compute_cos_sin_cache(8, 16)
+    assert cos.shape == (16, 4)
+    inv = 1.0 / (10000 ** (np.arange(0, 8, 2) / 8))
+    want = np.cos(np.outer(np.arange(16), inv))
+    assert np.allclose(cos.numpy(), want)
