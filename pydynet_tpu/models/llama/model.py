@@ -35,6 +35,7 @@ import numpy as np
 
 import pydynet_tpu as pdn
 from ...core.tensor import Tensor
+from ...device import Device
 from ... import nn
 from ...nn import functional as F
 
@@ -206,7 +207,8 @@ class Llama(nn.Module):
         self._ft_step = None
         self._ft_opt = None
         self._decode_fns = None
-        self._weights_cache = {}  # dtype -> stacked decode weights
+        self._fused_chunk_fn = None
+        self._weights_cache = {}  # (dtype, fused) -> stacked decode weights
 
     # ------------------------- eager/module path ----------------------- #
     def _forward_hidden(self, input_ids, start_pos: int):
@@ -403,13 +405,75 @@ class Llama(nn.Module):
 
         return prefill, decode_chunk
 
+    # ---------------- Pallas fused decode (B=1 fast path) ---------------- #
+    def _fused_weights(self, dtype=None):
+        """Weight pytree for the fused Pallas decode step: unfused per-layer
+        matrices, (N,1,D) norms, constant RoPE/head matrices, and (S,D)
+        expanded cos/sin tables."""
+        from ...ops import decode_step as dsk
+
+        base = self._weights(dtype)
+        D, H, N = self.embed_dim, self.n_heads, self.n_layers
+        wdt = base["tok"].dtype
+        cos, sin = base["cos"], base["sin"]  # (S, hd/2)
+        expand = lambda t: jnp.tile(jnp.repeat(t, 2, axis=-1), (1, H))
+        fused = dict(base)
+        fused.update({
+            "wq": base["wqkv"][..., :D],
+            "wk": base["wqkv"][..., D:2 * D],
+            "wv": base["wqkv"][..., 2 * D:],
+            "gate_w": base["wgu"][..., :self.ffn_dim],
+            "up_w": base["wgu"][..., self.ffn_dim:],
+            "in_norm2": base["in_norm"][:, None, :],
+            "post_norm2": base["post_norm"][:, None, :],
+            "norm2": base["norm"][None, :],
+            "rot": dsk.rope_pair_swap_matrix(D, wdt),
+            "hmask": dsk.head_mask_matrix(D, H, wdt),
+            "cosD": expand(cos).astype(wdt),  # (S, D)
+            "sinD": expand(sin).astype(wdt),
+        })
+        return fused
+
+    def _make_fused_decode_fns(self):
+        """decode_chunk built on the whole-model Pallas kernel (B=1)."""
+        from ...ops.decode_step import fused_decode_step
+
+        @partial(jax.jit, static_argnames=("n_steps",),
+                 donate_argnames=("ck", "cv"))
+        def decode_chunk(weights, ck, cv, last_tok, pos, n_steps):
+            head_w, head_b = weights["head_w"], weights["head_b"]
+            wdt = head_w.dtype
+
+            def step(carry, _):
+                ck, cv, tok, p = carry
+                h0 = weights["tok"][tok]  # (1, D)
+                cosd = jax.lax.dynamic_slice_in_dim(weights["cosD"], p, 1)
+                sind = jax.lax.dynamic_slice_in_dim(weights["sinD"], p, 1)
+                h, ck, cv = fused_decode_step(
+                    p, h0, cosd, sind, weights["rot"], weights["hmask"],
+                    weights["norm2"], weights["wq"], weights["wk"],
+                    weights["wv"], weights["wo"], weights["gate_w"],
+                    weights["up_w"], weights["down"], weights["in_norm2"],
+                    weights["post_norm2"], ck, cv)
+                logits = (h.astype(wdt) @ head_w).astype(jnp.float32) \
+                    + head_b.astype(jnp.float32)
+                nxt = jnp.argmax(logits, axis=-1).astype(tok.dtype)
+                return (ck, cv, nxt, p + 1), nxt
+
+            pos = jnp.asarray(pos, jnp.int32)
+            (ck, cv, tok, p), toks = jax.lax.scan(
+                step, (ck, cv, last_tok, pos), None, length=n_steps)
+            return ck, cv, toks
+
+        return decode_chunk
+
     def _empty_caches(self, B, dtype):
         shape = (self.n_layers, B, self.max_seq_len, self.n_heads,
                  self.head_dim)
         return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
 
     def generate(self, input_ids, max_new_tokens: int,
-                 chunk: int = DECODE_CHUNK, dtype=None):
+                 chunk: int = DECODE_CHUNK, dtype=None, fused=None):
         """Greedy generation; yields (B,1) id tensors one token at a time
         like the reference (model.py:258-269), while computing CHUNK tokens
         per compiled on-device scan, with the next chunk dispatched before
@@ -426,16 +490,30 @@ class Llama(nn.Module):
 
         input_ids = np.asarray(input_ids)
         B, L = input_ids.shape
-        key = np.dtype(dtype).name if dtype else "native"
+        if fused is None:
+            # the Pallas whole-model kernel is specialized to B=1 on TPU
+            fused = B == 1 and self.device.kind == "accel"
+        key = (np.dtype(dtype).name if dtype else "native", bool(fused))
         weights = self._weights_cache.get(key)
         if weights is None:
-            weights = self._weights(dtype)
+            weights = (self._fused_weights(dtype) if fused
+                       else self._weights(dtype))
             self._weights_cache[key] = weights
         ck, cv = self._empty_caches(B, weights["tok"].dtype)
 
+        cpu = Device("cpu")
         tok, ck, cv = prefill(weights, ck, cv,
                               jnp.asarray(input_ids, jnp.int32), 0)
-        yield Tensor(np.asarray(tok)[:, None], device=self.device)
+        if fused:
+            # fused kernel uses flat (N, S, D) caches
+            N = self.n_layers
+            S, D = self.max_seq_len, self.embed_dim
+            ck = ck.reshape(N, S, D)
+            cv = cv.reshape(N, S, D)
+            if self._fused_chunk_fn is None:
+                self._fused_chunk_fn = self._make_fused_decode_fns()
+            decode_chunk = self._fused_chunk_fn
+        yield Tensor(np.asarray(tok)[:, None], device=cpu)
 
         total = max_new_tokens  # reference: total-length bound
         pos = L
@@ -455,9 +533,11 @@ class Llama(nn.Module):
             if pending is not None:
                 p_toks, p_keep = pending
                 for row in np.asarray(p_toks)[:p_keep]:
-                    yield Tensor(row[:, None], device=self.device)
+                    # host tensors: a per-token device_put back to the TPU
+                    # would cost ~1ms each through the tunnel
+                    yield Tensor(row[:, None], device=cpu)
             pending = (toks, keep)
         if pending is not None:
             p_toks, p_keep = pending
             for row in np.asarray(p_toks)[:p_keep]:
-                yield Tensor(row[:, None], device=self.device)
+                yield Tensor(row[:, None], device=cpu)

@@ -8,11 +8,19 @@ import os
 import sys
 from pathlib import Path
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force: the environment presets JAX_PLATFORMS=axon (the remote TPU tunnel)
+# and the axon sitecustomize writes jax.config.jax_platforms directly, so the
+# env var alone is not enough; unit tests must run on the virtual-device CPU
+# backend, both for speed and because the tunnel serializes on one session.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 

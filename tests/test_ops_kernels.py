@@ -1,0 +1,135 @@
+"""Pallas kernels (interpret mode on CPU) vs XLA references."""
+import math
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from pydynet_tpu.ops import decode_step as ds
+from pydynet_tpu.ops import flash_attention as fa
+
+
+def _rope_interleaved(x, cos, sin):
+    xr, xi = x[..., 0::2], x[..., 1::2]
+    return np.stack([xr * cos - xi * sin, xr * sin + xi * cos],
+                    axis=-1).reshape(x.shape)
+
+
+def _reference_decode_step(pos, h0, params, ck_std, cv_std, cfg):
+    """NumPy reference: one token through all layers (head-split math),
+    caches in the standard (N, S, H, hd) layout."""
+    N, H, D, S = cfg["n_layers"], cfg["n_heads"], cfg["dim"], cfg["seq"]
+    hd = D // H
+    inv = 1.0 / (10000 ** (np.arange(0, hd, 2) / hd))
+    cos = np.cos(pos * inv)
+    sin = np.sin(pos * inv)
+
+    def rms(x, w):
+        return x / np.sqrt((x * x).mean(-1, keepdims=True) + 1e-6) * w
+
+    h = h0.copy()
+    for i in range(N):
+        hn = rms(h, params["in_norm"][i, 0])
+        q = hn @ params["wq"][i]
+        k = hn @ params["wk"][i]
+        v = hn @ params["wv"][i]
+        qh = _rope_interleaved(q.reshape(1, H, hd), cos, sin)
+        kh = _rope_interleaved(k.reshape(1, H, hd), cos, sin)
+        ck_std[i, pos] = kh[0]
+        cv_std[i, pos] = v.reshape(H, hd)
+        out = np.zeros((H, hd))
+        for hh in range(H):
+            s = ck_std[i, :pos + 1, hh] @ qh[0, hh] / math.sqrt(hd)
+            p = np.exp(s - s.max())
+            p /= p.sum()
+            out[hh] = p @ cv_std[i, :pos + 1, hh]
+        z = h + out.reshape(1, D) @ params["wo"][i]
+        zn = rms(z, params["post_norm"][i, 0])
+        g = zn @ params["gate"][i]
+        u = zn @ params["up"][i]
+        h = z + ((g / (1 + np.exp(-g))) * u) @ params["down"][i]
+    return rms(h, params["final_norm"][0])
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    rng = np.random.default_rng(0)
+    cfg = dict(n_layers=2, n_heads=2, dim=16, seq=32, ffn=24)
+    N, D, F, S = cfg["n_layers"], cfg["dim"], cfg["ffn"], cfg["seq"]
+    p = {
+        "wq": rng.standard_normal((N, D, D)) * 0.2,
+        "wk": rng.standard_normal((N, D, D)) * 0.2,
+        "wv": rng.standard_normal((N, D, D)) * 0.2,
+        "wo": rng.standard_normal((N, D, D)) * 0.2,
+        "gate": rng.standard_normal((N, D, F)) * 0.2,
+        "up": rng.standard_normal((N, D, F)) * 0.2,
+        "down": rng.standard_normal((N, F, D)) * 0.2,
+        "in_norm": np.abs(rng.standard_normal((N, 1, D))) + 0.5,
+        "post_norm": np.abs(rng.standard_normal((N, 1, D))) + 0.5,
+        "final_norm": np.abs(rng.standard_normal((1, D))) + 0.5,
+    }
+    return cfg, p
+
+
+def test_fused_decode_step_matches_reference(tiny):
+    cfg, p = tiny
+    N, D, S, H = cfg["n_layers"], cfg["dim"], cfg["seq"], cfg["n_heads"]
+    hd = D // H
+    rng = np.random.default_rng(1)
+    pos = 5
+    h0 = rng.standard_normal((1, D)) * 0.5
+
+    # pre-existing cache content for slots < pos
+    ck_std = rng.standard_normal((N, S, H, hd)) * 0.3
+    cv_std = rng.standard_normal((N, S, H, hd)) * 0.3
+    ck_flat = ck_std.reshape(N, S, D).copy()
+    cv_flat = cv_std.reshape(N, S, D).copy()
+
+    want = _reference_decode_step(pos, h0, p, ck_std.copy(), cv_std.copy(),
+                                  cfg)
+
+    inv = 1.0 / (10000 ** (np.arange(0, hd, 2) / hd))
+    cosd = np.tile(np.repeat(np.cos(pos * inv), 2), H)[None, :]
+    sind = np.tile(np.repeat(np.sin(pos * inv), 2), H)[None, :]
+
+    f32 = jnp.float32
+    args = [jnp.asarray(a, f32) for a in (
+        h0, cosd, sind,
+        np.asarray(ds.rope_pair_swap_matrix(D)),
+        np.asarray(ds.head_mask_matrix(D, H)),
+        p["final_norm"], p["wq"], p["wk"], p["wv"], p["wo"],
+        p["gate"], p["up"], p["down"], p["in_norm"], p["post_norm"],
+        ck_flat, cv_flat)]
+    h_out, ck_new, cv_new = ds.fused_decode_step(
+        pos, *args, interpret=True, alias=False)
+
+    assert np.allclose(h_out, want, atol=1e-4), \
+        np.abs(np.asarray(h_out) - want).max()
+    # cache row pos updated, other rows untouched
+    assert not np.allclose(np.asarray(ck_new)[:, pos], ck_flat[:, pos])
+    mask = np.ones(S, bool)
+    mask[pos] = False
+    assert np.allclose(np.asarray(ck_new)[:, mask], ck_flat[:, mask])
+
+
+def test_flash_attention_matches_reference():
+    rng = np.random.default_rng(0)
+    B, L, H, d = 2, 256, 4, 64
+    q = jnp.asarray(rng.standard_normal((B, L, H, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, L, H, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, L, H, d)), jnp.float32)
+    mask = jnp.where(
+        jnp.arange(L)[:, None] >= jnp.arange(L)[None, :], 0.0, -jnp.inf)
+    want = fa.mha_reference(q, k, v, mask)
+    got = fa.flash_attention_causal(q, k, v, block_q=128, block_k=128,
+                                    interpret=True)
+    assert np.allclose(got, want, atol=2e-5), \
+        np.abs(np.asarray(got) - np.asarray(want)).max()
+
+
+def test_flash_attention_fallback_small_seq():
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((1, 7, 2, 16)), jnp.float32)
+    out = fa.flash_attention_causal(q, q, q)
+    assert out.shape == (1, 7, 2, 16)
