@@ -1,0 +1,78 @@
+"""CLIP projection fine-tuning CLI.
+
+Flag parity with /root/reference/llm/clip/finetune.py; each step is one
+compiled forward+backward+Adam XLA program (CLIP.finetune_step).
+"""
+import argparse
+
+import numpy as np
+
+import pydynet_tpu.optim as optim
+
+from .data import tokenize
+from .infer import load_image
+from .io import Params, load_model, save_finetuned_parameters
+from .model import CLIP
+
+import pydynet_tpu as pdn
+
+
+def parse_labels(labels: str):
+    vals = [x.strip() for x in labels.split(",") if x.strip()]
+    if len(vals) < 2:
+        raise ValueError(
+            "Need at least 2 labels for classification fine-tuning.")
+    return vals
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Fine-tune CLIP parameters")
+    parser.add_argument("--image", type=str, required=True)
+    parser.add_argument("--labels", type=str, required=True)
+    parser.add_argument("--target", type=int, required=True)
+    parser.add_argument("--steps", type=int, default=20)
+    parser.add_argument("--lr", type=float, default=1e-5)
+    parser.add_argument("--trainable", type=str,
+                        default="text_encoder.proj,image_encoder.proj")
+    parser.add_argument("--save", type=str,
+                        default="llm/clip/data/finetuned_clip_params.npz")
+    parser.add_argument("--weights-dir", type=str, default="llm/clip/data")
+    parser.add_argument("--random-init", action="store_true")
+    args = parser.parse_args(argv)
+
+    labels = parse_labels(args.labels)
+    if not 0 <= args.target < len(labels):
+        raise ValueError("target index out of range for labels.")
+
+    image = load_image(args.image).numpy()[np.newaxis]
+    text = tokenize(labels)
+    target = np.array([args.target], dtype=np.int64)
+
+    model = CLIP()
+    if not args.random_init:
+        try:
+            model = load_model(model, Params("ViT-B/32",
+                                             download_root=args.weights_dir))
+        except FileNotFoundError as e:
+            print(f"[clip.finetune] {e}\n-> random-initialized weights")
+    if pdn.cuda.is_available():
+        model = model.to("cuda:0")
+
+    prefixes = tuple(p.strip() for p in args.trainable.split(",")
+                     if p.strip())
+    trainable_count, frozen_count = model.set_trainable_parameters(prefixes)
+    print(f"Trainable params: {trainable_count}, "
+          f"Frozen params: {frozen_count}")
+
+    optimizer = optim.Adam(model.parameters(), lr=args.lr)
+    for step in range(1, args.steps + 1):
+        loss = model.finetune_step(image, text, target, optimizer)
+        if step == 1 or step % 5 == 0 or step == args.steps:
+            print(f"step={step:04d}, loss={loss:.6f}")
+
+    save_finetuned_parameters(model, args.save)
+    print(f"Saved finetuned params to {args.save}")
+
+
+if __name__ == "__main__":
+    main()

@@ -138,6 +138,8 @@ class _JitFunction:
                 if isinstance(v, jax.Array) and v.committed \
                         and v.devices() != {target}:
                     state_vals[i] = jax.device_put(v, target)
+        from .device import Device as _Device
+        target_dev = _Device(target) if target is not None else None
 
         leaves, treedef = jax.tree.flatten(
             (args, kwargs), is_leaf=lambda x: isinstance(x, Tensor))
@@ -147,8 +149,14 @@ class _JitFunction:
                 if isinstance(leaf, _DataRef):
                     leaf = leaf._t
                 if isinstance(leaf, Tensor):
-                    dyn_leaves.append(leaf._data)
-                    dyn_mask.append((pos, True, leaf.device))
+                    # the computation runs on the state's device; move arg
+                    # tensors there and tag them so device checks pass
+                    val = leaf._data
+                    if target is not None and isinstance(val, jax.Array) \
+                            and val.committed and val.devices() != {target}:
+                        val = jax.device_put(val, target)
+                    dyn_leaves.append(val)
+                    dyn_mask.append((pos, True, target_dev or leaf.device))
                 else:
                     dyn_leaves.append(leaf)
                     dyn_mask.append((pos, False, None))

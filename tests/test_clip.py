@@ -1,0 +1,168 @@
+"""CLIP path: patch projection oracle, encoders, zero-shot shape/softmax,
+finetune step, tokenizer byte tables, io roundtrip."""
+import numpy as np
+import pytest
+
+import pydynet_tpu as pdn
+from pydynet_tpu import optim
+from pydynet_tpu.models.clip.model import (CLIP, patch_project,
+                                           build_attention_mask,
+                                           CLIPLayerNorm,
+                                           MultiHeadAttention)
+from pydynet_tpu.models.clip.tokenizer import (SimpleTokenizer,
+                                               bytes_to_unicode)
+from pydynet_tpu.models.clip import data as clip_data
+from pydynet_tpu.models.clip import io as clip_io
+
+np.random.seed(0)
+
+TINY = dict(image_dim=16, image_heads=2, image_mlp_dim=32, image_patch=8,
+            image_layers=2, text_dim=12, text_heads=2, text_mlp_dim=24,
+            text_layers=2, final_dim=10, vocab_size=64, vision_tokens=17,
+            text_tokens=9)
+
+
+def tiny_clip(seed=0):
+    np.random.seed(seed)
+    return CLIP(**TINY)
+
+
+def test_patch_project_matches_naive():
+    x_np = np.random.randn(2, 3, 16, 16)
+    k_np = np.random.randn(5, 3, 8, 8)
+    out = patch_project(pdn.Tensor(x_np), pdn.Tensor(k_np))
+    assert out.shape == (2, 4, 5)
+    # naive: loop over patch grid
+    want = np.zeros((2, 4, 5))
+    for i in range(2):
+        for gi in range(2):
+            for gj in range(2):
+                patch = x_np[i, :, gi * 8:(gi + 1) * 8, gj * 8:(gj + 1) * 8]
+                want[i, gi * 2 + gj] = np.einsum("chw,dchw->d", patch, k_np)
+    assert np.allclose(out.data, want, atol=1e-8)
+
+
+def test_patch_project_grads_flow():
+    x = pdn.Tensor(np.random.randn(1, 3, 16, 16), requires_grad=True)
+    k = pdn.Tensor(np.random.randn(4, 3, 8, 8), requires_grad=True)
+    patch_project(x, k).sum().backward()
+    assert np.isfinite(np.asarray(x.grad)).all()
+    assert np.isfinite(np.asarray(k.grad)).all()
+
+
+def test_clip_layernorm_last_axis():
+    ln = CLIPLayerNorm((6,), eps=1e-5)
+    x_np = np.random.randn(4, 6) * 3 + 2
+    out = ln(pdn.Tensor(x_np))
+    want = (x_np - x_np.mean(-1, keepdims=True)) / np.sqrt(
+        x_np.var(-1, keepdims=True) + 1e-5)
+    assert np.allclose(out.data, want, atol=1e-5)
+
+
+def test_mha_causal_mask():
+    mha = MultiHeadAttention(8, 2)
+    x = pdn.Tensor(np.random.randn(1, 5, 8))
+    mask = build_attention_mask(5)
+    out = mha(x, mask)
+    assert out.shape == (1, 5, 8)
+    # causality: changing a later token must not affect earlier outputs
+    x2 = x.numpy().copy()
+    x2[0, 4] += 10.0
+    out2 = mha(pdn.Tensor(x2), mask)
+    assert np.allclose(out.numpy()[0, :4], out2.numpy()[0, :4], atol=1e-6)
+
+
+def test_clip_zero_shot_shapes_and_softmax():
+    clip = tiny_clip()
+    clip.eval()
+    img = np.random.randn(1, 3, 32, 32).astype(np.float32)
+    text = np.zeros((3, TINY["text_tokens"]), np.int64)
+    text[:, 0] = 1
+    text[0, 1], text[1, 1], text[2, 1] = 10, 20, 30
+    text[:, 2] = 63  # eot = max id
+    with pdn.no_grad():
+        logits = clip(pdn.Tensor(img), pdn.Tensor(text))
+    assert logits.shape == (1, 3)
+    import pydynet_tpu.nn.functional as F
+    with pdn.no_grad():
+        probs = F.softmax(logits, axis=-1).numpy()
+    assert np.allclose(probs.sum(), 1.0)
+
+
+def test_clip_finetune_step_decreases_loss():
+    clip = tiny_clip()
+    clip.set_trainable_parameters(("text_encoder.proj",
+                                   "image_encoder.proj"))
+    opt = optim.Adam(clip.parameters(), lr=5e-2)
+    img = np.random.randn(1, 3, 32, 32).astype(np.float32)
+    text = np.zeros((2, TINY["text_tokens"]), np.int64)
+    text[:, 0] = 1
+    text[0, 1], text[1, 1] = 7, 9
+    text[:, 2] = 63
+    target = np.array([1], np.int64)
+    losses = [clip.finetune_step(img, text, target, opt) for _ in range(15)]
+    assert losses[-1] < losses[0]
+    assert all(np.isfinite(losses))
+
+
+def test_bytes_to_unicode_reversible():
+    table = bytes_to_unicode()
+    assert len(table) == 256
+    assert len(set(table.values())) == 256
+
+
+def test_tokenizer_fallback_char_level():
+    tok = SimpleTokenizer("/nonexistent.gz")
+    ids = tok.encode("hi there")
+    assert all(isinstance(i, int) for i in ids)
+    assert tok.decode(ids).strip() == "hi there"
+    assert "<|startoftext|>" in tok.encoder and "<|endoftext|>" in tok.encoder
+
+
+def test_tokenize_padded_matrix():
+    tok = SimpleTokenizer("/nonexistent.gz")
+    out = clip_data.tokenize(["a dog", "a cat"], context_length=32,
+                             tokenizer=tok)
+    assert out.shape == (2, 32)
+    assert out.dtype == np.int64
+    assert (out[:, 0] == tok.encoder["<|startoftext|>"]).all()
+
+
+def test_preprocess_array_normalization():
+    x = np.full((256, 256, 3), 0.5, np.float32)
+    t = clip_data.preprocess_array(x)
+    assert t.shape == (3, 224, 224)
+    want = (0.5 - clip_data.CLIP_MEAN) / clip_data.CLIP_STD
+    assert np.allclose(t.numpy()[:, 0, 0], want, atol=1e-6)
+
+
+def test_finetuned_io_roundtrip(tmp_path):
+    clip = tiny_clip()
+    clip.set_trainable_parameters(("text_encoder.proj",))
+    path = str(tmp_path / "clip_ft.npz")
+    clip_io.save_finetuned_parameters(clip, path)
+    saved = np.load(path)
+    assert set(saved.files) == {"text_encoder.proj.weight"}
+    clip2 = tiny_clip(seed=3)
+    clip_io.load_finetuned_parameters(clip2, path)
+    assert np.allclose(
+        clip2._parameters["text_encoder.proj.weight"].numpy(),
+        clip._parameters["text_encoder.proj.weight"].numpy())
+
+
+def test_dotted_names_match_reference_layout():
+    """io mapping relies on these exact dotted names."""
+    clip = tiny_clip()
+    names = set(clip._parameters)
+    for required in [
+            "class_embed", "v_pos_emb", "t_pos_emb",
+            "image_encoder.kernel",
+            "image_encoder.pre_norm.scale", "image_encoder.post_norm.shift",
+            "image_encoder.proj.weight",
+            "image_encoder.transformers.0.mha.QKV.weight",
+            "image_encoder.transformers.1.mlp.fc2.bias",
+            "text_encoder.token_embed.weight",
+            "text_encoder.transformers.0.layer_norm1.scale",
+            "text_encoder.proj.weight",
+    ]:
+        assert required in names, required
