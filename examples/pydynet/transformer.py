@@ -1,0 +1,217 @@
+"""Transformer text classification on CoLA (parity with the reference's
+examples/pydynet/transformer.py): 1-layer encoder (dim 512, 4 heads),
+padding-mask self-attention, tanh score head with +/-1 labels and MSE-style
+hinge, jitted train/eval steps.
+
+Falls back to synthetic CoLA-shaped token data when the tsv is absent.
+"""
+import argparse
+from os.path import exists, join
+
+import numpy as np
+
+import pydynet_tpu as pdn
+import pydynet_tpu.nn.functional as F
+from pydynet_tpu import nn
+from pydynet_tpu.optim import Adam
+from pydynet_tpu.data import data_loader
+
+DTYPE = np.float32
+
+
+def load_cola(path):
+    tsv = join(path, "in_domain_train.tsv")
+    if not exists(tsv):
+        return None
+    with open(tsv, "r", encoding="utf-8") as f:
+        lines = f.readlines()
+    sens, ys, vocab, max_len = [], [], {}, 0
+    for line in lines:
+        parts = line.split("\t")
+        y = int(parts[1])
+        words = parts[-1][:-1].split()
+        for w in words:
+            vocab.setdefault(w, len(vocab) + 1)
+        max_len = max(max_len, len(words))
+        sens.append(words)
+        ys.append(y)
+    X = np.zeros((len(lines), max_len), dtype=np.int64)
+    for i, words in enumerate(sens):
+        for j, w in enumerate(words):
+            X[i, j] = vocab[w]
+    return X, np.array(ys)
+
+
+def synthetic_cola(n=2048, vocab=1000, max_len=45, seed=0):
+    """Label = whether the sequence contains any token from a 'good' set."""
+    rng = np.random.default_rng(seed)
+    lengths = rng.integers(4, max_len, n)
+    X = np.zeros((n, max_len), dtype=np.int64)
+    y = np.zeros(n, dtype=np.int64)
+    good = set(range(1, vocab, 7))
+    for i, L in enumerate(lengths):
+        row = rng.integers(1, vocab, L)
+        X[i, :L] = row
+        y[i] = int(any(int(t) in good for t in row[:4]))
+    return X, y
+
+
+def sinusoidal_positional_encoding(max_len: int, d_model: int):
+    position = np.arange(max_len)[:, np.newaxis]
+    div_term = np.exp(np.arange(0, d_model, 2) * (-np.log(10000.0) / d_model))
+    pe = np.zeros((max_len, d_model))
+    pe[:, 0::2] = np.sin(position * div_term)
+    pe[:, 1::2] = np.cos(position * div_term)
+    return pdn.Tensor(pe.astype(DTYPE))
+
+
+@pdn.no_grad()
+def construct_mask(x, padding_idx=0):
+    """(B, L) ids -> additive (B,1,1,L) mask with -inf at padding."""
+    pad = pdn.unsqueeze(x.eq(padding_idx), (1, 2)).astype(DTYPE)
+    return pad * DTYPE(-1e9)
+
+
+class SelfAttention(nn.Module):
+
+    def __init__(self, embed_size, heads):
+        super().__init__()
+        self.embed_size = embed_size
+        self.heads = heads
+        self.head_dim = embed_size // heads
+        assert self.head_dim * heads == embed_size
+        for name in "QKVO":
+            setattr(self, name,
+                    nn.Linear(embed_size, embed_size, bias=False,
+                              dtype=DTYPE))
+
+    def forward(self, values, keys, query, mask):
+        N, L, _ = query.shape
+        shape = (N, L, self.heads, self.head_dim)
+        xq = self.Q(query).reshape(shape)
+        xk = self.K(keys).reshape(shape)
+        xv = self.V(values).reshape(shape)
+
+        import jax
+        import jax.numpy as jnp
+        scale = 1.0 / self.head_dim**0.5
+
+        def sdpa(q, k, v, m):
+            s = jnp.einsum("blhd,bmhd->bhlm", q, k) * scale + m
+            return jnp.einsum("bhlm,bmhd->blhd",
+                              jax.nn.softmax(s, axis=-1), v)
+
+        out = pdn.wrap_pure(sdpa, xq, xk, xv, mask)
+        return self.O(out.reshape(N, L, -1))
+
+
+class TransformerBlock(nn.Module):
+
+    def __init__(self, embed_size, heads, dropout, forward_expansion):
+        super().__init__()
+        self.attention = SelfAttention(embed_size, heads)
+        self.norm1 = nn.LayerNorm(embed_size, dtype=DTYPE)
+        self.norm2 = nn.LayerNorm(embed_size, dtype=DTYPE)
+        self.feed_forward = nn.Sequential(
+            nn.Linear(embed_size, forward_expansion * embed_size,
+                      dtype=DTYPE),
+            nn.ReLU(),
+            nn.Linear(forward_expansion * embed_size, embed_size,
+                      dtype=DTYPE),
+        )
+
+    def forward(self, value, key, query, mask):
+        attention = self.attention(value, key, query, mask)
+        x = self.norm1(attention + query)
+        return self.norm2(self.feed_forward(x) + x)
+
+
+class Transformer(nn.Module):
+
+    def __init__(self, embed_size, num_layers, heads, forward_expansion,
+                 dropout, vocab_size, max_length):
+        super().__init__()
+        self.embed_size = embed_size
+        self.word_embedding = nn.Embedding(vocab_size, embed_size,
+                                           padding_idx=0, dtype=DTYPE)
+        self.position_embedding = nn.Parameter(
+            sinusoidal_positional_encoding(max_length, embed_size), False)
+        self.layers = nn.ModuleList([
+            TransformerBlock(embed_size, heads, dropout, forward_expansion)
+            for _ in range(num_layers)
+        ])
+        self.fc_out = nn.Linear(embed_size, 1, dtype=DTYPE)
+
+    def forward(self, x, mask):
+        out = self.word_embedding(x) + self.position_embedding
+        for layer in self.layers:
+            out = layer(out, out, out, mask)
+        return self.fc_out(out[:, 0, :])
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--epochs", type=int, default=10)
+    parser.add_argument("--lr", type=float, default=5e-4)
+    parser.add_argument("--batch-size", type=int, default=128)
+    parser.add_argument("--data", type=str,
+                        default="examples/data/CoLA/tokenized")
+    args = parser.parse_args(argv)
+
+    np.random.seed(42)
+    pdn.manual_seed(42)
+
+    data = load_cola(args.data)
+    if data is None:
+        print("CoLA tsv not found -> synthetic CoLA-shaped data")
+        data = synthetic_cola()
+    X, y = data
+    y = y.astype(np.float64)
+    y[y == 0] = -1
+
+    cut = int(0.8 * len(X))
+    perm = np.random.permutation(len(X))
+    train_X, test_X = X[perm[:cut]], X[perm[cut:]]
+    train_y, test_y = y[perm[:cut]], y[perm[cut:]]
+
+    device = "cuda" if pdn.cuda.is_available() else "cpu"
+    dev = pdn.Device(device)
+    vocab_size = int(X.max()) + 1
+    net = Transformer(embed_size=512, num_layers=1, heads=4,
+                      forward_expansion=2, dropout=0.0,
+                      vocab_size=vocab_size, max_length=X.shape[1]).to(device)
+    optimizer = Adam(net.parameters(), lr=args.lr)
+
+    def train_step(bx, by, mask):
+        score = pdn.tanh(net(bx, mask)).reshape(-1)
+        loss = pdn.mean(pdn.square(score - by))
+        optimizer.zero_grad()
+        loss.backward()
+        optimizer.step()
+        return loss
+
+    def eval_step(bx, mask):
+        return pdn.tanh(net(bx, mask)).reshape(-1)
+
+    jtrain = pdn.jit(train_step, state=(net, optimizer))
+    jeval = pdn.jit(eval_step, state=(net,))
+
+    loader = data_loader(train_X, train_y, args.batch_size, shuffle=True)
+    for epoch in range(args.epochs):
+        net.train()
+        for bx, by in loader:
+            tbx = pdn.Tensor(bx, device=dev)
+            mask = construct_mask(tbx)
+            loss = jtrain(tbx, pdn.Tensor(by.astype(DTYPE), device=dev),
+                          mask)
+        net.eval()
+        with pdn.no_grad():
+            tb = pdn.Tensor(test_X, device=dev)
+            score = jeval(tb, construct_mask(tb)).numpy()
+        acc = float((np.sign(score) == test_y).mean())
+        print(f"epoch {epoch:2d}: loss={loss.item():.4f} test_acc={acc:.4f}")
+    return acc
+
+
+if __name__ == "__main__":
+    main()

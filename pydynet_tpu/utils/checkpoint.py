@@ -1,0 +1,68 @@
+"""Checkpointing.
+
+The reference checkpoints only trainable weights by dotted name
+(llm/llama/io.py:42-57); this extends the same npz + dotted-name format to
+full training state: module parameters AND buffers, optimizer moments, the
+step counter, and the learning rate — enough for exact train resumption.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..core.tensor import Tensor
+
+
+def state_dict(module) -> dict:
+    """All registered parameters/buffers by dotted name -> numpy."""
+    return {name: p.numpy() for name, p in module._parameters.items()}
+
+
+def load_state_dict(module, state: dict, strict: bool = True):
+    missing = []
+    for name, param in module._parameters.items():
+        if name in state:
+            param.data = np.asarray(state[name])
+        elif strict:
+            missing.append(name)
+    if missing:
+        raise KeyError(f"missing parameters in state dict: {missing[:5]}...")
+    return module
+
+
+def save_checkpoint(path: str, module, optimizer=None, step: int = None,
+                    extra: dict = None):
+    blob = {f"model.{k}": v for k, v in state_dict(module).items()}
+    if optimizer is not None:
+        blob["opt.lr"] = np.asarray(optimizer.lr)
+        for buf_name in ("v", "m", "G"):
+            bufs = getattr(optimizer, buf_name, None)
+            if isinstance(bufs, list):
+                for i, b in enumerate(bufs):
+                    blob[f"opt.{buf_name}.{i}"] = b.numpy()
+        if hasattr(optimizer, "_t_tensor"):
+            blob["opt.t"] = optimizer._t_tensor.numpy()
+    if step is not None:
+        blob["step"] = np.asarray(step)
+    for k, v in (extra or {}).items():
+        blob[f"extra.{k}"] = np.asarray(v)
+    np.savez(path, **blob)
+
+
+def load_checkpoint(path: str, module, optimizer=None):
+    blob = np.load(path)
+    model_state = {k[len("model."):]: blob[k] for k in blob.files
+                   if k.startswith("model.")}
+    load_state_dict(module, model_state, strict=False)
+    if optimizer is not None:
+        if "opt.lr" in blob.files:
+            optimizer.lr = float(blob["opt.lr"])
+        for buf_name in ("v", "m", "G"):
+            bufs = getattr(optimizer, buf_name, None)
+            if isinstance(bufs, list):
+                for i, b in enumerate(bufs):
+                    key = f"opt.{buf_name}.{i}"
+                    if key in blob.files:
+                        b.data = blob[key]
+        if hasattr(optimizer, "_t_tensor") and "opt.t" in blob.files:
+            optimizer._t_tensor.data = blob["opt.t"]
+    return int(blob["step"]) if "step" in blob.files else None

@@ -1,0 +1,106 @@
+"""utils (checkpoint/debug/profiler) + example smoke tests (CPU, tiny)."""
+import sys
+
+import numpy as np
+import pytest
+
+import pydynet_tpu as pdn
+from pydynet_tpu import nn, optim, utils
+
+
+def test_checkpoint_roundtrip_with_optimizer(tmp_path):
+    net = nn.Sequential(nn.Linear(4, 8), nn.Tanh(), nn.Linear(8, 2))
+    opt = optim.Adam(net.parameters(), lr=1e-2)
+
+    def step(x, y):
+        opt.zero_grad()
+        loss = pdn.nn.functional.mse_loss(net(x), y)
+        loss.backward()
+        opt.step()
+        return loss
+
+    js = pdn.jit(step, state=(net, opt))
+    x, y = pdn.Tensor(np.random.randn(8, 4)), pdn.Tensor(np.random.randn(8, 2))
+    for _ in range(5):
+        js(x, y)
+
+    path = str(tmp_path / "ckpt.npz")
+    utils.save_checkpoint(path, net, opt, step=5)
+
+    np.random.seed(99)
+    net2 = nn.Sequential(nn.Linear(4, 8), nn.Tanh(), nn.Linear(8, 2))
+    opt2 = optim.Adam(net2.parameters(), lr=5e-1)
+    step_restored = utils.load_checkpoint(path, net2, opt2)
+    assert step_restored == 5
+    assert np.isclose(opt2.lr, 1e-2)
+    assert np.isclose(opt2.t, opt.t)
+    for (n1, p1), (n2, p2) in zip(net._parameters.items(),
+                                  net2._parameters.items()):
+        assert np.allclose(p1.numpy(), p2.numpy()), n1
+    for m1, m2 in zip(opt.m, opt2.m):
+        assert np.allclose(m1.numpy(), m2.numpy())
+
+    # identical continued trajectories
+    js2 = pdn.jit(step, state=(net, opt))
+    l1 = js2(x, y)
+
+    def step2(x, y):
+        opt2.zero_grad()
+        loss = pdn.nn.functional.mse_loss(net2(x), y)
+        loss.backward()
+        opt2.step()
+        return loss
+
+    l2 = pdn.jit(step2, state=(net2, opt2))(x, y)
+    assert np.allclose(l1.numpy(), l2.numpy(), atol=1e-7)
+
+
+def test_state_dict_strict_missing():
+    net = nn.Linear(2, 2)
+    with pytest.raises(KeyError):
+        utils.load_state_dict(net, {}, strict=True)
+
+
+def test_check_finite():
+    net = nn.Linear(2, 2)
+    assert utils.check_finite(net) == []
+    net.weight.data[0, 0] = np.nan
+    with pytest.raises(FloatingPointError):
+        utils.check_finite(net)
+    assert utils.check_finite(net, raise_on_fail=False) == ["weight"]
+
+
+def test_step_timer_report():
+    t = utils.StepTimer()
+    t.step(100)
+    rep = t.report("tokens")
+    assert "Token" in rep and "tokens/s" in rep
+
+
+def test_example_autograd1d():
+    from examples.pydynet.autograd1d import main
+    assert main() < 1e-6
+
+
+def test_example_autograd2d():
+    from examples.pydynet.autograd2d import main
+    traj = main(n_iter=40)
+    assert np.allclose(traj[-1], [3.0, -1.0], atol=1e-2)
+
+
+def test_example_ts_prediction_quick():
+    from examples.pydynet.ts_prediction import main
+    assert main(epochs=8) < 0.7
+
+
+def test_example_mnist_mlp_quick(capsys):
+    from examples.pydynet import mnist
+    acc = mnist.main(["--network", "mlp", "--epochs", "2", "--synthetic",
+                      "--batch-size", "512", "--lr", "1e-3", "--no-cuda"])
+    assert acc > 0.5
+
+
+def test_example_transformer_quick():
+    from examples.pydynet.transformer import main
+    acc = main(["--epochs", "2", "--batch-size", "256"])
+    assert 0.0 <= acc <= 1.0
