@@ -139,6 +139,12 @@ class Attention(nn.Module):
             xk = self.cache_k[:B, :start_pos + L]
             xv = self.cache_v[:B, :start_pos + L]
 
+        if self._train and mask is not None and start_pos == 0:
+            # training path: pure causal -> Pallas flash attention
+            # (O(L) memory blockwise softmax) with custom VJP
+            out = F.scaled_dot_product_attention(xq, xk, xv, causal=True)
+            return self.O(out.reshape(B, L, -1))
+
         # fused scaled-dot-product attention: ONE tape node, XLA/MXU inside
         scale = 1.0 / math.sqrt(self.head_dim)
         if mask is not None:

@@ -85,6 +85,25 @@ def log_softmax(x: Tensor, axis=None, keepdims: bool = False) -> Tensor:
         tensor.sum(tensor.exp(x_sub_max), axis=axis, keepdims=keepdims))
 
 
+def scaled_dot_product_attention(q: Tensor, k: Tensor, v: Tensor, mask=None,
+                                 causal: bool = False) -> Tensor:
+    """Fused attention over (B, L, H, d) operands as ONE tape node.
+
+    ``causal=True`` routes to the Pallas blockwise flash kernel (O(L) memory
+    streaming over K/V) with its custom VJP; otherwise an XLA einsum-softmax
+    composite with optional additive ``mask``.
+    """
+    from ..ops import flash_attention as fa
+
+    if causal and mask is None:
+        return wrap_pure(lambda a, b, c: fa.flash_attention_causal(a, b, c),
+                         q, k, v)
+    if mask is not None:
+        return wrap_pure(lambda a, b, c, m: fa.mha_reference(a, b, c, m),
+                         q, k, v, mask)
+    return wrap_pure(lambda a, b, c: fa.mha_reference(a, b, c), q, k, v)
+
+
 # ===================================================================== #
 #                conv / pool — single-node XLA kernels                   #
 # ===================================================================== #

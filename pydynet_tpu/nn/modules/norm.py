@@ -47,6 +47,27 @@ class _BatchNorm(Module):
 
     def forward(self, x):
         if self._train:
+            if self._axes == 0 and x.ndim == 2 and x.device.kind == "accel":
+                # fused single-kernel Pallas path (norm + both reductions +
+                # batch-stat outputs in one launch)
+                from ...ops import batchnorm as _bn
+                eps = self.eps
+
+                def fused(xd, g, b):
+                    return _bn.batch_norm_train(xd, g.reshape(1, -1),
+                                                b.reshape(1, -1), eps)
+
+                out, mean, var = core.wrap_pure(fused, x, self.scale,
+                                                self.shift)
+                stat_shape = self.running_mean.shape
+                self.running_mean *= (1 - self.momentum)
+                self.running_mean += (self.momentum *
+                                      mean._data.reshape(stat_shape))
+                self.running_var *= (1 - self.momentum)
+                self.running_var += (self.momentum *
+                                     var._data.reshape(stat_shape))
+                return out
+
             mean = x.mean(self._axes, keepdims=self._keepdims)
             center = x - mean
             var = core.mean(core.square(center), self._axes,

@@ -98,20 +98,56 @@ def _fa_forward(q, k, v, scale, causal, block_q, block_k, interpret):
     )(q, k, v)
 
 
+def _causal_mask(L, dtype=jnp.float32):
+    return jnp.where(
+        jnp.arange(L)[:, None] >= jnp.arange(L)[None, :], 0.0,
+        -jnp.inf).astype(dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def flash_attention_causal(q, k, v, scale=None, block_q=128, block_k=128,
                            interpret=False):
-    """Causal flash attention, (B, L, H, d) layout; Pallas blockwise-softmax
-    forward.  Falls back to the XLA reference when L doesn't tile."""
+    """Causal flash attention, (B, L, H, d) layout.
+
+    Forward: Pallas blockwise-softmax kernel (O(L) memory, streams K/V).
+    Backward (custom VJP): the standard softmax-attention gradient computed
+    with XLA einsums, recomputing the probabilities — memory equals the
+    non-flash training path, compute stays on the MXU; a blockwise Pallas
+    backward is the follow-up optimization.
+    Falls back to the XLA reference forward when L doesn't tile.
+    """
     B, L, H, d = q.shape
     if scale is None:
         scale = 1.0 / math.sqrt(d)
     if L % block_q or L % block_k or L < block_q:
-        mask = jnp.where(
-            jnp.arange(L)[:, None] >= jnp.arange(L)[None, :], 0.0,
-            -jnp.inf).astype(jnp.float32)
-        return mha_reference(q, k, v, mask, scale)
+        return mha_reference(q, k, v, _causal_mask(L), scale)
     qt = q.transpose(0, 2, 1, 3).reshape(B * H, L, d)
     kt = k.transpose(0, 2, 1, 3).reshape(B * H, L, d)
     vt = v.transpose(0, 2, 1, 3).reshape(B * H, L, d)
     o = _fa_forward(qt, kt, vt, scale, True, block_q, block_k, interpret)
     return o.reshape(B, H, L, d).transpose(0, 2, 1, 3)
+
+
+def _fa_fwd(q, k, v, scale, block_q, block_k, interpret):
+    out = flash_attention_causal(q, k, v, scale, block_q, block_k, interpret)
+    return out, (q, k, v)
+
+
+def _fa_bwd(scale, block_q, block_k, interpret, res, do):
+    q, k, v = res
+    L, d = q.shape[1], q.shape[3]
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    s = jnp.einsum("blhd,bmhd->bhlm", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    p = jax.nn.softmax(s + _causal_mask(L), axis=-1)
+    do32 = do.astype(jnp.float32)
+    dv = jnp.einsum("bhlm,blhd->bmhd", p, do32)
+    dp = jnp.einsum("blhd,bmhd->bhlm", do32, v.astype(jnp.float32))
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jnp.einsum("bhlm,bmhd->blhd", ds, k.astype(jnp.float32)) * scale
+    dk = jnp.einsum("bhlm,blhd->bmhd", ds, q.astype(jnp.float32)) * scale
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+flash_attention_causal.defvjp(_fa_fwd, _fa_bwd)

@@ -133,3 +133,85 @@ def test_flash_attention_fallback_small_seq():
     q = jnp.asarray(rng.standard_normal((1, 7, 2, 16)), jnp.float32)
     out = fa.flash_attention_causal(q, q, q)
     assert out.shape == (1, 7, 2, 16)
+
+
+def test_flash_attention_custom_vjp_matches_reference_grads():
+    rng = np.random.default_rng(1)
+    B, L, H, d = 1, 256, 2, 32
+    q = jnp.asarray(rng.standard_normal((B, L, H, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, L, H, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, L, H, d)), jnp.float32)
+    mask = jnp.where(
+        jnp.arange(L)[:, None] >= jnp.arange(L)[None, :], 0.0, -jnp.inf)
+
+    def f_flash(q, k, v):
+        return fa.flash_attention_causal(q, k, v, None, 128, 128,
+                                         True).sum()
+
+    def f_ref(q, k, v):
+        return fa.mha_reference(q, k, v, mask).sum()
+
+    g_flash = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    for gf, gr in zip(g_flash, g_ref):
+        assert np.allclose(gf, gr, atol=2e-4), np.abs(gf - gr).max()
+
+
+def test_sdpa_functional_tape_node():
+    import pydynet_tpu as pdn
+    import pydynet_tpu.nn.functional as F
+
+    rng = np.random.default_rng(0)
+    q = pdn.Tensor(rng.standard_normal((1, 8, 2, 4)), requires_grad=True)
+    k = pdn.Tensor(rng.standard_normal((1, 8, 2, 4)), requires_grad=True)
+    v = pdn.Tensor(rng.standard_normal((1, 8, 2, 4)), requires_grad=True)
+    out = F.scaled_dot_product_attention(q, k, v, causal=True)
+    assert out.shape == (1, 8, 2, 4)
+    out.sum().backward()
+    for t in (q, k, v):
+        assert np.isfinite(np.asarray(t.grad)).all()
+    # causality through the fallback path
+    q2 = q.numpy().copy()
+    q2[0, 3] += 5
+    with pdn.no_grad():
+        o1 = F.scaled_dot_product_attention(q, k, v, causal=True)
+        o2 = F.scaled_dot_product_attention(pdn.Tensor(q2), k, v,
+                                            causal=True)
+    assert np.allclose(o1.numpy()[0, :3], o2.numpy()[0, :3], atol=1e-6)
+
+
+def test_fused_batchnorm_matches_composite():
+    from pydynet_tpu.ops import batchnorm as bn
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((32, 128)) * 3 + 1, jnp.float32)
+    g = jnp.asarray(rng.standard_normal((1, 128)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((1, 128)), jnp.float32)
+    out, mean, var = bn.batch_norm_train(x, g, b, 1e-6, True)
+    w_out, w_mean, w_var = bn._bn_composite(x, g, b, 1e-6)
+    assert np.allclose(out, w_out, atol=1e-5)
+    assert np.allclose(mean, w_mean, atol=1e-6)
+    assert np.allclose(var, w_var, atol=1e-5)
+
+
+def test_fused_batchnorm_grads_match_composite():
+    from pydynet_tpu.ops import batchnorm as bn
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((16, 128)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((1, 128)) + 1, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((1, 128)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((16, 128)), jnp.float32)
+
+    def f_fused(x, g, b):
+        out, _, _ = bn.batch_norm_train(x, g, b, 1e-6, True)
+        return jnp.sum(out * w)
+
+    def f_ref(x, g, b):
+        out, _, _ = bn._bn_composite(x, g, b, 1e-6)
+        return jnp.sum(out * w)
+
+    gf = jax.grad(f_fused, argnums=(0, 1, 2))(x, g, b)
+    gr = jax.grad(f_ref, argnums=(0, 1, 2))(x, g, b)
+    for a, r in zip(gf, gr):
+        assert np.allclose(a, r, atol=1e-4), np.abs(a - r).max()
