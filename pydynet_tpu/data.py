@@ -87,19 +87,56 @@ class _DataLoaderIter:
         return self
 
 
+class _PrefetchIter:
+    """Background-thread prefetch: batch assembly (NumPy fancy-indexing,
+    which releases the GIL) overlaps the accelerator step."""
+
+    _DONE = object()
+
+    def __init__(self, loader, depth: int) -> None:
+        import queue
+        import threading
+
+        self._q = queue.Queue(maxsize=depth)
+        inner = _DataLoaderIter(loader)
+
+        def worker():
+            try:
+                for batch in inner:
+                    self._q.put(batch)
+            finally:
+                self._q.put(self._DONE)
+
+        self._thread = threading.Thread(target=worker, daemon=True)
+        self._thread.start()
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._DONE:
+            raise StopIteration
+        return item
+
+    def __iter__(self):
+        return self
+
+
 class DataLoader:
 
     def __init__(self, dataset: Dataset, batch_size: int = 1,
-                 shuffle: bool = False, drop_last: bool = False) -> None:
+                 shuffle: bool = False, drop_last: bool = False,
+                 prefetch: int = 0) -> None:
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
+        self.prefetch = prefetch
         self.sampler = (RandomSampler if shuffle else
                         SequentialSampler)(dataset)
         self.batch_sampler = BatchSampler(self.sampler, batch_size, drop_last)
 
     def __iter__(self):
+        if self.prefetch > 0:
+            return _PrefetchIter(self, self.prefetch)
         return _DataLoaderIter(self)
 
     def __len__(self):

@@ -32,12 +32,27 @@ class Tokenizer:
         for i, tok in enumerate(self.vocab):
             # first occurrence wins, matching list.index semantics
             self._index.setdefault(tok, i)
+        # native C++ merge engine (pydynet_tpu/native/tokenizer.cpp);
+        # None -> pure-Python fallback below
+        try:
+            from ...native import NativeVocab
+            self._native = NativeVocab.create(self.vocab, self.scores)
+        except Exception:
+            self._native = None
 
     def str_lookup(self, token: str) -> int:
         return self._index.get(token, -1)
 
     def encode(self, text: str, add_bos: bool = True,
                add_eos: bool = False) -> List[int]:
+        if self._native is not None:
+            tokens = self._native.encode(text)
+            if add_bos:
+                tokens.insert(0, self.bos_id)
+            if add_eos:
+                tokens.append(self.eos_id)
+            return tokens
+
         tokens = []
         for char in text:
             idx = self.str_lookup(char)

@@ -104,3 +104,16 @@ def test_example_transformer_quick():
     from examples.pydynet.transformer import main
     acc = main(["--epochs", "2", "--batch-size", "256"])
     assert 0.0 <= acc <= 1.0
+
+
+def test_dataloader_prefetch_matches_sequential():
+    from pydynet_tpu.data import data_loader
+
+    X = np.arange(100).reshape(50, 2)
+    y = np.arange(50)
+    a = [by.tolist() for _, by in
+         data_loader(X, y, batch_size=8)]
+    loader = data_loader(X, y, batch_size=8)
+    loader.prefetch = 4
+    b = [by.tolist() for _, by in loader]
+    assert a == b
