@@ -74,10 +74,17 @@ def _is_dynamic_leaf(x) -> bool:
 
 
 class _JitFunction:
-    def __init__(self, fn, state: Iterable = (), donate_state: bool = True):
+    def __init__(self, fn, state: Iterable = (), donate_state: bool = True,
+                 mesh=None, batch_axis: str = "dp"):
         self._fn = fn
         self._state_tensors, self._state_flexible = _collect_state(state)
         self._out_template = None  # Tensor-position mask of the output pytree
+        self._mesh = mesh
+        self._batch_axis = batch_axis
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            self._rep_sharding = NamedSharding(mesh, P())
+            self._batch_sharding = NamedSharding(mesh, P(batch_axis))
         donate = (0,) if donate_state else ()
         self._compiled = jax.jit(self._pure, static_argnums=(2, 3),
                                  donate_argnums=donate)
@@ -133,7 +140,15 @@ class _JitFunction:
                 if isinstance(a, Tensor):
                     target = a.device.jax_device
                     break
-        if target is not None:
+        if self._mesh is not None:
+            # data-parallel SPMD: replicate state over the mesh once (later
+            # calls see already-sharded outputs and the put is a no-op)
+            for i, v in enumerate(state_vals):
+                if isinstance(v, jax.Array) \
+                        and v.sharding != self._rep_sharding:
+                    state_vals[i] = jax.device_put(v, self._rep_sharding)
+            target = None
+        elif target is not None:
             for i, v in enumerate(state_vals):
                 if isinstance(v, jax.Array) and v.committed \
                         and v.devices() != {target}:
@@ -152,7 +167,10 @@ class _JitFunction:
                     # the computation runs on the state's device; move arg
                     # tensors there and tag them so device checks pass
                     val = leaf._data
-                    if target is not None and isinstance(val, jax.Array) \
+                    if self._mesh is not None and val.ndim >= 1:
+                        # shard the leading (batch) dim over the mesh
+                        val = jax.device_put(val, self._batch_sharding)
+                    elif target is not None and isinstance(val, jax.Array) \
                             and val.committed and val.devices() != {target}:
                         val = jax.device_put(val, target)
                     dyn_leaves.append(val)
@@ -196,9 +214,19 @@ class _JitFunction:
         return jax.tree.unflatten(out_tree, wrapped)
 
 
-def jit(fn=None, *, state: Any = (), donate_state: bool = True):
-    """Compile an imperative step function; see module docstring."""
+def jit(fn=None, *, state: Any = (), donate_state: bool = True, mesh=None,
+        batch_axis: str = "dp"):
+    """Compile an imperative step function; see module docstring.
+
+    With ``mesh`` (a jax.sharding.Mesh), the step runs data-parallel SPMD:
+    module/optimizer state is replicated across the mesh, tensor arguments
+    are sharded on their leading (batch) dimension over ``batch_axis``, and
+    GSPMD inserts the gradient all-reduce — the multi-chip upgrade of the
+    reference's single-device training loop with zero changes to the step
+    function.
+    """
+    kwargs = dict(state=state, donate_state=donate_state, mesh=mesh,
+                  batch_axis=batch_axis)
     if fn is None:
-        return lambda f: _JitFunction(f, state=state,
-                                      donate_state=donate_state)
-    return _JitFunction(fn, state=state, donate_state=donate_state)
+        return lambda f: _JitFunction(f, **kwargs)
+    return _JitFunction(fn, **kwargs)
