@@ -173,3 +173,21 @@ def test_rotary_cache_values():
     inv = 1.0 / (10000 ** (np.arange(0, 8, 2) / 8))
     want = np.cos(np.outer(np.arange(16), inv))
     assert np.allclose(cos.numpy(), want)
+
+
+def test_generate_batch_gt1_xla_path():
+    model = tiny_model()
+    model.eval()
+    ids = np.array([[1, 5, 9], [1, 7, 2]])  # B=2 -> XLA decode path
+    with pdn.no_grad():
+        toks = [t.numpy() for t in model.generate(ids, 12, chunk=4)]
+    assert len(toks) == 12 - 3
+    assert all(t.shape == (2, 1) for t in toks)
+    # each row must equal the corresponding single-prompt decode
+    for b in range(2):
+        m2 = tiny_model()
+        m2.eval()
+        with pdn.no_grad():
+            single = [int(t.numpy()[0, 0])
+                      for t in m2.generate(ids[b:b + 1], 12, chunk=4)]
+        assert [int(t[b, 0]) for t in toks] == single

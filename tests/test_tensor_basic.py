@@ -146,3 +146,26 @@ def test_setitem_and_data_proxy():
     # x.data -= y style rebinding
     t.data -= 1.0
     assert t.numpy()[1, 0] == 0.0
+
+
+def test_boolean_mask_setitem():
+    # the reference transformer example does mask[mask.eq(1)] = -inf
+    t = pdn.Tensor(np.array([[0.0, 1.0], [1.0, 0.0]]))
+    t[t.eq(1)] = np.float64("-inf")
+    assert np.array_equal(np.isinf(t.numpy()),
+                          [[False, True], [True, False]])
+
+
+def test_negative_step_slice_and_grad():
+    x = pdn.Tensor(np.arange(5, dtype=np.float64), requires_grad=True)
+    y = x[::-1]
+    assert np.array_equal(y.numpy(), [4, 3, 2, 1, 0])
+    (y * pdn.Tensor(np.array([1.0, 0, 0, 0, 2]))).sum().backward()
+    assert np.array_equal(x.grad, [2, 0, 0, 0, 1])
+
+
+def test_getitem_with_none_and_ellipsis():
+    x = pdn.Tensor(np.arange(6, dtype=np.float64).reshape(2, 3))
+    assert x[None].shape == (1, 2, 3)
+    assert x[..., 0].shape == (2,)
+    assert x[:, [2, 0]].numpy().tolist() == [[2, 0], [5, 3]]
