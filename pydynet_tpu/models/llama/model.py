@@ -519,10 +519,10 @@ class Llama(nn.Module):
             if self._fused_chunk_fn is None:
                 self._fused_chunk_fn = self._make_fused_decode_fns()
             decode_chunk = self._fused_chunk_fn
-        yield Tensor(np.asarray(tok)[:, None], device=cpu)
 
         total = max_new_tokens  # reference: total-length bound
         pos = L
+        first_tok = tok  # prefill result: synced after the first decode
         pending = None  # device tokens not yet read back: (toks, keep)
         while pos + 1 < total:
             # fixed-size scan every time -> exactly one compiled executable;
@@ -536,6 +536,11 @@ class Llama(nn.Module):
                 toks.copy_to_host_async()
             except Exception:
                 pass
+            if first_tok is not None:
+                # first yield happens only now, with the decode chunk
+                # already in flight behind it on-device
+                yield Tensor(np.asarray(first_tok)[:, None], device=cpu)
+                first_tok = None
             if pending is not None:
                 p_toks, p_keep = pending
                 for row in np.asarray(p_toks)[:p_keep]:
@@ -543,6 +548,8 @@ class Llama(nn.Module):
                     # would cost ~1ms each through the tunnel
                     yield Tensor(row[:, None], device=cpu)
             pending = (toks, keep)
+        if first_tok is not None:  # prompt already at total-1: no decode ran
+            yield Tensor(np.asarray(first_tok)[:, None], device=cpu)
         if pending is not None:
             p_toks, p_keep = pending
             for row in np.asarray(p_toks)[:p_keep]:
