@@ -53,6 +53,15 @@ class Module:
     def named_parameters(self):
         yield from self._parameters.items()
 
+    def state_dict(self):
+        """Dotted-name -> numpy snapshot of all parameters and buffers."""
+        from ...utils.checkpoint import state_dict
+        return state_dict(self)
+
+    def load_state_dict(self, state, strict: bool = True):
+        from ...utils.checkpoint import load_state_dict
+        return load_state_dict(self, state, strict=strict)
+
     def _state_tensors(self):
         return list(self._parameters.values())
 

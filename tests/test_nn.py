@@ -305,3 +305,14 @@ def test_module_to_device_noop_cpu():
     net = nn.Linear(3, 3)
     net.to("cpu")
     assert net.device == pdn.Device("cpu")
+
+
+def test_module_state_dict_methods():
+    net = nn.Sequential(nn.Linear(3, 4), nn.ReLU(), nn.Linear(4, 2))
+    sd = net.state_dict()
+    assert "0.weight" in sd and "2.bias" in sd
+    np.random.seed(123)
+    net2 = nn.Sequential(nn.Linear(3, 4), nn.ReLU(), nn.Linear(4, 2))
+    net2.load_state_dict(sd)
+    for n, p in net._parameters.items():
+        assert np.allclose(p.numpy(), net2._parameters[n].numpy()), n
