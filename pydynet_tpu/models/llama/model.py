@@ -390,6 +390,8 @@ class Llama(nn.Module):
                 + weights["head_b"].astype(jnp.float32)
             return jnp.argmax(logits, axis=-1).astype(tokens.dtype), ck, cv
 
+        self._xla_forward_tokens = forward_tokens
+
         @jax.jit
         def prefill(weights, ck, cv, tokens, pos):
             return forward_tokens(weights, ck, cv, tokens, pos)
@@ -471,7 +473,27 @@ class Llama(nn.Module):
                 step, (ck, cv, last_tok, pos), None, length=n_steps)
             return ck, cv, toks
 
-        return decode_chunk
+        forward_tokens = self._xla_forward_tokens
+        N, S = self.n_layers, self.max_seq_len
+        H, hd, D = self.n_heads, self.head_dim, self.embed_dim
+
+        @partial(jax.jit, static_argnames=("n_steps",))
+        def prefill_decode(weights, prompt, n_steps):
+            """Whole sequence in ONE dispatch: allocate caches, prefill the
+            prompt (XLA path), then the fused-kernel decode scan.  Returns
+            (1+n_steps, B) tokens including the prefill token."""
+            B = prompt.shape[0]
+            dt = weights["tok"].dtype
+            ck5 = jnp.zeros((N, B, S, H, hd), dt)
+            cv5 = jnp.zeros((N, B, S, H, hd), dt)
+            tok, ck5, cv5 = forward_tokens(weights, ck5, cv5, prompt, 0)
+            ck = ck5.reshape(N, S, D)
+            cv = cv5.reshape(N, S, D)
+            ck, cv, toks = decode_chunk(weights, ck, cv, tok,
+                                        prompt.shape[1], n_steps)
+            return jnp.concatenate([tok[None], toks], axis=0)
+
+        return decode_chunk, prefill_decode
 
     def _empty_caches(self, B, dtype):
         shape = (self.n_layers, B, self.max_seq_len, self.n_heads,
@@ -505,9 +527,25 @@ class Llama(nn.Module):
             weights = (self._fused_weights(dtype) if fused
                        else self._weights(dtype))
             self._weights_cache[key] = weights
-        ck, cv = self._empty_caches(B, weights["tok"].dtype)
 
         cpu = Device("cpu")
+        total = max_new_tokens  # reference: total-length bound
+
+        if fused and self._fused_chunk_fn is None:
+            self._fused_chunk_fn = self._make_fused_decode_fns()
+
+        if fused and 0 < total - L - 1 <= chunk:
+            # whole request in ONE device dispatch: cache alloc + prefill +
+            # fused decode scan, one readback at the end
+            _, prefill_decode = self._fused_chunk_fn
+            toks = prefill_decode(weights,
+                                  jnp.asarray(input_ids, jnp.int32),
+                                  total - L - 1)
+            for row in np.asarray(toks):
+                yield Tensor(row[:, None], device=cpu)
+            return
+
+        ck, cv = self._empty_caches(B, weights["tok"].dtype)
         tok, ck, cv = prefill(weights, ck, cv,
                               jnp.asarray(input_ids, jnp.int32), 0)
         if fused:
@@ -516,11 +554,8 @@ class Llama(nn.Module):
             S, D = self.max_seq_len, self.embed_dim
             ck = ck.reshape(N, S, D)
             cv = cv.reshape(N, S, D)
-            if self._fused_chunk_fn is None:
-                self._fused_chunk_fn = self._make_fused_decode_fns()
-            decode_chunk = self._fused_chunk_fn
+            decode_chunk = self._fused_chunk_fn[0]
 
-        total = max_new_tokens  # reference: total-length bound
         pos = L
         first_tok = tok  # prefill result: synced after the first decode
         pending = None  # device tokens not yet read back: (toks, keep)
