@@ -22,10 +22,13 @@ def mha_reference(q, k, v, mask=None, scale=None):
     """(B, L, H, d) x (B, M, H, d) -> (B, L, H, d), additive mask (L, M)."""
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
+    # accumulate in at least f32 (bf16 inputs), but never BELOW the input
+    # precision (f64 grad-check parity)
+    acc = jnp.promote_types(q.dtype, jnp.float32)
     s = jnp.einsum("blhd,bmhd->bhlm", q, k,
-                   preferred_element_type=jnp.float32) * scale
+                   preferred_element_type=acc) * scale
     if mask is not None:
-        s = s + mask
+        s = s + mask.astype(acc)
     p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
     return jnp.einsum("bhlm,bmhd->blhd", p, v)
 

@@ -191,3 +191,47 @@ def test_generate_batch_gt1_xla_path():
             single = [int(t.numpy()[0, 0])
                       for t in m2.generate(ids[b:b + 1], 12, chunk=4)]
         assert [int(t[b, 0]) for t in toks] == single
+
+
+def test_full_model_grad_check_numerical():
+    """End-to-end grad through embed->blocks->CE vs central differences."""
+    np.random.seed(3)
+    cfg = dict(CFG)
+    cfg.update(embed_dim=8, ffn_dim=12, vocab_size=11, max_seq_len=8,
+               dtype=np.float64)  # f64: central differences need the precision
+    np.random.seed(3)
+    model = Llama(**cfg)
+    model.train(True)
+    inp = np.array([[1, 4, 7]])
+    tgt = pdn.Tensor(np.array([4, 7, 2]))
+    crit = pdn.nn.CrossEntropyLoss()
+
+    def loss_of(model):
+        logits = model.forward_logits(inp)
+        return crit(logits.reshape(3, cfg["vocab_size"]), tgt)
+
+    loss = loss_of(model)
+    loss.backward()
+
+    # numerical check on a handful of entries across depth
+    probes = [
+        ("tok_embedding.weight", (4, 2)),
+        ("layers.0.attention.Q.weight", (1, 3)),
+        ("layers.1.ffn.gate.weight", (2, 5)),
+        ("layers.0.input_norm.weight", (3,)),
+        ("lm_head.weight", (0, 6)),
+        ("norm.weight", (1,)),
+    ]
+    eps = 1e-5
+    for name, idx in probes:
+        p = model._parameters[name]
+        got = float(np.asarray(p.grad)[idx])
+        orig = float(p.numpy()[idx])
+        with pdn.no_grad():
+            p.data[idx] = orig + eps
+            fp = float(loss_of(model).item())
+            p.data[idx] = orig - eps
+            fm = float(loss_of(model).item())
+            p.data[idx] = orig
+        want = (fp - fm) / (2 * eps)
+        assert abs(got - want) < 1e-5, (name, got, want)
