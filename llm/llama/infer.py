@@ -54,6 +54,11 @@ def main(argv=None):
                         default="llm/llama/data/tokenizer.model.np")
     parser.add_argument("--max-new-tokens", type=int, default=1024)
     parser.add_argument("--random-init", action="store_true")
+    parser.add_argument("--dtype", choices=["float32", "bfloat16"],
+                        default="float32",
+                        help="decode compute dtype (bfloat16 ~2x faster)")
+    parser.add_argument("--chunk", type=int, default=None,
+                        help="decode tokens per device dispatch")
     args = parser.parse_args(argv)
 
     tokenizer = Tokenizer(args.tokenizer)
@@ -71,8 +76,15 @@ def main(argv=None):
         input_ids = np.array([tokenizer.encode(args.prompt)])
 
         _, L = input_ids.shape
+        gen_kwargs = {}
+        if args.dtype == "bfloat16":
+            import jax.numpy as jnp
+            gen_kwargs["dtype"] = jnp.bfloat16
+        if args.chunk:
+            gen_kwargs["chunk"] = args.chunk
         start = time.time()
-        for token in model.generate(input_ids, args.max_new_tokens):
+        for token in model.generate(input_ids, args.max_new_tokens,
+                                    **gen_kwargs):
             L += 1
             output_id = token[0].numpy().tolist()
             if output_id[-1] in [tokenizer.eos_id, tokenizer.bos_id]:

@@ -17,6 +17,20 @@ _X64 = os.environ.get("PYDYNET_TPU_X64", "1") != "0"
 if _X64:
     jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: one-shot CLI invocations (infer/finetune)
+# are otherwise dominated by XLA compile time on every run.
+if os.environ.get("PYDYNET_TPU_COMPILE_CACHE", "1") != "0":
+    _cache_dir = os.environ.get(
+        "PYDYNET_TPU_COMPILE_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "pydynet_tpu",
+                     "jax_cache"))
+    try:
+        os.makedirs(_cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
 
 def x64_enabled() -> bool:
     return _X64

@@ -8,3 +8,4 @@ The reference gets its "native" speed implicitly from NumPy/CuPy
 """
 from . import decode_step
 from . import flash_attention
+from . import batchnorm
