@@ -1,0 +1,88 @@
+"""Ring attention: exact attention over sequence-parallel shards.
+
+The reference's attention is a dense O(L^2) single-device softmax over a
+fixed 1024-token window (SURVEY.md §5 "long-context: absent").  This is the
+TPU-native extension path: shard the sequence over a mesh axis (``sp``),
+keep Q resident per device, and rotate K/V blocks around the ring with
+``lax.ppermute`` while accumulating a running-softmax (flash-attention
+style: carry the block max ``m``, denominator ``l``, and weighted
+accumulator) — so attention over N x L_local tokens uses O(L_local) memory
+per chip and the K/V transfers ride the ICI ring, fully overlapped by XLA
+with the local block matmuls.
+
+Causality is handled by block position: ring step s on device i processes
+K/V block j = (i - s) mod n, which is fully visible when j < i, intra-block
+causal when j == i, and fully masked when j > i.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+
+def _local_ring(q, k, v, *, axis_name: str, causal: bool, scale: float):
+    """Per-device body: q/k/v are (B, Lloc, H, d) local shards."""
+    n = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    B, Lloc, H, d = q.shape
+
+    qf = q.astype(jnp.float32) * scale
+    neg = jnp.asarray(-jnp.inf, jnp.float32)
+
+    m0 = jnp.full((B, H, Lloc, 1), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((B, H, Lloc, 1), jnp.float32)
+    acc0 = jnp.zeros((B, H, Lloc, d), jnp.float32)
+
+    perm = [(p, (p + 1) % n) for p in range(n)]
+    tri = (jnp.arange(Lloc)[:, None] >= jnp.arange(Lloc)[None, :])
+
+    def step(carry, s):
+        m, l, acc, kb, vb = carry
+        j = (idx - s) % n
+
+        sblk = jnp.einsum("blhd,bmhd->bhlm", qf,
+                          kb.astype(jnp.float32))  # (B,H,Lloc,Lloc)
+        if causal:
+            allowed = jnp.where(j < idx, True,
+                                jnp.where(j == idx, True, False))
+            blk_mask = jnp.where(j == idx, tri, allowed)
+            sblk = jnp.where(blk_mask[None, None], sblk, neg)
+
+        m_new = jnp.maximum(m, jnp.max(sblk, -1, keepdims=True))
+        # fully-masked rows keep m = -inf; guard the exp shift
+        shift = jnp.where(jnp.isinf(m_new), 0.0, m_new)
+        p = jnp.exp(sblk - shift)
+        p = jnp.where(jnp.isinf(sblk), 0.0, p)
+        alpha = jnp.where(jnp.isinf(m), 0.0, jnp.exp(m - shift))
+        l_new = l * alpha + jnp.sum(p, -1, keepdims=True)
+        acc_new = acc * alpha + jnp.einsum(
+            "bhlm,bmhd->bhld", p, vb.astype(jnp.float32))
+
+        kb = jax.lax.ppermute(kb, axis_name, perm)
+        vb = jax.lax.ppermute(vb, axis_name, perm)
+        return (m_new, l_new, acc_new, kb, vb), None
+
+    (m, l, acc, _, _), _ = jax.lax.scan(step, (m0, l0, acc0, k, v),
+                                        jnp.arange(n))
+    out = acc / jnp.maximum(l, 1e-30)
+    return out.transpose(0, 2, 1, 3).astype(q.dtype)  # (B, Lloc, H, d)
+
+
+def ring_attention(q, k, v, mesh: Mesh, axis_name: str = "sp",
+                   causal: bool = True, scale: float = None):
+    """Exact attention over (B, L, H, d) inputs sequence-sharded on
+    ``axis_name``; returns the output with the same sharding."""
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    spec = P(None, axis_name, None, None)
+    fn = shard_map(
+        functools.partial(_local_ring, axis_name=axis_name, causal=causal,
+                          scale=scale),
+        mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        check_rep=False)
+    return fn(q, k, v)
