@@ -98,12 +98,15 @@ class _PrefetchIter:
         import threading
 
         self._q = queue.Queue(maxsize=depth)
+        self._error = None
         inner = _DataLoaderIter(loader)
 
         def worker():
             try:
                 for batch in inner:
                     self._q.put(batch)
+            except BaseException as e:  # surface in the consumer thread
+                self._error = e
             finally:
                 self._q.put(self._DONE)
 
@@ -113,6 +116,8 @@ class _PrefetchIter:
     def __next__(self):
         item = self._q.get()
         if item is self._DONE:
+            if self._error is not None:
+                raise self._error
             raise StopIteration
         return item
 

@@ -78,7 +78,10 @@ class _JitFunction:
                  mesh=None, batch_axis: str = "dp"):
         self._fn = fn
         self._state_tensors, self._state_flexible = _collect_state(state)
-        self._out_template = None  # Tensor-position mask of the output pytree
+        # output pytree template per trace signature (different static args
+        # may produce different output structures)
+        self._out_templates = {}
+        self._trace_key = None
         self._mesh = mesh
         self._batch_axis = batch_axis
         if mesh is not None:
@@ -112,7 +115,8 @@ class _JitFunction:
         tensor_mask = tuple(isinstance(l, Tensor) for l in out_leaves)
         devices = tuple(l.device if isinstance(l, Tensor) else None
                         for l in out_leaves)
-        self._out_template = (out_tree, tensor_mask, devices)
+        self._out_templates[self._trace_key] = (out_tree, tensor_mask,
+                                                devices)
         raw_out = [l._data if isinstance(l, Tensor) else l
                    for l in out_leaves]
         new_state = [t._data for t in sts]
@@ -182,11 +186,15 @@ class _JitFunction:
             else:
                 static_leaves.append(leaf)
         packed_static = (treedef, tuple(static_leaves), None)
+        dyn_mask = tuple(dyn_mask)
+        trace_key = (tuple((tuple(np.shape(v)), str(getattr(v, "dtype", "")))
+                           for v in dyn_leaves), dyn_mask, packed_static)
+        self._trace_key = trace_key
 
         tape_len = Graph.size()
         try:
             new_state, raw_out = self._compiled(
-                state_vals, dyn_leaves, tuple(dyn_mask), packed_static)
+                state_vals, dyn_leaves, dyn_mask, packed_static)
         except Exception:
             # tracing failed midway: restore concrete state
             for t, v in zip(sts, state_vals):
@@ -206,7 +214,12 @@ class _JitFunction:
             t._data = v
             t._grad = None
 
-        out_tree, tensor_mask, devices = self._out_template
+        template = self._out_templates.get(trace_key)
+        if template is None:
+            # defensive: jax's trace cache can be coarser than our key
+            # (e.g. device-tag-only differences); fall back to the latest
+            template = next(reversed(self._out_templates.values()))
+        out_tree, tensor_mask, devices = template
         wrapped = [
             Tensor._wrap(v, dev, False) if is_t else v
             for v, is_t, dev in zip(raw_out, tensor_mask, devices)

@@ -91,3 +91,35 @@ def test_jit_nested_output_structure():
     out = f(pdn.Tensor(np.ones(2)))
     assert np.allclose(out["y"].data, 2)
     assert np.allclose(out["pair"][1].data, 3)
+
+
+def test_jit_output_structure_per_static_arg():
+    @pdn.jit
+    def f(x, mode):
+        if mode == "pair":
+            return x * 2, x * 3
+        return {"single": x + 1}
+
+    x = pdn.Tensor(np.ones(2))
+    a = f(x, "pair")
+    b = f(x, "single")
+    a2 = f(x, "pair")  # cached executable must use the right template
+    assert isinstance(a, tuple) and isinstance(a2, tuple)
+    assert isinstance(b, dict) and "single" in b
+    assert np.allclose(a2[1].data, 3)
+
+
+def test_prefetch_propagates_worker_errors():
+    from pydynet_tpu.data import DataLoader, Dataset
+
+    class Bad(Dataset):
+        def __getitem__(self, index):
+            raise RuntimeError("boom")
+
+        def __len__(self):
+            return 10
+
+    loader = DataLoader(Bad(), batch_size=2, prefetch=2)
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="boom"):
+        list(iter(loader))
