@@ -1,12 +1,19 @@
-"""LR schedulers (parity with /root/reference/pydynet/optim/lr_scheduler.py).
+"""Learning-rate schedulers.
 
-Schedulers run host-side between compiled steps; because ``Optimizer.lr`` is
-backed by a traced f32 scalar, changing it does NOT recompile the jitted
-train step.
+Same schedules and update formulas as the reference
+(/root/reference/pydynet/optim/lr_scheduler.py:90-160), including its
+recursive multiplicative forms and the one-step-lagged ``_last_lr`` read in
+the cosine schedule, which we reproduce faithfully (see
+tests/test_optim.py::test_scheduler_cosine_annealing).
+
+Structural differences from the reference: our optimizers count their own
+``step()`` calls (optimizer.py), so no method-wrapping machinery is needed;
+and because ``Optimizer.lr`` is backed by a traced f32 scalar, scheduler
+updates never recompile a jitted train step.
 """
-import weakref
+from __future__ import annotations
+
 from collections import Counter
-from functools import wraps
 from math import cos, pi
 from typing import List
 
@@ -14,84 +21,56 @@ from .optimizer import Optimizer
 
 
 class _LRScheduler:
+    """Base: tracks epochs, recomputes ``optimizer.lr`` on each step().
+
+    Construction performs the initial step() (last_epoch -1 -> 0), matching
+    the reference/PyTorch convention.
+    """
 
     def __init__(self, optimizer: Optimizer, last_epoch: int = -1) -> None:
         self.optimizer = optimizer
         self.last_epoch = last_epoch
-
-        if self.last_epoch == -1:
-            self.optimizer.initial_lr = self.optimizer.lr
-        else:
-            assert hasattr(self.optimizer, "initial_lr"), \
-                "last_epoch != -1 but no 'initial_lr' attribute in optimizer!"
-
-        # count optimizer.step() calls via a weakref-based wrapper, like the
-        # reference (lr_scheduler.py:28-55); note that under pydynet_tpu.jit
-        # the Python-level step() runs only at trace time, so this counter
-        # is diagnostic only.
-        def with_counter(method):
-            if getattr(method, "_with_counter", False):
-                return method
-            instance_ref = weakref.ref(method.__self__)
-            func = method.__func__
-            cls = instance_ref().__class__
-            del method
-
-            @wraps(func)
-            def wrapper(*args, **kwargs):
-                instance = instance_ref()
-                instance._step_count += 1
-                wrapped = func.__get__(instance, cls)
-                return wrapped(*args, **kwargs)
-
-            wrapper._with_counter = True
-            return wrapper
-
-        self.optimizer.step = with_counter(self.optimizer.step)
-        self.optimizer._step_count = 0
+        if last_epoch == -1:
+            optimizer.initial_lr = optimizer.lr
+        elif not hasattr(optimizer, "initial_lr"):
+            raise AttributeError(
+                "last_epoch != -1 but optimizer has no 'initial_lr'")
         self._step_count = 0
+        self._get_lr_called_within_step = False
         self.step()
 
-    def step(self):
+    def step(self) -> None:
         self._step_count += 1
-
-        class _enable_get_lr_call:
-            def __init__(self, o):
-                self.o = o
-
-            def __enter__(self):
-                self.o._get_lr_called_within_step = True
-                return self
-
-            def __exit__(self, exc_type, exc_value, traceback):
-                self.o._get_lr_called_within_step = False
-
-        with _enable_get_lr_call(self):
-            self.last_epoch += 1
-            lr = self.get_lr()
-
+        self.last_epoch += 1
+        self._get_lr_called_within_step = True
+        try:
+            new_lr = self.get_lr()
+        finally:
+            self._get_lr_called_within_step = False
         self._last_lr = self.optimizer.lr
-        self.optimizer.lr = lr
+        self.optimizer.lr = new_lr
 
-    def get_lr(self):
+    def get_lr(self) -> float:
         raise NotImplementedError
 
-    def get_last_lr(self):
+    def get_last_lr(self) -> float:
         return self._last_lr
 
 
 class ExponentialLR(_LRScheduler):
+    """lr <- lr * gamma^epoch (recursive reference form)."""
 
     def __init__(self, optimizer: Optimizer, gamma: float = 0.1,
                  last_epoch: int = -1) -> None:
         self.gamma = gamma
         super().__init__(optimizer, last_epoch)
 
-    def get_lr(self):
-        return self.optimizer.lr * self.gamma**self.last_epoch
+    def get_lr(self) -> float:
+        return self.optimizer.lr * self.gamma ** self.last_epoch
 
 
 class StepLR(_LRScheduler):
+    """lr <- lr * gamma^(epoch // step_size)."""
 
     def __init__(self, optimizer: Optimizer, step_size: int,
                  gamma: float = 0.1, last_epoch: int = -1) -> None:
@@ -99,12 +78,13 @@ class StepLR(_LRScheduler):
         self.gamma = gamma
         super().__init__(optimizer, last_epoch)
 
-    def get_lr(self):
-        return self.optimizer.lr * self.gamma**(self.last_epoch //
-                                                self.step_size)
+    def get_lr(self) -> float:
+        return self.optimizer.lr * self.gamma ** (self.last_epoch //
+                                                  self.step_size)
 
 
 class MultiStepLR(_LRScheduler):
+    """Multiply by gamma at each milestone epoch."""
 
     def __init__(self, optimizer: Optimizer, milestones: List[int],
                  gamma: float = 0.1, last_epoch: int = -1) -> None:
@@ -112,13 +92,14 @@ class MultiStepLR(_LRScheduler):
         self.gamma = gamma
         super().__init__(optimizer, last_epoch)
 
-    def get_lr(self):
-        if self.last_epoch not in self.milestones:
-            return self.optimizer.lr
-        return self.optimizer.lr * self.gamma**self.milestones[self.last_epoch]
+    def get_lr(self) -> float:
+        hits = self.milestones.get(self.last_epoch, 0)
+        return self.optimizer.lr * self.gamma ** hits
 
 
 class CosineAnnealingLR(_LRScheduler):
+    """Recursive cosine annealing toward eta_min over T_max epochs, with
+    warm-restart handling at (1 + 2k) * T_max boundaries."""
 
     def __init__(self, optimizer: Optimizer, T_max: int, eta_min: float = 0,
                  last_epoch: int = -1) -> None:
@@ -126,13 +107,13 @@ class CosineAnnealingLR(_LRScheduler):
         self.eta_min = eta_min
         super().__init__(optimizer, last_epoch)
 
-    def get_lr(self):
+    def get_lr(self) -> float:
+        t, T = self.last_epoch, self.T_max
         base_lr = self.optimizer.initial_lr
-        if self.last_epoch == 0:
+        if t == 0:
             return base_lr
-        elif (self.last_epoch - 1 - self.T_max) % (2 * self.T_max) == 0:
+        if (t - 1 - T) % (2 * T) == 0:  # restart boundary
             return self.get_last_lr() + (base_lr - self.eta_min) * (
-                1 - cos(pi / self.T_max)) / 2
-        return (1 + cos(pi * self.last_epoch / self.T_max)) / (
-            1 + cos(pi * (self.last_epoch - 1) / self.T_max)) * (
-                self.get_last_lr() - self.eta_min) + self.eta_min
+                1 - cos(pi / T)) / 2
+        ratio = (1 + cos(pi * t / T)) / (1 + cos(pi * (t - 1) / T))
+        return ratio * (self.get_last_lr() - self.eta_min) + self.eta_min
