@@ -18,6 +18,11 @@ Usage::
 State providers implement ``_state_tensors() -> list[Tensor]`` (Module,
 Optimizer, Generator).  The global default PRNG generator is always included
 so Dropout etc. stay random across compiled steps.
+
+Caveat (inherent to trace-based compilation): Python-level *control flow* is
+baked at trace time — most importantly the train/eval flag.  Compile one
+step per mode (``jtrain`` traced under ``net.train()``, ``jeval`` under
+``net.eval()``) rather than flipping the mode and reusing one compiled step.
 """
 from __future__ import annotations
 

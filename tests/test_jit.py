@@ -123,3 +123,30 @@ def test_prefetch_propagates_worker_errors():
     import pytest as _pytest
     with _pytest.raises(RuntimeError, match="boom"):
         list(iter(loader))
+
+
+def test_batchnorm_running_stats_advance_under_jit():
+    from pydynet_tpu import nn, optim
+
+    net = nn.Sequential(nn.Linear(4, 8), nn.BatchNorm1d(8), nn.Tanh(),
+                        nn.Linear(8, 2))
+    opt = optim.SGD(net.parameters(), lr=0.01, momentum=0.0, nesterov=False)
+    bn = net.module_list[1]
+    rm0 = bn.running_mean.numpy().copy()
+
+    def step(x, y):
+        opt.zero_grad()
+        loss = pdn.nn.functional.mse_loss(net(x), y)
+        loss.backward()
+        opt.step()
+        return loss
+
+    js = pdn.jit(step, state=(net, opt))
+    x = pdn.Tensor(np.random.randn(16, 4) + 3.0)
+    y = pdn.Tensor(np.random.randn(16, 2))
+    js(x, y)
+    rm1 = bn.running_mean.numpy().copy()
+    js(x, y)
+    rm2 = bn.running_mean.numpy().copy()
+    assert not np.allclose(rm0, rm1)
+    assert not np.allclose(rm1, rm2)  # keeps advancing across compiled calls
