@@ -71,8 +71,11 @@ def main(argv=None):
 
     start = time.time()
     for step in range(1, args.steps + 1):
-        loss = model.finetune_step(input_ids, target_ids, optimizer)
-        if step == 1 or step % 5 == 0 or step == args.steps:
+        do_print = step == 1 or step % 5 == 0 or step == args.steps
+        # sync (one host round trip) only on steps we print
+        loss = model.finetune_step(input_ids, target_ids, optimizer,
+                                   sync=do_print)
+        if do_print:
             print(f"step={step:04d}, loss={loss:.6f}")
 
     elapsed = time.time() - start

@@ -258,10 +258,12 @@ class Llama(nn.Module):
         return trainable_count, frozen_count
 
     def finetune_step(self, input_ids, target_ids, optimizer, criterion=None,
-                      start_pos: int = 0):
+                      start_pos: int = 0, sync: bool = True):
         """One compiled fine-tune step; same signature/semantics as the
         reference (model.py:226-252), but the whole
-        forward+backward+optimizer update is a single XLA program."""
+        forward+backward+optimizer update is a single XLA program.
+        ``sync=False`` returns the loss as a device Tensor without the
+        host round trip (call ``.item()`` when a float is needed)."""
         if criterion is None:
             criterion = nn.CrossEntropyLoss()
         self.train(True)
@@ -282,9 +284,11 @@ class Llama(nn.Module):
         inp = Tensor(np.asarray(input_ids), device=self.device)
         tgt = Tensor(np.asarray(target_ids).reshape(-1), dtype=np.int64,
                      device=self.device)
-        loss = self._ft_step(inp, tgt).item()
+        loss = self._ft_step(inp, tgt)
         self._weights_cache.clear()  # decode must see the updated weights
-        return loss
+        if sync:
+            return loss.item()
+        return loss  # async: device scalar Tensor, no host round trip
 
     # ------------------------ compiled decode path ---------------------- #
     def _weights(self, compute_dtype=None):
