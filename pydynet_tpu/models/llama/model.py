@@ -446,6 +446,13 @@ class Llama(nn.Module):
         })
         return fused
 
+    def _fused_decode_supported(self) -> bool:
+        """Shape constraints of the whole-model Pallas kernel: B=1 decode,
+        8-aligned hidden dims (VPU sublanes), 16-aligned max_seq (bf16 cache
+        row read-modify-write), even head_dim (RoPE pairs)."""
+        return (self.embed_dim % 8 == 0 and self.ffn_dim % 8 == 0
+                and self.max_seq_len % 16 == 0 and self.head_dim % 2 == 0)
+
     def _make_fused_decode_fns(self):
         """decode_chunk built on the whole-model Pallas kernel (B=1)."""
         from ...ops.decode_step import fused_decode_step
@@ -523,8 +530,8 @@ class Llama(nn.Module):
         input_ids = np.asarray(input_ids)
         B, L = input_ids.shape
         if fused is None:
-            # the Pallas whole-model kernel is specialized to B=1 on TPU
-            fused = B == 1 and self.device.kind == "accel"
+            fused = B == 1 and self.device.kind == "accel" \
+                and self._fused_decode_supported()
         key = (np.dtype(dtype).name if dtype else "native", bool(fused))
         weights = self._weights_cache.get(key)
         if weights is None:

@@ -235,3 +235,12 @@ def test_full_model_grad_check_numerical():
             p.data[idx] = orig
         want = (fp - fm) / (2 * eps)
         assert abs(got - want) < 1e-5, (name, got, want)
+
+
+def test_fused_decode_shape_guard():
+    model = tiny_model()  # dim 24, ffn 40, seq 32, hd 12
+    assert model._fused_decode_supported()
+    odd = Llama(vocab_size=31, embed_dim=20, n_heads=2, ffn_dim=30,
+                max_seq_len=24, max_batch_size=1, n_layers=1,
+                dtype=np.float32)
+    assert not odd._fused_decode_supported()  # ffn_dim 30 not 8-aligned
