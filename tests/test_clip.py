@@ -166,3 +166,54 @@ def test_dotted_names_match_reference_layout():
             "text_encoder.proj.weight",
     ]:
         assert required in names, required
+
+
+def test_clip_full_model_grad_check_numerical():
+    """End-to-end f64 grad through both encoders vs central differences."""
+    import pydynet_tpu.nn as nn
+
+    np.random.seed(5)
+    clip = CLIP(image_dim=8, image_heads=2, image_mlp_dim=12, image_patch=8,
+                image_layers=1, text_dim=8, text_heads=2, text_mlp_dim=12,
+                text_layers=1, final_dim=6, vocab_size=32, vision_tokens=5,
+                text_tokens=7)
+    # promote every parameter to f64 for numerical resolution
+    with pdn.no_grad():
+        for p in clip._parameters.values():
+            p._data = p._data.astype(np.float64)
+
+    img = np.random.randn(1, 3, 16, 16)
+    text = np.zeros((2, 7), np.int64)
+    text[:, 0] = 1
+    text[0, 1], text[1, 1] = 5, 9
+    text[:, 2] = 31
+    tgt = pdn.Tensor(np.array([1]))
+    crit = nn.CrossEntropyLoss()
+
+    def loss_of():
+        return crit(clip(pdn.Tensor(img), pdn.Tensor(text)), tgt)
+
+    clip.train(True)
+    loss_of().backward()
+
+    probes = [
+        ("image_encoder.kernel", (2, 1, 3, 4)),
+        ("image_encoder.transformers.0.mha.QKV.weight", (1, 3)),
+        ("text_encoder.token_embed.weight", (5, 2)),
+        ("text_encoder.proj.weight", (0, 1)),
+        ("class_embed", (0, 0, 3)),
+        ("t_pos_emb", (1, 2)),
+    ]
+    eps = 1e-5
+    for name, idx in probes:
+        p = clip._parameters[name]
+        got = float(np.asarray(p.grad)[idx])
+        orig = float(p.numpy()[idx])
+        with pdn.no_grad():
+            p.data[idx] = orig + eps
+            fp = float(loss_of().item())
+            p.data[idx] = orig - eps
+            fm = float(loss_of().item())
+            p.data[idx] = orig
+        want = (fp - fm) / (2 * eps)
+        assert abs(got - want) < 1e-5, (name, got, want)
