@@ -21,6 +21,29 @@ import pydynet_tpu as pdn
 from .model import CLIP
 
 
+def download(url: str, filename: str, chunk_size: int = 10**6) -> None:
+    """Fetch a checkpoint (reference io.py:12-29); only usable in
+    environments with network egress."""
+    import urllib.request
+
+    directories = os.path.dirname(filename)
+    if directories:
+        os.makedirs(directories, exist_ok=True)
+    with urllib.request.urlopen(url, timeout=15) as response:
+        total = int(response.info().get("Content-Length", 0) or 0)
+        buf = b""
+        while True:
+            data = response.read(chunk_size)
+            if not data:
+                break
+            buf += data
+            if total:
+                print(f"Downloading {filename} "
+                      f"{len(buf) / total * 100:.2f} %")
+    with open(filename, "wb") as f:
+        f.write(buf)
+
+
 def load_zip(path: str):
     files = {}
     with zipfile.ZipFile(path) as z:
@@ -48,10 +71,16 @@ class Params:
                 "CLIP_DIR", os.path.expanduser("~/.cache/clip"))
         model_path = os.path.join(download_root, f"{name}.pt")
         index_path = os.path.join(download_root, f"{name}.json")
+        if not os.path.isfile(model_path):
+            try:
+                print(f"Downloading {model_path}")
+                download(self.MODEL_URLS["ViT-B/32"], model_path)
+            except Exception:
+                pass
         if not (os.path.isfile(model_path) and os.path.isfile(index_path)):
             raise FileNotFoundError(
-                f"CLIP checkpoint not found at {model_path} (+ JSON index); "
-                "this environment has no network egress — place the files "
+                f"CLIP checkpoint not found at {model_path} (+ JSON index) "
+                "and download failed (no network egress?) — place the files "
                 "there manually, or run the CLIs with --random-init.")
         self.files = load_zip(model_path)
         with open(index_path) as f:
