@@ -71,7 +71,10 @@ class Params:
                 "CLIP_DIR", os.path.expanduser("~/.cache/clip"))
         model_path = os.path.join(download_root, f"{name}.pt")
         index_path = os.path.join(download_root, f"{name}.json")
-        if not os.path.isfile(model_path):
+        # auto-download is opt-in: in offline sandboxes a blackholed DNS
+        # lookup can stall for minutes before failing
+        if not os.path.isfile(model_path) and os.environ.get(
+                "PYDYNET_TPU_ALLOW_DOWNLOAD") == "1":
             try:
                 print(f"Downloading {model_path}")
                 download(self.MODEL_URLS["ViT-B/32"], model_path)
@@ -79,9 +82,10 @@ class Params:
                 pass
         if not (os.path.isfile(model_path) and os.path.isfile(index_path)):
             raise FileNotFoundError(
-                f"CLIP checkpoint not found at {model_path} (+ JSON index) "
-                "and download failed (no network egress?) — place the files "
-                "there manually, or run the CLIs with --random-init.")
+                f"CLIP checkpoint not found at {model_path} (+ JSON index). "
+                "Set PYDYNET_TPU_ALLOW_DOWNLOAD=1 to fetch it (needs network "
+                "egress), place the files there manually, or run the CLIs "
+                "with --random-init.")
         self.files = load_zip(model_path)
         with open(index_path) as f:
             self.info = json.load(f)
