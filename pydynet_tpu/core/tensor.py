@@ -24,8 +24,6 @@ NumPy dtype-promotion parity comes from ``jax_enable_x64`` (see ``_config``).
 from __future__ import annotations
 
 import builtins
-import math
-import numbers
 from typing import Callable, Optional, Sequence
 
 import jax
@@ -33,6 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import _config  # noqa: F401  (enables x64 before any jnp call)
+# no_grad/enable_grad re-exported: nn.functional uses `tensor.no_grad`
 from ..autograd import is_grad_enable, no_grad, enable_grad  # noqa: F401
 from ..device import Device
 

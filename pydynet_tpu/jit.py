@@ -30,7 +30,6 @@ import functools
 from typing import Any, Iterable
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from .core.tensor import Graph, Tensor, _DataRef

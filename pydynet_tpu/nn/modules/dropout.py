@@ -6,7 +6,7 @@ RNG) so it stays random *inside* jit-compiled train steps — the key state is
 threaded through the compiled program functionally.
 """
 from .module import Module
-from ...core.tensor import Tensor, wrap_pure
+from ...core.tensor import Tensor
 from ... import random as _random
 
 

@@ -9,8 +9,6 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..core.tensor import Tensor
-
 
 def state_dict(module) -> dict:
     """All registered parameters/buffers by dotted name -> numpy."""
