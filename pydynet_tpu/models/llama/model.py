@@ -484,6 +484,40 @@ class Llama(nn.Module):
                 step, (ck, cv, last_tok, pos), None, length=n_steps)
             return ck, cv, toks
 
+        @partial(jax.jit, static_argnames=("n_steps",),
+                 donate_argnames=("ck", "cv"))
+        def decode_chunk_batched(weights, ck, cv, last_tok, pos, n_steps):
+            """B>1 variant: caches (B, N, S, D), the whole-model kernel
+            vmapped over the batch (one extra grid dimension)."""
+            head_w, head_b = weights["head_w"], weights["head_b"]
+            wdt = head_w.dtype
+
+            def one(pos32, h0, cosd, sind, ck_b, cv_b):
+                return fused_decode_step(
+                    pos32, h0, cosd, sind, weights["rot"], weights["hmask"],
+                    weights["norm2"], weights["wq"], weights["wk"],
+                    weights["wv"], weights["wo"], weights["gate_w"],
+                    weights["up_w"], weights["down"], weights["in_norm2"],
+                    weights["post_norm2"], ck_b, cv_b)
+
+            vone = jax.vmap(one, in_axes=(None, 0, None, None, 0, 0))
+
+            def step(carry, _):
+                ck, cv, tok, p = carry
+                h0 = weights["tok"][tok][:, None, :]  # (B, 1, D)
+                cosd = jax.lax.dynamic_slice_in_dim(weights["cosD"], p, 1)
+                sind = jax.lax.dynamic_slice_in_dim(weights["sinD"], p, 1)
+                h, ck, cv = vone(p, h0, cosd, sind, ck, cv)  # h (B, 1, D)
+                logits = (h[:, 0].astype(wdt) @ head_w).astype(jnp.float32) \
+                    + head_b.astype(jnp.float32)
+                nxt = jnp.argmax(logits, axis=-1).astype(tok.dtype)
+                return (ck, cv, nxt, p + 1), nxt
+
+            pos = jnp.asarray(pos, jnp.int32)
+            (ck, cv, tok, p), toks = jax.lax.scan(
+                step, (ck, cv, last_tok, pos), None, length=n_steps)
+            return ck, cv, toks
+
         forward_tokens = self._xla_forward_tokens
         N, S = self.n_layers, self.max_seq_len
         H, hd, D = self.n_heads, self.head_dim, self.embed_dim
@@ -498,13 +532,19 @@ class Llama(nn.Module):
             ck5 = jnp.zeros((N, B, S, H, hd), dt)
             cv5 = jnp.zeros((N, B, S, H, hd), dt)
             tok, ck5, cv5 = forward_tokens(weights, ck5, cv5, prompt, 0)
-            ck = ck5.reshape(N, S, D)
-            cv = cv5.reshape(N, S, D)
-            ck, cv, toks = decode_chunk(weights, ck, cv, tok,
-                                        prompt.shape[1], n_steps)
+            if B == 1:
+                ck = ck5.reshape(N, S, D)
+                cv = cv5.reshape(N, S, D)
+                ck, cv, toks = decode_chunk(weights, ck, cv, tok,
+                                            prompt.shape[1], n_steps)
+            else:
+                ck = ck5.transpose(1, 0, 2, 3, 4).reshape(B, N, S, D)
+                cv = cv5.transpose(1, 0, 2, 3, 4).reshape(B, N, S, D)
+                ck, cv, toks = decode_chunk_batched(weights, ck, cv, tok,
+                                                    prompt.shape[1], n_steps)
             return jnp.concatenate([tok[None], toks], axis=0)
 
-        return decode_chunk, prefill_decode
+        return decode_chunk, prefill_decode, decode_chunk_batched
 
     def _empty_caches(self, B, dtype):
         shape = (self.n_layers, B, self.max_seq_len, self.n_heads,
@@ -530,7 +570,7 @@ class Llama(nn.Module):
         input_ids = np.asarray(input_ids)
         B, L = input_ids.shape
         if fused is None:
-            fused = B == 1 and self.device.kind == "accel" \
+            fused = self.device.kind == "accel" \
                 and self._fused_decode_supported()
         key = (np.dtype(dtype).name if dtype else "native", bool(fused))
         weights = self._weights_cache.get(key)
@@ -548,7 +588,7 @@ class Llama(nn.Module):
         if fused and 0 < total - L - 1 <= chunk:
             # whole request in ONE device dispatch: cache alloc + prefill +
             # fused decode scan, one readback at the end
-            _, prefill_decode = self._fused_chunk_fn
+            prefill_decode = self._fused_chunk_fn[1]
             toks = prefill_decode(weights,
                                   jnp.asarray(input_ids, jnp.int32),
                                   total - L - 1)
@@ -560,12 +600,17 @@ class Llama(nn.Module):
         tok, ck, cv = prefill(weights, ck, cv,
                               jnp.asarray(input_ids, jnp.int32), 0)
         if fused:
-            # fused kernel uses flat (N, S, D) caches
+            # fused kernel uses flat (N, S, D) caches ((B, N, S, D) batched)
             N = self.n_layers
             S, D = self.max_seq_len, self.embed_dim
-            ck = ck.reshape(N, S, D)
-            cv = cv.reshape(N, S, D)
-            decode_chunk = self._fused_chunk_fn[0]
+            if B == 1:
+                ck = ck.reshape(N, S, D)
+                cv = cv.reshape(N, S, D)
+                decode_chunk = self._fused_chunk_fn[0]
+            else:
+                ck = ck.transpose(1, 0, 2, 3, 4).reshape(B, N, S, D)
+                cv = cv.transpose(1, 0, 2, 3, 4).reshape(B, N, S, D)
+                decode_chunk = self._fused_chunk_fn[2]
 
         pos = L
         first_tok = tok  # prefill result: synced after the first decode
