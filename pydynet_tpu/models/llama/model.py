@@ -457,6 +457,9 @@ class Llama(nn.Module):
         """decode_chunk built on the whole-model Pallas kernel (B=1)."""
         from ...ops.decode_step import fused_decode_step
 
+        if self._decode_fns is None:  # provides _xla_forward_tokens
+            self._decode_fns = self._make_decode_fns()
+
         @partial(jax.jit, static_argnames=("n_steps",),
                  donate_argnames=("ck", "cv"))
         def decode_chunk(weights, ck, cv, last_tok, pos, n_steps):
@@ -474,6 +477,8 @@ class Llama(nn.Module):
                     weights["wv"], weights["wo"], weights["gate_w"],
                     weights["up_w"], weights["down"], weights["in_norm2"],
                     weights["post_norm2"], ck, cv)
+                # (an ops.decode_step.lm_head_argmax Pallas head exists but
+                # measured equal to this XLA head; keep the simpler form)
                 logits = (h.astype(wdt) @ head_w).astype(jnp.float32) \
                     + head_b.astype(jnp.float32)
                 nxt = jnp.argmax(logits, axis=-1).astype(tok.dtype)

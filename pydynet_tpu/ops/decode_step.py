@@ -35,6 +35,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+_Z = np.int32(0)  # int32 index-map literal (x64 would inject i64)
+
 
 def rope_pair_swap_matrix(dim: int, dtype=jnp.float32):
     """R such that (x @ R)[2i] = -x[2i+1], (x @ R)[2i+1] = x[2i]."""
@@ -52,6 +54,61 @@ def head_mask_matrix(dim: int, n_heads: int, dtype=jnp.float32):
     for h in range(n_heads):
         M[h * hd:(h + 1) * hd, h] = 1.0
     return jnp.asarray(M, dtype)
+
+
+def _lm_head_kernel(h_ref, w_ref, b_ref, out_ref, best_ref, idx_ref, *,
+                    vt: int, n_tiles: int):
+    """Greedy sampling head: vocab-tiled (1,D)@(D,VT) matmul with a running
+    argmax carried in SMEM scratch across grid steps; emits ONE int32."""
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        best_ref[0, 0] = jnp.float32(-jnp.inf)
+        idx_ref[0, 0] = jnp.int32(0)
+
+    logits = jnp.dot(h_ref[:], w_ref[:],
+                     preferred_element_type=jnp.float32) \
+        + b_ref[:].astype(jnp.float32)  # (1, VT)
+    m = jnp.max(logits)
+    am = jax.lax.argmax(logits, 1, jnp.int32)[0]  # x64 would pick i64
+
+    @pl.when(m > best_ref[0, 0])
+    def _():
+        best_ref[0, 0] = m
+        idx_ref[0, 0] = am + t * np.int32(vt)
+
+    @pl.when(t == n_tiles - 1)
+    def _():
+        out_ref[0, 0] = idx_ref[0, 0]
+
+
+def lm_head_argmax(h, w, b, vt: int = 3200, interpret=False):
+    """Greedy next-token id: argmax(h @ w + b) as one Pallas kernel.
+
+    h (1, D); w (D, V); b (1, V); V must be a multiple of ``vt`` (itself a
+    multiple of 128).  Returns int32 (1, 1)."""
+    D, V = w.shape
+    assert V % vt == 0, (V, vt)
+    n_tiles = V // vt
+    return pl.pallas_call(
+        functools.partial(_lm_head_kernel, vt=vt, n_tiles=n_tiles),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, D), lambda t: (_Z, _Z),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, vt), lambda t: (_Z, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, vt), lambda t: (_Z, t),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1), lambda t: (_Z, _Z),
+                               memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        scratch_shapes=[pltpu.SMEM((1, 1), jnp.float32),
+                        pltpu.SMEM((1, 1), jnp.int32)],
+        interpret=interpret,
+    )(h, w, b)
 
 
 def _kernel(pos_ref,  # scalar prefetch (SMEM)

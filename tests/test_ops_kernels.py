@@ -215,3 +215,16 @@ def test_fused_batchnorm_grads_match_composite():
     gr = jax.grad(f_ref, argnums=(0, 1, 2))(x, g, b)
     for a, r in zip(gf, gr):
         assert np.allclose(a, r, atol=1e-4), np.abs(a - r).max()
+
+
+def test_lm_head_argmax_kernel():
+    from pydynet_tpu.ops.decode_step import lm_head_argmax
+
+    rng = np.random.default_rng(0)
+    D, V = 32, 256
+    h = jnp.asarray(rng.standard_normal((1, D)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((D, V)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((1, V)), jnp.float32)
+    got = int(lm_head_argmax(h, w, b, vt=128, interpret=True)[0, 0])
+    want = int(np.argmax(np.asarray(h) @ np.asarray(w) + np.asarray(b)))
+    assert got == want
