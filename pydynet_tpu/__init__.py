@@ -28,6 +28,9 @@ from . import core
 from . import nn
 from . import optim
 from . import data
+from . import ops
+from . import parallel
+from . import utils
 
 __all__ = [
     "Tensor", "add", "sub", "mul", "div", "pow", "matmul", "abs", "sum",
