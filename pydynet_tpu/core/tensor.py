@@ -670,7 +670,7 @@ def _vjp_node(pure_fn, *inputs: "Tensor") -> "Tensor":
 _sweep_token = [0]
 
 
-def wrap_pure(pure_fn, *inputs: "Tensor", has_aux: bool = False):
+def wrap_pure(pure_fn, *inputs: "Tensor"):
     """Record an arbitrary pure-JAX composite function as tape node(s).
 
     This is the bridge by which fused TPU kernels (Pallas flash-attention,

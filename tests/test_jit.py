@@ -150,3 +150,13 @@ def test_batchnorm_running_stats_advance_under_jit():
     rm2 = bn.running_mean.numpy().copy()
     assert not np.allclose(rm0, rm1)
     assert not np.allclose(rm1, rm2)  # keeps advancing across compiled calls
+
+
+def test_jit_with_kwargs():
+    @pdn.jit
+    def f(x, *, scale):
+        return x * scale
+
+    x = pdn.Tensor(np.ones(3))
+    assert np.allclose(f(x, scale=pdn.Tensor(np.full(3, 2.0))).data, 2.0)
+    assert np.allclose(f(x, scale=pdn.Tensor(np.full(3, 4.0))).data, 4.0)

@@ -244,3 +244,16 @@ def test_fused_decode_shape_guard():
                 max_seq_len=24, max_batch_size=1, n_layers=1,
                 dtype=np.float32)
     assert not odd._fused_decode_supported()  # ffn_dim 30 not 8-aligned
+
+
+def test_generate_early_break_then_reuse():
+    model = tiny_model()
+    model.eval()
+    ids = np.array([[1, 5]])
+    with pdn.no_grad():
+        gen = model.generate(ids, 20, chunk=4)
+        first = [int(next(gen).numpy()[0, 0]) for _ in range(3)]
+        del gen  # consumer breaks early (EOS in the CLI)
+        again = [int(t.numpy()[0, 0]) for t in model.generate(ids, 20,
+                                                              chunk=4)]
+    assert again[:3] == first  # fresh cache; deterministic restart
