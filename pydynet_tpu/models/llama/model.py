@@ -216,6 +216,11 @@ class Llama(nn.Module):
         self._fused_chunk_fn = None
         self._weights_cache = {}  # (dtype, fused) -> stacked decode weights
 
+    def move(self, device):
+        # stacked decode-weight snapshots hold device-resident arrays
+        self._weights_cache.clear()
+        return super().move(device)
+
     # ------------------------- eager/module path ----------------------- #
     def _forward_hidden(self, input_ids, start_pos: int):
         if not isinstance(input_ids, Tensor):

@@ -257,3 +257,15 @@ def test_generate_early_break_then_reuse():
         again = [int(t.numpy()[0, 0]) for t in model.generate(ids, 20,
                                                               chunk=4)]
     assert again[:3] == first  # fresh cache; deterministic restart
+
+
+def test_weights_cache_cleared_on_move():
+    model = tiny_model()
+    model.eval()
+    ids = np.array([[1, 5]])
+    with pdn.no_grad():
+        list(model.generate(ids, 8, chunk=4))
+    assert model._weights_cache
+    model.to("cpu")  # same device: no-op, cache may stay
+    model.move(pdn.Device("cpu"))  # explicit move clears
+    assert not model._weights_cache
