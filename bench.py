@@ -37,7 +37,7 @@ def main():
         for chunk in (total, 512):
             list(model.generate(prompt_ids, total, chunk=chunk,
                                 dtype=dtype))  # warmup/compile
-            for _ in range(4):
+            for _ in range(7):
                 t0 = time.time()
                 toks = list(model.generate(prompt_ids, total, chunk=chunk,
                                            dtype=dtype))
