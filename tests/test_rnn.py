@@ -156,3 +156,40 @@ def test_lstm_trains_jitted():
     x, y = pdn.Tensor(x_np), pdn.Tensor(y_np)
     losses = [float(jstep(x, y).item()) for _ in range(150)]
     assert losses[-1] < losses[0] * 0.1
+
+
+def test_bidirectional_lstm_grads_flow():
+    L, B, I, H = 4, 2, 3, 5
+    lstm = nn.LSTM(I, H, num_layers=2, bidirectional=True)
+    x = pdn.Tensor(np.random.randn(L, B, I), requires_grad=True)
+    out, (hn, cn) = lstm(x)
+    assert out.shape == (L, B, 2 * H)
+    assert hn.shape == (4, B, H) and cn.shape == (4, B, H)
+    (out.sum() + cn.sum()).backward()
+    assert np.abs(np.asarray(x.grad)).max() > 0
+    for p in lstm.parameters():
+        assert p._grad is not None and np.isfinite(np.asarray(p.grad)).all()
+
+
+def test_gru_grad_numerical_f64():
+    L, B, I, H = 3, 1, 2, 3
+    gru = nn.GRU(I, H, dtype=np.float64)
+    x_np = np.random.randn(L, B, I)
+    x = pdn.Tensor(x_np, requires_grad=True)
+    out, _ = gru(x)
+    (out * out).sum().backward()
+    got = np.asarray(x.grad)
+
+    eps = 1e-6
+    want = np.zeros_like(x_np)
+    flat, wflat = x_np.reshape(-1), want.reshape(-1)
+    with pdn.no_grad():
+        for i in range(flat.size):
+            orig = flat[i]
+            flat[i] = orig + eps
+            fp = float((gru(pdn.Tensor(x_np))[0] ** 2).sum().item())
+            flat[i] = orig - eps
+            fm = float((gru(pdn.Tensor(x_np))[0] ** 2).sum().item())
+            flat[i] = orig
+            wflat[i] = (fp - fm) / (2 * eps)
+    assert np.allclose(got, want, atol=1e-6), np.abs(got - want).max()
