@@ -34,13 +34,21 @@ def main():
         # two dispatch strategies (whole-sequence single dispatch vs
         # pipelined 512-chunks); the shared TPU tunnel is noisy, so race
         # both and keep the best of several trials
+        fused = None  # auto (Pallas whole-model kernel)
         for chunk in (total, 512):
-            list(model.generate(prompt_ids, total, chunk=chunk,
-                                dtype=dtype))  # warmup/compile
+            try:
+                list(model.generate(prompt_ids, total, chunk=chunk,
+                                    dtype=dtype, fused=fused))  # warmup
+            except Exception as e:
+                print(f"# fused decode unavailable ({type(e).__name__}); "
+                      "falling back to the XLA path", file=sys.stderr)
+                fused = False
+                list(model.generate(prompt_ids, total, chunk=chunk,
+                                    dtype=dtype, fused=fused))
             for _ in range(7):
                 t0 = time.time()
                 toks = list(model.generate(prompt_ids, total, chunk=chunk,
-                                           dtype=dtype))
+                                           dtype=dtype, fused=fused))
                 dt = time.time() - t0
                 best = max(best, len(toks) / dt)
 
