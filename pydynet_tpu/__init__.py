@@ -20,7 +20,7 @@ from .special import zeros, ones, rand, randn, empty, uniform
 from .device import Device
 from .autograd import enable_grad, no_grad, is_grad_enable, set_grad_enabled
 from .jit import jit
-from .random import manual_seed, Generator, default_generator
+from .random import manual_seed, Generator
 from . import cuda
 from . import special
 from . import random
@@ -43,4 +43,12 @@ __all__ = [
     "jit", "manual_seed", "Generator", "wrap_pure",
 ]
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+
+def __getattr__(name):
+    # lazy: materializing the default PRNG generator creates a device array,
+    # which must not happen as an import side effect (see random.py)
+    if name == "default_generator":
+        return random.default_generator
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -135,6 +135,119 @@ def loss_fn(params, tokens, targets, cfg):
     return jnp.mean(nll)
 
 
+def cache_shardings(mesh: Mesh):
+    """KV caches (N, B, S, H, hd): batch sharded over dp, heads over tp."""
+    return named_sharding(mesh, None, "dp", None, "tp", None)
+
+
+def forward_tokens(params, ck, cv, tokens, pos, cfg):
+    """Cache-threaded forward of ``tokens`` (B, L) at absolute ``pos``.
+
+    Returns ``(next_token (B,), ck, cv)``.  Same math as the single-chip
+    decode (models/llama/model.py:_make_decode_fns) written over the
+    layer-stacked SPMD param pytree, so dp x tp decode falls out of the
+    sharding annotations: per-head attention is tp-local, GSPMD inserts the
+    psum after the row-parallel O/down matmuls and an all-gather for the
+    vocab-sharded logits argmax.
+    """
+    B, L = tokens.shape
+    H, D, S = cfg["n_heads"], cfg["dim"], cfg["max_seq_len"]
+    hd = D // H
+    h = params["tok"][tokens]
+    cos = jax.lax.dynamic_slice_in_dim(params["cos"], pos, L)
+    sin = jax.lax.dynamic_slice_in_dim(params["sin"], pos, L)
+    qpos = pos + jnp.arange(L)[:, None]
+    jpos = jnp.arange(S)[None, :]
+    mask = jnp.where(jpos <= qpos, 0.0, -jnp.inf).astype(jnp.float32)
+    zero = jnp.zeros((), jnp.int32)
+    pos32 = jnp.asarray(pos, jnp.int32)
+
+    def layer(h, xs):
+        W, ck_i, cv_i = xs
+        hn = _rms(h, W["in_norm"])
+        qkv = hn @ W["wqkv"]
+        q = qkv[..., :D].reshape(B, L, H, hd)
+        k = qkv[..., D:2 * D].reshape(B, L, H, hd)
+        v = qkv[..., 2 * D:].reshape(B, L, H, hd)
+        q, k = _rope(q, cos, sin), _rope(k, cos, sin)
+        ck_i = jax.lax.dynamic_update_slice(ck_i, k, (zero, pos32, zero,
+                                                      zero))
+        cv_i = jax.lax.dynamic_update_slice(cv_i, v, (zero, pos32, zero,
+                                                      zero))
+        s = jnp.einsum("blhd,bmhd->bhlm", q, ck_i,
+                       preferred_element_type=jnp.float32) / math.sqrt(hd)
+        p = jax.nn.softmax(s + mask, axis=-1).astype(h.dtype)
+        att = jnp.einsum("bhlm,bmhd->blhd", p, cv_i).reshape(B, L, D)
+        z = h + att @ W["wo"]
+        zn = _rms(z, W["post_norm"])
+        gu = zn @ W["wgu"]
+        gate, up = jnp.split(gu, 2, axis=-1)
+        return z + ((gate * jax.nn.sigmoid(gate)) * up) @ W["down"], \
+            (ck_i, cv_i)
+
+    layer_w = {k: params[k] for k in ("wqkv", "wo", "wgu", "down",
+                                      "in_norm", "post_norm")}
+    h, (ck, cv) = jax.lax.scan(layer, h, (layer_w, ck, cv))
+    h = _rms(h, params["norm"])
+    logits = h[:, -1] @ params["head_w"] + params["head_b"]
+    return jnp.argmax(logits, axis=-1).astype(tokens.dtype), ck, cv
+
+
+def make_decode_fns(mesh: Mesh, cfg):
+    """Compiled SPMD (prefill, decode) pair over a dp x tp mesh."""
+    p_sh = param_shardings(mesh)
+    c_sh = cache_shardings(mesh)
+    tok_sh = named_sharding(mesh, "dp", None)
+
+    @partial(jax.jit,
+             in_shardings=(p_sh, c_sh, c_sh, tok_sh, None),
+             donate_argnums=(1, 2))
+    def prefill(params, ck, cv, tokens, pos):
+        return forward_tokens(params, ck, cv, tokens, pos, cfg)
+
+    @partial(jax.jit, static_argnames=("n_steps",), donate_argnums=(1, 2))
+    def decode(params, ck, cv, last_tok, pos, n_steps):
+        def step(carry, _):
+            ck, cv, tok, p = carry
+            nxt, ck, cv = forward_tokens(params, ck, cv, tok[:, None], p,
+                                         cfg)
+            return (ck, cv, nxt, p + 1), nxt
+
+        pos = jnp.asarray(pos, jnp.int32)
+        (ck, cv, tok, p), toks = jax.lax.scan(
+            step, (ck, cv, last_tok, pos), None, length=n_steps)
+        return ck, cv, toks  # (n_steps, B)
+
+    return prefill, decode
+
+
+def generate(params, prompt, max_new_tokens: int, mesh: Mesh, cfg,
+             dtype=jnp.float32):
+    """Greedy dp x tp-sharded generation: returns (B, max_new_tokens) ids.
+
+    The multi-chip upgrade of the reference's single-stream
+    ``Llama.generate`` (reference llm/llama/model.py:258-269): batch rows
+    ride the dp axis, every weight matmul is Megatron-sharded over tp.
+    """
+    N, S, H, D = (cfg["n_layers"], cfg["max_seq_len"], cfg["n_heads"],
+                  cfg["dim"])
+    hd = D // H
+    B, L = prompt.shape
+    c_sh = cache_shardings(mesh)
+    ck = jax.device_put(jnp.zeros((N, B, S, H, hd), dtype), c_sh)
+    cv = jax.device_put(jnp.zeros((N, B, S, H, hd), dtype), c_sh)
+    prompt = jax.device_put(jnp.asarray(prompt, jnp.int32),
+                            named_sharding(mesh, "dp", None))
+
+    prefill, decode = make_decode_fns(mesh, cfg)
+    tok, ck, cv = prefill(params, ck, cv, prompt, 0)
+    if max_new_tokens == 1:
+        return np.asarray(tok)[:, None]
+    ck, cv, toks = decode(params, ck, cv, tok, L, max_new_tokens - 1)
+    return np.concatenate([np.asarray(tok)[:, None],
+                           np.asarray(toks).T], axis=1)
+
+
 def make_train_step(mesh: Mesh, cfg, lr: float = 1e-3):
     """Compiled SPMD train step: batch sharded dp, params sharded tp.
 

@@ -56,10 +56,27 @@ class Generator:
         return [self._state]
 
 
-default_generator = Generator(0)
+# The default generator is created lazily (PEP 562): building it eagerly
+# would initialize a jax backend at ``import pydynet_tpu`` time — on this
+# sandbox that opens the remote-TPU tunnel before the application (or the
+# multichip dryrun) has a chance to pick a platform.
+_default_generator = None
+
+
+def _get_default_generator() -> Generator:
+    global _default_generator
+    if _default_generator is None:
+        _default_generator = Generator(0)
+    return _default_generator
+
+
+def __getattr__(name):
+    if name == "default_generator":
+        return _get_default_generator()
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 
 def manual_seed(seed: int) -> Generator:
     """Seed both the device-side generator and NumPy's global RNG."""
     np.random.seed(seed)
-    return default_generator.manual_seed(seed)
+    return _get_default_generator().manual_seed(seed)

@@ -91,6 +91,50 @@ def test_llama_spmd_train_step_loss_decreases():
     assert all(np.isfinite(losses))
 
 
+@pytest.mark.parametrize("dp,tp", [(1, 2), (2, 2), (1, 1)])
+def test_llama_spmd_generate_matches_single_device(dp, tp):
+    """tp/dp-sharded greedy decode is token-identical to the unsharded run."""
+    cfg = llama_spmd.config(vocab_size=64, dim=16, n_heads=2, ffn_dim=32,
+                            n_layers=2, max_seq_len=32)
+    rng = np.random.RandomState(3)
+    params = llama_spmd.init_params(rng, cfg)
+    prompt = rng.randint(0, 64, (2 * dp, 5)).astype(np.int32)
+
+    ref_mesh = make_mesh({"dp": 1, "tp": 1})
+    want = llama_spmd.generate(llama_spmd.shard_params(params, ref_mesh),
+                               prompt, 9, ref_mesh, cfg)
+
+    mesh = make_mesh({"dp": dp, "tp": tp})
+    got = llama_spmd.generate(llama_spmd.shard_params(params, mesh),
+                              prompt, 9, mesh, cfg)
+    assert got.shape == (2 * dp, 9)
+    assert np.array_equal(got, want), (got, want)
+
+
+def test_llama_spmd_generate_consistent_with_train_forward():
+    """The cache-threaded decode forward agrees with the full-sequence
+    training forward (teacher-forced greedy chain)."""
+    import jax.numpy as jnp
+
+    cfg = llama_spmd.config(vocab_size=32, dim=16, n_heads=2, ffn_dim=32,
+                            n_layers=2, max_seq_len=16)
+    rng = np.random.RandomState(7)
+    params = llama_spmd.init_params(rng, cfg)
+    mesh = make_mesh({"dp": 1, "tp": 2})
+    prompt = rng.randint(0, 32, (1, 4)).astype(np.int32)
+    n_new = 6
+    got = llama_spmd.generate(llama_spmd.shard_params(params, mesh),
+                              prompt, n_new, mesh, cfg)
+
+    # greedy chain via the (unsharded) full-sequence training forward
+    seq = prompt.copy()
+    for _ in range(n_new):
+        logits = llama_spmd.forward_logits(params, jnp.asarray(seq), cfg)
+        nxt = int(np.argmax(np.asarray(logits)[0, -1]))
+        seq = np.concatenate([seq, [[nxt]]], axis=1)
+    assert np.array_equal(got[0], seq[0, 4:]), (got, seq)
+
+
 def test_graft_entry_dryrun():
     from __graft_entry__ import dryrun_multichip
     dryrun_multichip(8)
