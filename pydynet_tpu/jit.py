@@ -77,6 +77,15 @@ def _is_dynamic_leaf(x) -> bool:
     return isinstance(x, (Tensor, _DataRef, jax.Array, np.ndarray, np.generic))
 
 
+def _aval_key(v):
+    """Hashable (shape, dtype, weak_type) mirroring jax's aval cache key."""
+    if isinstance(v, jax.Array):
+        a = v.aval
+        return (tuple(a.shape), str(a.dtype), bool(a.weak_type))
+    arr = np.asarray(v)
+    return (tuple(arr.shape), str(arr.dtype), False)
+
+
 class _JitFunction:
     def __init__(self, fn, state: Iterable = (), donate_state: bool = True,
                  mesh=None, batch_axis: str = "dp"):
@@ -191,8 +200,14 @@ class _JitFunction:
                 static_leaves.append(leaf)
         packed_static = (treedef, tuple(static_leaves), None)
         dyn_mask = tuple(dyn_mask)
-        trace_key = (tuple((tuple(np.shape(v)), str(getattr(v, "dtype", "")))
-                           for v in dyn_leaves), dyn_mask, packed_static)
+        # deterministic template key == exactly what jax.jit keys its trace
+        # cache on for _pure(state_vals, dyn_leaves, *static): the avals of
+        # every dynamic leaf plus the hashable static pack.  If jax reuses a
+        # compiled executable, this key has been seen; if the key is new, jax
+        # re-traces and _pure records the template.
+        trace_key = (tuple(_aval_key(v) for v in state_vals),
+                     tuple(_aval_key(v) for v in dyn_leaves),
+                     dyn_mask, packed_static)
         self._trace_key = trace_key
 
         tape_len = Graph.size()
@@ -220,9 +235,11 @@ class _JitFunction:
 
         template = self._out_templates.get(trace_key)
         if template is None:
-            # defensive: jax's trace cache can be coarser than our key
-            # (e.g. device-tag-only differences); fall back to the latest
-            template = next(reversed(self._out_templates.values()))
+            raise RuntimeError(
+                "pdn.jit internal error: no output template recorded for "
+                "this call signature (the template key diverged from jax's "
+                "trace cache key). Please report; as a workaround, construct "
+                "a fresh pdn.jit for this call pattern.")
         out_tree, tensor_mask, devices = template
         wrapped = [
             Tensor._wrap(v, dev, False) if is_t else v

@@ -8,8 +8,9 @@ API parity with /root/reference/pydynet/nn/functional.py, rebuilt TPU-first:
 * conv/pool do NOT translate the reference's stride-trick im2col + ``add.at``
   scatter (functional.py:75-95): each is a *single* tape node wrapping
   ``lax.conv_general_dilated`` / ``lax.reduce_window``, whose forward and
-  backward both lower to native XLA:TPU convolutions (MXU) — with an optional
-  Pallas im2col path in ``pydynet_tpu.ops`` for large shapes.
+  backward both lower to native XLA:TPU convolutions (MXU).  A hand-written
+  Pallas im2col was evaluated and rejected: XLA's conv emitter already tiles
+  these shapes onto the MXU, so there is nothing left to win.
 * Zero-padding is folded in *before* pooling so padded zeros can win a max,
   matching the reference's constant-pad-then-max semantics exactly
   (functional.py:98-112).

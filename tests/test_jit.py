@@ -160,3 +160,48 @@ def test_jit_with_kwargs():
     x = pdn.Tensor(np.ones(3))
     assert np.allclose(f(x, scale=pdn.Tensor(np.full(3, 2.0))).data, 2.0)
     assert np.allclose(f(x, scale=pdn.Tensor(np.full(3, 4.0))).data, 4.0)
+
+
+def test_output_template_keyed_per_signature():
+    """Regression (round-1 weak #4): the output-template lookup must never
+    guess 'the latest' template — two call signatures with different output
+    pytrees must each wrap their own structure, in any call order."""
+    w = pdn.Tensor(np.ones((2, 2)), requires_grad=True)
+
+    def step(x, as_dict):
+        y = (x @ w).sum()
+        if as_dict:
+            return {"loss": y, "double": y * 2.0}
+        return (y, y * 3.0)
+
+    js = pdn.jit(step, state=[w])
+    x = pdn.Tensor(np.ones((2, 2)))
+
+    d = js(x, True)
+    assert isinstance(d, dict) and set(d) == {"loss", "double"}
+    t = js(x, False)
+    assert isinstance(t, tuple) and len(t) == 2
+    # revisit the first signature: cached executable, template must be right
+    d2 = js(x, True)
+    assert isinstance(d2, dict)
+    assert float(d2["loss"].item()) == float(d["loss"].item())
+    assert float(t[1].item()) == 3.0 * float(t[0].item())
+
+
+def test_output_template_same_shape_different_tree():
+    """Same dynamic avals, output structure differing only via static
+    python values in the args."""
+    w = pdn.Tensor(np.full((3,), 2.0), requires_grad=True)
+
+    def step(x, mode):
+        y = (x * w).sum()
+        return [y] if mode == "list" else {"v": y}
+
+    js = pdn.jit(step, state=[w])
+    x = pdn.Tensor(np.arange(3.0))
+    a = js(x, "list")
+    b = js(x, "dict")
+    a2 = js(x, "list")
+    assert isinstance(a, list) and isinstance(b, dict)
+    assert isinstance(a2, list)
+    assert float(a[0].item()) == float(b["v"].item()) == 6.0
