@@ -431,9 +431,11 @@ class Llama(nn.Module):
 
         base = self._weights(dtype)
         D, H, N = self.embed_dim, self.n_heads, self.n_layers
+        Dp = dsk.lane_pad_dim(D)
         wdt = base["tok"].dtype
         cos, sin = base["cos"], base["sin"]  # (S, hd/2)
         expand = lambda t: jnp.tile(jnp.repeat(t, 2, axis=-1), (1, H))
+        hmask = dsk.head_mask_matrix(D, H, wdt)
         fused = dict(base)
         fused.update({
             "wq": base["wqkv"][..., :D],
@@ -445,49 +447,54 @@ class Llama(nn.Module):
             "post_norm2": base["post_norm"][:, None, :],
             "norm2": base["norm"][None, :],
             "rot": dsk.rope_pair_swap_matrix(D, wdt),
-            "hmask": dsk.head_mask_matrix(D, H, wdt),
+            "hmask": hmask,
+            "hmask_pad": jnp.pad(hmask, ((0, Dp - D), (0, 0))),
+            "head_b2": base["head_b"].reshape(1, -1),
             "cosD": expand(cos).astype(wdt),  # (S, D)
             "sinD": expand(sin).astype(wdt),
         })
         return fused
 
     def _fused_decode_supported(self) -> bool:
-        """Shape constraints of the whole-model Pallas kernel: B=1 decode,
-        8-aligned hidden dims (VPU sublanes), 16-aligned max_seq (bf16 cache
-        row read-modify-write), even head_dim (RoPE pairs)."""
+        """Shape constraints of the whole-model Pallas kernels: 8-aligned
+        hidden dims (VPU sublanes), 16-aligned max_seq (cache-tile RMW), even
+        head_dim (RoPE pairs); the B=1 whole-token kernel additionally needs
+        a 128-multiple vocab tiling and an 8-row-gatherable vocab."""
+        from ...ops.decode_step import pick_sb, pick_vt
         return (self.embed_dim % 8 == 0 and self.ffn_dim % 8 == 0
-                and self.max_seq_len % 16 == 0 and self.head_dim % 2 == 0)
+                and self.max_seq_len % 16 == 0 and self.head_dim % 2 == 0
+                and pick_vt(self.vocab_size) > 0
+                and pick_sb(self.max_seq_len) > 0
+                and self.vocab_size % 8 == 0)
 
     def _make_fused_decode_fns(self):
-        """decode_chunk built on the whole-model Pallas kernel (B=1)."""
-        from ...ops.decode_step import fused_decode_step
+        """decode_chunk built on the whole-token Pallas kernel (B=1): one
+        launch per token covers embed -> layers -> lm_head -> argmax, with
+        position-bounded KV streaming (ops/decode_step.fused_decode_token)."""
+        from ...ops.decode_step import (fused_decode_step, fused_decode_token,
+                                        pick_sb, pick_vt)
 
         if self._decode_fns is None:  # provides _xla_forward_tokens
             self._decode_fns = self._make_decode_fns()
 
+        vt = pick_vt(self.vocab_size)
+        sb = pick_sb(self.max_seq_len)
+
         @partial(jax.jit, static_argnames=("n_steps",),
                  donate_argnames=("ck", "cv"))
         def decode_chunk(weights, ck, cv, last_tok, pos, n_steps):
-            head_w, head_b = weights["head_w"], weights["head_b"]
-            wdt = head_w.dtype
-
+            """B=1; caches (N, S, Dp) lane-padded (pad_cache_lanes)."""
             def step(carry, _):
                 ck, cv, tok, p = carry
-                h0 = weights["tok"][tok]  # (1, D)
-                cosd = jax.lax.dynamic_slice_in_dim(weights["cosD"], p, 1)
-                sind = jax.lax.dynamic_slice_in_dim(weights["sinD"], p, 1)
-                h, ck, cv = fused_decode_step(
-                    p, h0, cosd, sind, weights["rot"], weights["hmask"],
-                    weights["norm2"], weights["wq"], weights["wk"],
-                    weights["wv"], weights["wo"], weights["gate_w"],
-                    weights["up_w"], weights["down"], weights["in_norm2"],
-                    weights["post_norm2"], ck, cv)
-                # (an ops.decode_step.lm_head_argmax Pallas head exists but
-                # measured equal to this XLA head; keep the simpler form)
-                logits = (h.astype(wdt) @ head_w).astype(jnp.float32) \
-                    + head_b.astype(jnp.float32)
-                nxt = jnp.argmax(logits, axis=-1).astype(tok.dtype)
-                return (ck, cv, nxt, p + 1), nxt
+                nxt, ck, cv = fused_decode_token(
+                    p, tok, weights["tok"], weights["cosD"], weights["sinD"],
+                    weights["rot"], weights["hmask_pad"], weights["norm2"],
+                    weights["wq"], weights["wk"], weights["wv"],
+                    weights["wo"], weights["gate_w"], weights["up_w"],
+                    weights["down"], weights["in_norm2"],
+                    weights["post_norm2"], weights["head_w"],
+                    weights["head_b2"], ck, cv, vt=vt, sb=sb)
+                return (ck, cv, nxt.astype(tok.dtype), p + 1), nxt
 
             pos = jnp.asarray(pos, jnp.int32)
             (ck, cv, tok, p), toks = jax.lax.scan(
@@ -529,8 +536,10 @@ class Llama(nn.Module):
             return ck, cv, toks
 
         forward_tokens = self._xla_forward_tokens
+        from ...ops.decode_step import lane_pad_dim, pad_cache_lanes
         N, S = self.n_layers, self.max_seq_len
         H, hd, D = self.n_heads, self.head_dim, self.embed_dim
+        Dp = lane_pad_dim(D)
 
         @partial(jax.jit, static_argnames=("n_steps",))
         def prefill_decode(weights, prompt, n_steps):
@@ -543,8 +552,8 @@ class Llama(nn.Module):
             cv5 = jnp.zeros((N, B, S, H, hd), dt)
             tok, ck5, cv5 = forward_tokens(weights, ck5, cv5, prompt, 0)
             if B == 1:
-                ck = ck5.reshape(N, S, D)
-                cv = cv5.reshape(N, S, D)
+                ck = pad_cache_lanes(ck5.reshape(N, S, D), Dp)
+                cv = pad_cache_lanes(cv5.reshape(N, S, D), Dp)
                 ck, cv, toks = decode_chunk(weights, ck, cv, tok,
                                             prompt.shape[1], n_steps)
             else:
@@ -603,19 +612,21 @@ class Llama(nn.Module):
                                   jnp.asarray(input_ids, jnp.int32),
                                   total - L - 1)
             for row in np.asarray(toks):
-                yield Tensor(row[:, None], device=cpu)
+                yield Tensor._wrap(row[:, None], cpu, False)
             return
 
         ck, cv = self._empty_caches(B, weights["tok"].dtype)
         tok, ck, cv = prefill(weights, ck, cv,
                               jnp.asarray(input_ids, jnp.int32), 0)
         if fused:
-            # fused kernel uses flat (N, S, D) caches ((B, N, S, D) batched)
+            # fused kernel uses flat lane-padded (N, S, Dp) caches
+            # ((B, N, S, D) batched)
+            from ...ops.decode_step import lane_pad_dim, pad_cache_lanes
             N = self.n_layers
             S, D = self.max_seq_len, self.embed_dim
             if B == 1:
-                ck = ck.reshape(N, S, D)
-                cv = cv.reshape(N, S, D)
+                ck = pad_cache_lanes(ck.reshape(N, S, D), lane_pad_dim(D))
+                cv = pad_cache_lanes(cv.reshape(N, S, D), lane_pad_dim(D))
                 decode_chunk = self._fused_chunk_fn[0]
             else:
                 ck = ck.transpose(1, 0, 2, 3, 4).reshape(B, N, S, D)
@@ -640,18 +651,18 @@ class Llama(nn.Module):
             if first_tok is not None:
                 # first yield happens only now, with the decode chunk
                 # already in flight behind it on-device
-                yield Tensor(np.asarray(first_tok)[:, None], device=cpu)
+                yield Tensor._wrap(np.asarray(first_tok)[:, None], cpu, False)
                 first_tok = None
             if pending is not None:
                 p_toks, p_keep = pending
                 for row in np.asarray(p_toks)[:p_keep]:
                     # host tensors: a per-token device_put back to the TPU
                     # would cost ~1ms each through the tunnel
-                    yield Tensor(row[:, None], device=cpu)
+                    yield Tensor._wrap(row[:, None], cpu, False)
             pending = (toks, keep)
         if first_tok is not None:  # prompt already at total-1: no decode ran
-            yield Tensor(np.asarray(first_tok)[:, None], device=cpu)
+            yield Tensor._wrap(np.asarray(first_tok)[:, None], cpu, False)
         if pending is not None:
             p_toks, p_keep = pending
             for row in np.asarray(p_toks)[:p_keep]:
-                yield Tensor(row[:, None], device=cpu)
+                yield Tensor._wrap(row[:, None], cpu, False)

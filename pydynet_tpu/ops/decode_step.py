@@ -111,6 +111,373 @@ def lm_head_argmax(h, w, b, vt: int = 3200, interpret=False):
     )(h, w, b)
 
 
+# ===================================================================== #
+#        whole-token kernel: embed -> N layers -> lm_head -> argmax       #
+# ===================================================================== #
+def _token_kernel(idx_ref,  # scalar prefetch: (2,) i32 = [pos, tok]
+                  emb_blk, cos_blk, sin_blk,  # (8, D) scalar-indexed blocks
+                  rot, hmask, final_norm,  # VMEM constants (hmask lane-padded)
+                  wq, wk, wv, wo, gate_w, up_w, down_w, in_norm, post_norm,
+                  head_w, head_b,  # VMEM vocab tiles (D,VT), (1,VT)
+                  ck_in, cv_in,  # ANY, aliased to outputs (accessed via outs)
+                  tok_out, ck, cv,  # outputs: SMEM (1,1) i32, ANY, ANY
+                  h_state, cos_row, sin_row, ktile, vtile, kbuf, vbuf,
+                  best, bidx, rsem, wsem,
+                  *, n_layers: int, n_heads: int, dim: int, dpad: int,
+                  vt: int, n_tiles: int, sb: int):
+    """One grid step per layer, then one per lm_head vocab tile.
+
+    The hidden state lives in VMEM scratch across stages.  KV caches stay in
+    HBM, lane-padded to ``dpad`` (a multiple of 128 — the DMA slice-alignment
+    unit), and are accessed with explicit position-bounded DMA: blocks of
+    ``sb`` rows covering [0, pos) stream through a double buffer, the current
+    row's K/V contribution is added in-register (which also removes any
+    write-read hazard at row ``pos``), and the row store is an aligned
+    16-row read-modify-write tile.  The previous-token embedding gather and
+    the RoPE row fetch ride the regular Pallas pipeline via scalar-prefetch-
+    dependent index maps.  Everything a greedy decode step needs — embed,
+    the layer stack, the vocab-tiled lm_head matmul, the argmax — happens
+    inside this ONE launch.
+    """
+    l = pl.program_id(0)
+    pos = idx_ref[0]
+    tok = idx_ref[1]
+    scale = 1.0 / math.sqrt(dim // n_heads)
+    cdtype = kbuf.dtype
+    pad = dpad - dim
+
+    def rms(x, w):
+        return (x / jnp.sqrt(jnp.mean(x * x, -1, keepdims=True) + 1e-6)) * w
+
+    def lane_pad(x):
+        # (1, dim) -> (1, dpad) with zero lanes beyond dim
+        return jnp.pad(x, ((0, 0), (0, pad)))
+
+    @pl.when(l == 0)
+    def _():
+        rsel = jax.lax.broadcasted_iota(jnp.int32, (8, dim), 0)
+
+        def pick(blk, row):
+            return jnp.sum(
+                jnp.where(rsel == row, blk[:].astype(jnp.float32), 0.0),
+                axis=0, keepdims=True)
+
+        h_state[:] = pick(emb_blk, jax.lax.rem(tok, np.int32(8)))
+        prow = jax.lax.rem(pos, np.int32(8))
+        cos_row[:] = pick(cos_blk, prow)
+        sin_row[:] = pick(sin_blk, prow)
+        best[0, 0] = jnp.float32(-jnp.inf)
+        bidx[0, 0] = jnp.int32(0)
+
+    @pl.when(l < n_layers)
+    def _layer():
+        # start the aligned 16-row cache-tile reads early (read-modify-write
+        # of the row at pos; single-row HBM stores are not tile-aligned)
+        apos = pl.multiple_of((pos // np.int32(16)) * np.int32(16), 16)
+        rk_dma = pltpu.make_async_copy(ck.at[l, pl.ds(apos, 16), :], ktile,
+                                       wsem.at[_Z])
+        rv_dma = pltpu.make_async_copy(cv.at[l, pl.ds(apos, 16), :], vtile,
+                                       wsem.at[np.int32(1)])
+        rk_dma.start(); rv_dma.start()
+
+        h = h_state[:]  # (1, D) f32
+        hn = rms(h, in_norm[0].astype(jnp.float32)).astype(cdtype)
+
+        q = jnp.dot(hn, wq[0], preferred_element_type=jnp.float32)
+        k = jnp.dot(hn, wk[0], preferred_element_type=jnp.float32)
+        v = jnp.dot(hn, wv[0], preferred_element_type=jnp.float32)
+
+        cos = cos_row[:]
+        sin = sin_row[:]
+        rot32 = rot[:].astype(jnp.float32)
+        q = q * cos + jnp.dot(q, rot32,
+                              preferred_element_type=jnp.float32) * sin
+        k = k * cos + jnp.dot(k, rot32,
+                              preferred_element_type=jnp.float32) * sin
+
+        kp = lane_pad(k.astype(cdtype))  # (1, dpad)
+        vp = lane_pad(v.astype(cdtype))
+
+        # merge the new row into the tiles and write them back
+        rk_dma.wait(); rv_dma.wait()
+        rows16 = jax.lax.broadcasted_iota(jnp.int32, (16, dpad), 0) + apos
+        hit = rows16 == pos
+        ktile[:] = jnp.where(hit, jnp.broadcast_to(kp, (16, dpad)), ktile[:])
+        vtile[:] = jnp.where(hit, jnp.broadcast_to(vp, (16, dpad)), vtile[:])
+        wk_dma = pltpu.make_async_copy(ktile, ck.at[l, pl.ds(apos, 16), :],
+                                       wsem.at[np.int32(2)])
+        wv_dma = pltpu.make_async_copy(vtile, cv.at[l, pl.ds(apos, 16), :],
+                                       wsem.at[np.int32(3)])
+        wk_dma.start(); wv_dma.start()
+
+        # position-bounded blocked attention with an online softmax.
+        # rows [0, pos) stream from HBM in double-buffered sb-row blocks;
+        # row pos (the one just computed) contributes in-register.  hmask is
+        # lane-padded with zero rows, so padded K/V lanes cannot leak in.
+        qp32 = lane_pad(q)  # f32: reshape-to-column only legalizes in 32-bit
+        qM = (qp32.reshape(dpad, 1)
+              * hmask[:].astype(jnp.float32)).astype(cdtype)  # (dpad, H)
+        hmt = hmask[:].T.astype(cdtype)                        # (H, dpad)
+
+        def get_k(slot, b):
+            return pltpu.make_async_copy(
+                ck.at[l, pl.ds(b * np.int32(sb), sb), :], kbuf.at[slot],
+                rsem.at[slot])
+
+        def get_v(slot, b):
+            return pltpu.make_async_copy(
+                cv.at[l, pl.ds(b * np.int32(sb), sb), :], vbuf.at[slot],
+                rsem.at[np.int32(2) + slot])
+
+        nblk = (pos + np.int32(sb - 1)) // np.int32(sb)  # blocks over [0,pos)
+
+        @pl.when(nblk > 0)
+        def _():
+            get_k(_Z, _Z).start()
+            get_v(_Z, _Z).start()
+
+        # init with the current row: p_self = exp(0) = 1 per head
+        s_self = jnp.dot(kp, qM,
+                         preferred_element_type=jnp.float32) * scale  # (1,H)
+        m0 = s_self
+        l0 = jnp.ones_like(s_self)
+        acc0 = vp.astype(jnp.float32)  # (1, dpad)
+
+        def body(b, carry):
+            m, lsum, acc = carry
+            slot = jax.lax.rem(b, np.int32(2))
+            nxt = jax.lax.rem(b + np.int32(1), np.int32(2))
+
+            @pl.when(b + 1 < nblk)
+            def _():
+                get_k(nxt, b + np.int32(1)).start()
+                get_v(nxt, b + np.int32(1)).start()
+
+            get_k(slot, b).wait()
+            get_v(slot, b).wait()
+            kb = kbuf[slot]  # (sb, dpad) cdtype
+            s = jnp.dot(kb, qM,
+                        preferred_element_type=jnp.float32) * scale  # (sb,H)
+            rows = b * np.int32(sb) + jax.lax.broadcasted_iota(
+                jnp.int32, s.shape, 0)
+            s = jnp.where(rows < pos, s, jnp.float32(-jnp.inf))
+            m_new = jnp.maximum(m, jnp.max(s, axis=0, keepdims=True))
+            corr = jnp.exp(m - m_new)                        # (1, H)
+            p = jnp.exp(s - m_new)                           # (sb, H)
+            lsum = lsum * corr + jnp.sum(p, axis=0, keepdims=True)
+            pD = jnp.dot(p.astype(cdtype), hmt,
+                         preferred_element_type=jnp.float32)  # (sb, dpad)
+            corrD = jnp.dot(corr.astype(cdtype), hmt,
+                            preferred_element_type=jnp.float32)  # (1, dpad)
+            acc = acc * corrD + jnp.sum(
+                pD * vbuf[slot].astype(jnp.float32), axis=0, keepdims=True)
+            return m_new, lsum, acc
+
+        m, lsum, acc = jax.lax.fori_loop(np.int32(0), nblk, body,
+                                         (m0, l0, acc0))
+        lD = jnp.dot(lsum.astype(cdtype), hmt,
+                     preferred_element_type=jnp.float32)  # (1, dpad)
+        att = jax.lax.slice(acc / jnp.maximum(lD, 1e-30), (0, 0),
+                            (1, dim))  # drop the zero padding lanes
+
+        wk_dma.wait()
+        wv_dma.wait()
+
+        z = h + jnp.dot(att.astype(cdtype), wo[0],
+                        preferred_element_type=jnp.float32)
+        zn = rms(z, post_norm[0].astype(jnp.float32)).astype(cdtype)
+        g = jnp.dot(zn, gate_w[0], preferred_element_type=jnp.float32)
+        u = jnp.dot(zn, up_w[0], preferred_element_type=jnp.float32)
+        ff = (g * jax.nn.sigmoid(g)) * u
+        h_new = z + jnp.dot(ff.astype(cdtype), down_w[0],
+                            preferred_element_type=jnp.float32)
+        h_state[:] = jnp.where(l == n_layers - 1,
+                               rms(h_new, final_norm[:].astype(jnp.float32)),
+                               h_new)
+
+    @pl.when(l >= n_layers)
+    def _head():
+        t = l - np.int32(n_layers)
+        hb = h_state[:].astype(head_w.dtype)  # (1, D) final-normed hidden
+        logits = jnp.dot(hb, head_w[:],
+                         preferred_element_type=jnp.float32) \
+            + head_b[:].astype(jnp.float32)  # (1, VT)
+        mx = jnp.max(logits)
+        am = jax.lax.argmax(logits, 1, jnp.int32)[_Z]
+
+        @pl.when(mx > best[0, 0])
+        def _():
+            best[0, 0] = mx
+            bidx[0, 0] = am + t * np.int32(vt)
+
+        @pl.when(l == n_layers + n_tiles - 1)
+        def _():
+            tok_out[0, 0] = bidx[0, 0]
+
+
+def pad_cache_lanes(c, dim_pad: int):
+    """Pad the last (lane) dim of a cache to the DMA alignment unit."""
+    pad = dim_pad - c.shape[-1]
+    if pad == 0:
+        return c
+    return jnp.pad(c, ((0, 0),) * (c.ndim - 1) + ((0, pad),))
+
+
+def lane_pad_dim(d: int) -> int:
+    """Smallest multiple of 128 (the HBM DMA lane-alignment unit) >= d."""
+    return -(-d // 128) * 128
+
+
+def pick_vt(vocab: int, cap: int = 4096) -> int:
+    """Largest 128-multiple vocab-tile size that divides ``vocab``."""
+    for vt in range(min(cap, vocab), 127, -128):
+        if vocab % vt == 0 and vt % 128 == 0:
+            return vt
+    return 0  # no valid tiling
+
+
+def pick_sb(seq: int, cap: int = 256) -> int:
+    """Largest 16-multiple KV block size <= cap that divides ``seq``."""
+    for sb in range(min(cap, seq), 15, -16):
+        if seq % sb == 0:
+            return sb
+    return 0
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("vt", "sb", "interpret"))
+def fused_decode_token(pos, tok, emb, cosr, sinr, rot, hmask, final_norm,
+                       wq, wk, wv, wo, gate_w, up_w, down_w,
+                       in_norm, post_norm, head_w, head_b, ck, cv,
+                       vt: int = 3200, sb: int = 256, interpret=False):
+    """ONE Pallas launch = one full greedy decode step.
+
+    pos scalar; tok (1,) i32 previous token; emb (V,D); cosr/sinr (S,D);
+    rot (D,D); hmask (Dp,H) lane-padded; final_norm (1,D); per-layer weights
+    (N,D,*); norms (N,1,D); head_w (D,V); head_b (1,V); caches (N,S,Dp)
+    lane-padded to a 128 multiple (``pad_cache_lanes``), updated in place in
+    HBM (aliased).  Returns (next_tok (1,) i32, ck, cv).
+
+    This replaces the reference's whole per-token Python forward
+    (reference llm/llama/model.py:258-269) with a single device kernel:
+    embedding gather, the layer stack with position-bounded KV streaming,
+    the lm_head and the argmax never leave the chip.
+    """
+    N, S, Dp = ck.shape
+    D = wq.shape[1]
+    H = hmask.shape[1]
+    F = gate_w.shape[2]
+    V = head_w.shape[1]
+    assert V % vt == 0 and vt % 128 == 0, (V, vt)
+    assert S % sb == 0 and sb % 16 == 0, (S, sb)
+    assert Dp % 128 == 0 and Dp >= D and hmask.shape[0] == Dp, (Dp, D)
+    assert emb.shape[0] % 8 == 0 and S % 8 == 0
+    n_tiles = V // vt
+
+    z = np.int32(0)
+    NL = np.int32(N)
+    NT1 = np.int32(n_tiles - 1)
+
+    def _i32(x):
+        # index-map arithmetic must stay strictly int32: x64 weak-typed
+        # promotion inside jnp helpers injects i64, which Mosaic cannot lower
+        return jax.lax.convert_element_type(x, jnp.int32)
+
+    def lspec(*shape):
+        # clamped: head stages keep re-using the last layer's block, so the
+        # pipeline never refetches it
+        return pl.BlockSpec(
+            (1,) + shape,
+            lambda l, _i: (jax.lax.min(_i32(l), NL - np.int32(1)),)
+            + (z,) * len(shape),
+            memory_space=pltpu.VMEM)
+
+    def full(*shape):
+        return pl.BlockSpec(shape, lambda l, _i: (z,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    def vocab_tile(rows):
+        return pl.BlockSpec(
+            (rows, vt),
+            lambda l, _i: (z, jax.lax.min(jax.lax.max(_i32(l) - NL, z), NT1)),
+            memory_space=pltpu.VMEM)
+
+    def row8(which):
+        # 8-row block picked by a scalar-prefetch value (tok or pos); the
+        # index is constant across grid steps, so it is fetched exactly once
+        return pl.BlockSpec(
+            (8, D),
+            lambda l, i: (jax.lax.div(_i32(i[which]), np.int32(8)), z),
+            memory_space=pltpu.VMEM)
+
+    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(N + n_tiles,),
+        in_specs=[
+            row8(1),         # emb block around tok
+            row8(0),         # cos block around pos
+            row8(0),         # sin block around pos
+            full(D, D),      # rot
+            full(Dp, H),     # hmask (lane-padded)
+            full(1, D),      # final_norm
+            lspec(D, D),     # wq
+            lspec(D, D),     # wk
+            lspec(D, D),     # wv
+            lspec(D, D),     # wo
+            lspec(D, F),     # gate
+            lspec(D, F),     # up
+            lspec(F, D),     # down
+            lspec(1, D),     # in_norm
+            lspec(1, D),     # post_norm
+            vocab_tile(D),   # head_w
+            vocab_tile(1),   # head_b
+            any_spec,        # ck (N, S, Dp)
+            any_spec,        # cv
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1), lambda l, _i: (z, z),
+                         memory_space=pltpu.SMEM),  # tok_out
+            any_spec,        # ck
+            any_spec,        # cv
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, D), jnp.float32),    # h_state
+            pltpu.VMEM((1, D), jnp.float32),    # cos_row
+            pltpu.VMEM((1, D), jnp.float32),    # sin_row
+            pltpu.VMEM((16, Dp), ck.dtype),     # ktile (RMW)
+            pltpu.VMEM((16, Dp), cv.dtype),     # vtile (RMW)
+            pltpu.VMEM((2, sb, Dp), ck.dtype),  # kbuf
+            pltpu.VMEM((2, sb, Dp), cv.dtype),  # vbuf
+            pltpu.SMEM((1, 1), jnp.float32),    # best
+            pltpu.SMEM((1, 1), jnp.int32),      # bidx
+            pltpu.SemaphoreType.DMA((4,)),      # rsem (k0,k1,v0,v1)
+            pltpu.SemaphoreType.DMA((4,)),      # wsem (tile r/w, k/v)
+        ],
+    )
+
+    kernel = functools.partial(_token_kernel, n_layers=N, n_heads=H, dim=D,
+                               dpad=Dp, vt=vt, n_tiles=n_tiles, sb=sb)
+    idx = jnp.stack([jnp.asarray(pos, jnp.int32),
+                     jnp.asarray(tok, jnp.int32).reshape(())])
+    # operand indices include the scalar-prefetch arg: ck=18, cv=19
+    tok_out, ck_new, cv_new = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            jax.ShapeDtypeStruct(ck.shape, ck.dtype),
+            jax.ShapeDtypeStruct(cv.shape, cv.dtype),
+        ],
+        input_output_aliases={18: 1, 19: 2},
+        interpret=interpret,
+    )(idx, emb, cosr, sinr, rot, hmask, final_norm, wq, wk, wv, wo,
+      gate_w, up_w, down_w, in_norm, post_norm, head_w, head_b, ck, cv)
+    return tok_out.reshape(1), ck_new, cv_new
+
+
+
 def _kernel(pos_ref,  # scalar prefetch (SMEM)
             h0, cosd, sind, rot, hmask, final_norm,  # replicated inputs
             wq, wk, wv, wo, gate_w, up_w, down_w, in_norm, post_norm,

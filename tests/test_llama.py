@@ -238,9 +238,13 @@ def test_full_model_grad_check_numerical():
 
 
 def test_fused_decode_shape_guard():
-    model = tiny_model()  # dim 24, ffn 40, seq 32, hd 12
-    assert model._fused_decode_supported()
-    odd = Llama(vocab_size=31, embed_dim=20, n_heads=2, ffn_dim=30,
+    # whole-token kernel additionally needs a 128-multiple vocab tiling
+    good = Llama(vocab_size=256, embed_dim=24, n_heads=2, ffn_dim=40,
+                 max_seq_len=32, max_batch_size=1, n_layers=1,
+                 dtype=np.float32)
+    assert good._fused_decode_supported()
+    assert not tiny_model()._fused_decode_supported()  # vocab 50: no tiling
+    odd = Llama(vocab_size=256, embed_dim=20, n_heads=2, ffn_dim=30,
                 max_seq_len=24, max_batch_size=1, n_layers=1,
                 dtype=np.float32)
     assert not odd._fused_decode_supported()  # ffn_dim 30 not 8-aligned

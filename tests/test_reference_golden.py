@@ -206,17 +206,20 @@ def test_all_decode_paths_token_exact(golden):
                for t in model.generate(prompt, TOTAL, chunk=7, fused=False)]
     assert xla == want, (xla, want)
 
-    # fused path: force interpret=True so the Pallas kernel runs on CPU
-    orig = dsk.fused_decode_step
-    dsk.fused_decode_step = functools.partial(orig, interpret=True)
+    # fused path: force interpret=True so the Pallas kernels run on CPU
+    orig_step = dsk.fused_decode_step
+    orig_tok = dsk.fused_decode_token
+    dsk.fused_decode_step = functools.partial(orig_step, interpret=True)
+    dsk.fused_decode_token = functools.partial(orig_tok, interpret=True)
     try:
-        model._fused_chunk_fn = None  # rebuild against the patched kernel
+        model._fused_chunk_fn = None  # rebuild against the patched kernels
         with pdn.no_grad():
             fused = [int(t.numpy()[0, 0])
                      for t in model.generate(prompt, TOTAL, chunk=7,
                                              fused=True)]
     finally:
-        dsk.fused_decode_step = orig
+        dsk.fused_decode_step = orig_step
+        dsk.fused_decode_token = orig_tok
         model._fused_chunk_fn = None
     assert fused == want, (fused, want)
 
