@@ -39,22 +39,32 @@ __all__ = ["jit"]
 
 
 def _collect_state(state):
-    """Returns (tensors, flexible) — ``flexible`` marks device-agnostic
-    framework state (PRNG keys) the bridge may freely re-place to match the
-    step's device."""
-    seen, out, flexible = set(), [], []
+    """Returns (tensors, flexible, names) — ``flexible`` marks
+    device-agnostic framework state (PRNG keys) the bridge may freely
+    re-place to match the step's device; ``names`` carries the dotted
+    parameter name for Module-owned tensors (None otherwise), used by
+    mesh ``shard_rules``."""
+    seen, out, flexible, names = set(), [], [], []
+
+    def add(t, flex, name):
+        if id(t) not in seen:
+            seen.add(id(t))
+            out.append(t)
+            flexible.append(flex)
+            names.append(name)
 
     def visit(obj, flex=False):
         if obj is None:
             return
         if isinstance(obj, Tensor):
-            if id(obj) not in seen:
-                seen.add(id(obj))
-                out.append(obj)
-                flexible.append(flex)
+            add(obj, flex, None)
         elif isinstance(obj, _random.Generator):
             for t in obj._state_tensors():
-                visit(t, flex=True)
+                add(t, True, None)
+        elif hasattr(obj, "_parameters") and hasattr(obj, "_state_tensors"):
+            # nn.Module: keep the dotted names for sharding rules
+            for name, t in obj._parameters.items():
+                add(t, flex, name)
         elif hasattr(obj, "_state_tensors"):
             for t in obj._state_tensors():
                 visit(t, flex=flex)
@@ -70,7 +80,7 @@ def _collect_state(state):
 
     visit(state)
     visit(_random.default_generator)
-    return out, flexible
+    return out, flexible, names
 
 
 def _is_dynamic_leaf(x) -> bool:
@@ -88,9 +98,10 @@ def _aval_key(v):
 
 class _JitFunction:
     def __init__(self, fn, state: Iterable = (), donate_state: bool = True,
-                 mesh=None, batch_axis: str = "dp"):
+                 mesh=None, batch_axis: str = "dp", shard_rules=None):
         self._fn = fn
-        self._state_tensors, self._state_flexible = _collect_state(state)
+        (self._state_tensors, self._state_flexible,
+         self._state_names) = _collect_state(state)
         # output pytree template per trace signature (different static args
         # may produce different output structures)
         self._out_templates = {}
@@ -101,10 +112,49 @@ class _JitFunction:
             from jax.sharding import NamedSharding, PartitionSpec as P
             self._rep_sharding = NamedSharding(mesh, P())
             self._batch_sharding = NamedSharding(mesh, P(batch_axis))
+            self._state_shardings = self._resolve_shard_rules(
+                mesh, shard_rules or [])
         donate = (0,) if donate_state else ()
         self._compiled = jax.jit(self._pure, static_argnums=(2, 3),
                                  donate_argnums=donate)
         functools.update_wrapper(self, fn, updated=())
+
+    def _resolve_shard_rules(self, mesh, rules):
+        """Per-state-tensor NamedSharding from (fnmatch-pattern, spec) rules.
+
+        Module parameters match by dotted name; unnamed state (optimizer
+        moment buffers, which mirror their parameter exactly) inherits the
+        sharding of a named tensor with identical shape+dtype; everything
+        else is replicated — the tensor-parallel upgrade promised by the
+        round-1 dp-only ``pdn.jit(mesh=)``.
+        """
+        import fnmatch
+        from jax.sharding import NamedSharding
+
+        def match(name):
+            if name is None:
+                return None
+            for pat, spec in rules:
+                if fnmatch.fnmatch(name, pat):
+                    return spec
+            return None
+
+        specs = [match(n) for n in self._state_names]
+        by_shape = {}
+        for t, n, s in zip(self._state_tensors, self._state_names, specs):
+            if n is not None and s is not None:
+                key = (tuple(np.shape(t._data)),
+                       str(getattr(t._data, "dtype", "")))
+                by_shape.setdefault(key, s)
+        out = []
+        for t, n, s in zip(self._state_tensors, self._state_names, specs):
+            if s is None and n is None:
+                key = (tuple(np.shape(t._data)),
+                       str(getattr(t._data, "dtype", "")))
+                s = by_shape.get(key)
+            out.append(NamedSharding(mesh, s) if s is not None
+                       else self._rep_sharding)
+        return out
 
     # -- runs under trace --------------------------------------------------
     def _pure(self, state_vals, dyn_leaves, dyn_mask, packed_static):
@@ -158,12 +208,13 @@ class _JitFunction:
                     target = a.device.jax_device
                     break
         if self._mesh is not None:
-            # data-parallel SPMD: replicate state over the mesh once (later
-            # calls see already-sharded outputs and the put is a no-op)
+            # SPMD: place state per its resolved sharding (replicated by
+            # default; tensor-parallel via shard_rules) once — later calls
+            # see already-sharded outputs and the put is a no-op
             for i, v in enumerate(state_vals):
-                if isinstance(v, jax.Array) \
-                        and v.sharding != self._rep_sharding:
-                    state_vals[i] = jax.device_put(v, self._rep_sharding)
+                want = self._state_shardings[i]
+                if isinstance(v, jax.Array) and v.sharding != want:
+                    state_vals[i] = jax.device_put(v, want)
             target = None
         elif target is not None:
             for i, v in enumerate(state_vals):
@@ -249,18 +300,24 @@ class _JitFunction:
 
 
 def jit(fn=None, *, state: Any = (), donate_state: bool = True, mesh=None,
-        batch_axis: str = "dp"):
+        batch_axis: str = "dp", shard_rules=None):
     """Compile an imperative step function; see module docstring.
 
-    With ``mesh`` (a jax.sharding.Mesh), the step runs data-parallel SPMD:
-    module/optimizer state is replicated across the mesh, tensor arguments
-    are sharded on their leading (batch) dimension over ``batch_axis``, and
-    GSPMD inserts the gradient all-reduce — the multi-chip upgrade of the
-    reference's single-device training loop with zero changes to the step
-    function.
+    With ``mesh`` (a jax.sharding.Mesh), the step runs SPMD: tensor
+    arguments are sharded on their leading (batch) dimension over
+    ``batch_axis`` and GSPMD inserts the gradient all-reduce — the
+    multi-chip upgrade of the reference's single-device training loop with
+    zero changes to the step function.  Module/optimizer state is replicated
+    by default; pass ``shard_rules`` — a list of
+    ``(fnmatch-pattern, jax.sharding.PartitionSpec)`` pairs matched against
+    dotted parameter names (e.g. ``("*.attention.Q.weight", P(None, "tp"))``)
+    — for Megatron-style tensor parallelism over a ``tp`` mesh axis
+    (canned Llama rules: ``pydynet_tpu.parallel.LLAMA_TP_RULES``).
+    Optimizer moment buffers inherit the sharding of the parameter they
+    mirror (matched by shape+dtype).
     """
     kwargs = dict(state=state, donate_state=donate_state, mesh=mesh,
-                  batch_axis=batch_axis)
+                  batch_axis=batch_axis, shard_rules=shard_rules)
     if fn is None:
         return lambda f: _JitFunction(f, **kwargs)
     return _JitFunction(fn, **kwargs)

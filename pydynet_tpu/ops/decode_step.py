@@ -410,7 +410,7 @@ def fused_decode_token(pos, tok, emb, cosr, sinr, rot, hmask, final_norm,
             lambda l, i: (jax.lax.div(_i32(i[which]), np.int32(8)), z),
             memory_space=pltpu.VMEM)
 
-    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

@@ -228,3 +228,43 @@ def test_lm_head_argmax_kernel():
     got = int(lm_head_argmax(h, w, b, vt=128, interpret=True)[0, 0])
     want = int(np.argmax(np.asarray(h) @ np.asarray(w) + np.asarray(b)))
     assert got == want
+
+
+@pytest.mark.parametrize("bq,bk", [(64, 128), (128, 64), (64, 256)])
+def test_flash_attention_asymmetric_blocks(bq, bk):
+    """Regression: the causal K-block bound must be correct for ANY block
+    ratio — block_q // block_k is 0 when block_k > block_q, which silently
+    dropped most of the context (found on hardware, round 2)."""
+    from pydynet_tpu.ops import flash_attention as fa
+
+    rng = np.random.default_rng(3)
+    B, L, H, d = 1, 256, 2, 16
+    q, k, v = (jnp.asarray(rng.standard_normal((B, L, H, d)), jnp.float32)
+               for _ in range(3))
+    out = fa.flash_attention_causal(q, k, v, None, bq, bk, True)
+    want = fa.mha_reference(q, k, v, fa._causal_mask(L))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=2e-5)
+
+    # backward too (dq and dkv kernels use the same bounds)
+    def loss(q, k, v):
+        return jnp.sum(fa.flash_attention_causal(q, k, v, None, bq, bk,
+                                                 True) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(fa.mha_reference(q, k, v, fa._causal_mask(L)) ** 2)
+
+    g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
+def test_flash_attention_pick_blocks():
+    from pydynet_tpu.ops.flash_attention import pick_blocks
+
+    bq, bk = pick_blocks(8192, 64)
+    assert 8192 % bq == 0 and 8192 % bk == 0
+    # double-buffered window must stay under the ~4MB budget
+    assert 4 * bk * 128 * 4 <= 4 * 1024 * 1024
+    bq, bk = pick_blocks(384, 64)
+    assert 384 % bq == 0 and 384 % bk == 0
