@@ -6,6 +6,7 @@ hinge, jitted train/eval steps.
 Falls back to synthetic CoLA-shaped token data when the tsv is absent.
 """
 import argparse
+import time
 from os.path import exists, join
 
 import numpy as np
@@ -156,6 +157,9 @@ def main(argv=None):
     parser.add_argument("--batch-size", type=int, default=128)
     parser.add_argument("--data", type=str,
                         default="examples/data/CoLA/tokenized")
+    parser.add_argument("--samples", type=int, default=2048,
+                        help="synthetic-fallback dataset size (the reference "
+                             "benchmark config is 8551, README.md:153)")
     args = parser.parse_args(argv)
 
     np.random.seed(42)
@@ -164,7 +168,7 @@ def main(argv=None):
     data = load_cola(args.data)
     if data is None:
         print("CoLA tsv not found -> synthetic CoLA-shaped data")
-        data = synthetic_cola()
+        data = synthetic_cola(n=args.samples)
     X, y = data
     y = y.astype(np.float64)
     y[y == 0] = -1
@@ -198,6 +202,7 @@ def main(argv=None):
 
     loader = data_loader(train_X, train_y, args.batch_size, shuffle=True)
     for epoch in range(args.epochs):
+        t_epoch = time.time()
         net.train()
         for bx, by in loader:
             tbx = pdn.Tensor(bx, device=dev)
@@ -209,7 +214,8 @@ def main(argv=None):
             tb = pdn.Tensor(test_X, device=dev)
             score = jeval(tb, construct_mask(tb)).numpy()
         acc = float((np.sign(score) == test_y).mean())
-        print(f"epoch {epoch:2d}: loss={loss.item():.4f} test_acc={acc:.4f}")
+        print(f"epoch {epoch:2d}: loss={loss.item():.4f} test_acc={acc:.4f} "
+              f"({time.time() - t_epoch:.3f}s)")
     return acc
 
 
