@@ -423,14 +423,21 @@ class Llama(nn.Module):
         return prefill, decode_chunk
 
     # ---------------- Pallas fused decode (B=1 fast path) ---------------- #
-    def _fused_weights(self, dtype=None):
+    def _fused_weights(self, dtype=None, quant=None):
         """Weight pytree for the fused Pallas decode step: unfused per-layer
         matrices, (N,1,D) norms, constant RoPE/head matrices, and (S,D)
-        expanded cos/sin tables."""
+        expanded cos/sin tables.
+
+        ``quant="int8"`` stores the matmul weights (wq/wk/wv/wo, gate/up/down,
+        head_w) as int8 with per-output-channel f32 scales packed the way the
+        whole-token kernel reads them (halves per-token HBM traffic — the
+        decode bound).  The XLA-path entries (wqkv/wgu/head_w for prefill)
+        stay at full precision."""
         from ...ops import decode_step as dsk
 
         base = self._weights(dtype)
         D, H, N = self.embed_dim, self.n_heads, self.n_layers
+        F = self.ffn_dim
         Dp = dsk.lane_pad_dim(D)
         wdt = base["tok"].dtype
         cos, sin = base["cos"], base["sin"]  # (S, hd/2)
@@ -453,6 +460,28 @@ class Llama(nn.Module):
             "cosD": expand(cos).astype(wdt),  # (S, D)
             "sinD": expand(sin).astype(wdt),
         })
+        if quant in ("int8", "int8-head"):
+            from ...ops.quant import quantize_int8
+
+            if quant == "int8":  # layer matmuls too, not just the head
+                def q(name):  # (N, K, M) stacked weight, contraction axis 1
+                    arr, s = quantize_int8(fused[name], axis=1)
+                    fused[name] = arr
+                    return s  # (N, 1, M) f32
+
+                sq, sk, sv = q("wq"), q("wk"), q("wv")
+                so, sdn = q("wo"), q("down")
+                sg, su = q("gate_w"), q("up_w")
+                zD = jnp.zeros((N, 3, D), jnp.float32)
+                zF = jnp.zeros((N, 6, F), jnp.float32)
+                fused["s_attn"] = jnp.concatenate([sq, sk, sv, so, sdn, zD],
+                                                  1)
+                fused["s_ffn"] = jnp.concatenate([sg, su, zF], 1)
+            hq, hs = quantize_int8(base["head_w"], axis=0)
+            fused["head_wq"] = hq            # int8 (D, V) for the kernel
+            fused["head_s"] = hs             # f32 (1, V)
+        elif quant is not None:
+            raise ValueError(f"unsupported quant mode: {quant!r}")
         return fused
 
     def _fused_decode_supported(self) -> bool:
@@ -483,7 +512,10 @@ class Llama(nn.Module):
         @partial(jax.jit, static_argnames=("n_steps",),
                  donate_argnames=("ck", "cv"))
         def decode_chunk(weights, ck, cv, last_tok, pos, n_steps):
-            """B=1; caches (N, S, Dp) lane-padded (pad_cache_lanes)."""
+            """B=1; caches (N, S, Dp) lane-padded (pad_cache_lanes).  If the
+            weight pytree carries int8 scales (_fused_weights(quant=...)),
+            the kernel runs the weight-only-int8 path for those weights."""
+            qhead = "head_s" in weights  # static at trace time
             def step(carry, _):
                 ck, cv, tok, p = carry
                 nxt, ck, cv = fused_decode_token(
@@ -492,8 +524,12 @@ class Llama(nn.Module):
                     weights["wq"], weights["wk"], weights["wv"],
                     weights["wo"], weights["gate_w"], weights["up_w"],
                     weights["down"], weights["in_norm2"],
-                    weights["post_norm2"], weights["head_w"],
-                    weights["head_b2"], ck, cv, vt=vt, sb=sb)
+                    weights["post_norm2"],
+                    weights["head_wq"] if qhead else weights["head_w"],
+                    weights["head_b2"], ck, cv, vt=vt, sb=sb,
+                    s_attn=weights.get("s_attn"),
+                    s_ffn=weights.get("s_ffn"),
+                    head_s=weights.get("head_s"))
                 return (ck, cv, nxt.astype(tok.dtype), p + 1), nxt
 
             pos = jnp.asarray(pos, jnp.int32)
@@ -571,17 +607,20 @@ class Llama(nn.Module):
         return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
 
     def generate(self, input_ids, max_new_tokens: int,
-                 chunk: int = DECODE_CHUNK, dtype=None, fused=None):
+                 chunk: int = DECODE_CHUNK, dtype=None, fused=None,
+                 quant=None):
         """Greedy generation; yields (B,1) id tensors one token at a time
         like the reference (model.py:258-269), while computing CHUNK tokens
         per compiled on-device scan, with the next chunk dispatched before
         the previous one's tokens are read back (1-deep pipeline hides the
         host->TPU dispatch latency).  ``max_new_tokens`` bounds the TOTAL
         sequence length (reference quirk).  ``dtype=jnp.bfloat16`` runs the
-        weights/caches in bf16 with f32 softmax/norm/logits.  Deliberate fix
-        vs the reference: its decode feeds token L at start_pos L+1, leaving
-        cache slot L zeroed (model.py:259-265); we decode at the correct
-        positions."""
+        weights/caches in bf16 with f32 softmax/norm/logits.
+        ``quant="int8"`` (B=1 fused path only) additionally stores matmul
+        weights as int8 with per-channel scales — halves decode HBM traffic.
+        Deliberate fix vs the reference: its decode feeds token L at
+        start_pos L+1, leaving cache slot L zeroed (model.py:259-265); we
+        decode at the correct positions."""
         if self._decode_fns is None:
             self._decode_fns = self._make_decode_fns()
         prefill, decode_chunk = self._decode_fns
@@ -591,10 +630,13 @@ class Llama(nn.Module):
         if fused is None:
             fused = self.device.kind == "accel" \
                 and self._fused_decode_supported()
-        key = (np.dtype(dtype).name if dtype else "native", bool(fused))
+        if quant is not None and not (fused and B == 1):
+            raise ValueError("quant requires the fused B=1 decode path")
+        key = (np.dtype(dtype).name if dtype else "native", bool(fused),
+               quant)
         weights = self._weights_cache.get(key)
         if weights is None:
-            weights = (self._fused_weights(dtype) if fused
+            weights = (self._fused_weights(dtype, quant) if fused
                        else self._weights(dtype))
             self._weights_cache[key] = weights
 

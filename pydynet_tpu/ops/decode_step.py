@@ -119,12 +119,10 @@ def _token_kernel(idx_ref,  # scalar prefetch: (2,) i32 = [pos, tok]
                   rot, hmask, final_norm,  # VMEM constants (hmask lane-padded)
                   wq, wk, wv, wo, gate_w, up_w, down_w, in_norm, post_norm,
                   head_w, head_b,  # VMEM vocab tiles (D,VT), (1,VT)
-                  ck_in, cv_in,  # ANY, aliased to outputs (accessed via outs)
-                  tok_out, ck, cv,  # outputs: SMEM (1,1) i32, ANY, ANY
-                  h_state, cos_row, sin_row, ktile, vtile, kbuf, vbuf,
-                  best, bidx, rsem, wsem,
-                  *, n_layers: int, n_heads: int, dim: int, dpad: int,
-                  vt: int, n_tiles: int, sb: int):
+                  *rest,
+                  n_layers: int, n_heads: int, dim: int, dpad: int,
+                  vt: int, n_tiles: int, sb: int, qlayers: bool,
+                  qhead: bool):
     """One grid step per layer, then one per lm_head vocab tile.
 
     The hidden state lives in VMEM scratch across stages.  KV caches stay in
@@ -138,7 +136,32 @@ def _token_kernel(idx_ref,  # scalar prefetch: (2,) i32 = [pos, tok]
     dependent index maps.  Everything a greedy decode step needs — embed,
     the layer stack, the vocab-tiled lm_head matmul, the argmax — happens
     inside this ONE launch.
+
+    Weight-only int8 (``qlayers`` / ``qhead`` independently): quantized
+    weights arrive int8 with per-output-channel f32 scale refs (``s_attn``
+    (1,8,D): rows q,k,v,o,down; ``s_ffn`` (1,8,F): rows gate,up; ``head_s``
+    (1,VT) tiles).  Matmuls run int8 x int8 -> int32 on the MXU: the (1,K)
+    activation vector is quantized per call with a dynamic symmetric scale
+    (trivial VPU work), the int8 weight tile feeds the MXU *as stored* — no
+    tile-sized int8->bf16 relayout (measured to cost more than the DMA it
+    saves) — and the f32 result is rescaled by (activation scale x channel
+    scale).  Halving the lm_head bytes is a measured win (the head is the
+    single largest HBM stream); the layer stages are latency- not
+    bandwidth-bound at small dim, where the extra quantize ops can cost
+    more than the DMA they save — hence the split switches.
     """
+    rest = list(rest)
+    s_attn = s_ffn = head_s = hq8 = hsx = None
+    if qlayers:
+        s_attn, s_ffn = rest[0], rest[1]
+        del rest[0:2]
+    if qhead:
+        head_s = rest.pop(0)
+        hq8, hsx = rest.pop(-2), rest.pop(-1)
+    (ck_in, cv_in, tok_out, ck, cv,
+     h_state, cos_row, sin_row, ktile, vtile, kbuf, vbuf,
+     best, bidx, rsem, wsem) = rest
+
     l = pl.program_id(0)
     pos = idx_ref[0]
     tok = idx_ref[1]
@@ -148,6 +171,18 @@ def _token_kernel(idx_ref,  # scalar prefetch: (2,) i32 = [pos, tok]
 
     def rms(x, w):
         return (x / jnp.sqrt(jnp.mean(x * x, -1, keepdims=True) + 1e-6)) * w
+
+    def qvec(x32):
+        """Quantize a (1, K) f32 activation vector to int8 + scale."""
+        amax = jnp.maximum(jnp.max(jnp.abs(x32)), 1e-30)
+        xq = jnp.round(x32 * (127.0 / amax)).astype(jnp.int8)
+        return xq, amax * (1.0 / 127.0)
+
+    def qmm(xq, wref, sref, r, sx):
+        """int8 x int8 -> int32 MXU matmul, rescaled to f32.  ``r`` picks the
+        per-output-channel scale row of the packed (1, 8, *) scale block."""
+        acc = jnp.dot(xq, wref[0], preferred_element_type=jnp.int32)
+        return acc.astype(jnp.float32) * (sref[0, r:r + 1, :] * sx)
 
     def lane_pad(x):
         # (1, dim) -> (1, dpad) with zero lanes beyond dim
@@ -181,11 +216,18 @@ def _token_kernel(idx_ref,  # scalar prefetch: (2,) i32 = [pos, tok]
         rk_dma.start(); rv_dma.start()
 
         h = h_state[:]  # (1, D) f32
-        hn = rms(h, in_norm[0].astype(jnp.float32)).astype(cdtype)
+        hn32 = rms(h, in_norm[0].astype(jnp.float32))
 
-        q = jnp.dot(hn, wq[0], preferred_element_type=jnp.float32)
-        k = jnp.dot(hn, wk[0], preferred_element_type=jnp.float32)
-        v = jnp.dot(hn, wv[0], preferred_element_type=jnp.float32)
+        if qlayers:
+            xq, sx = qvec(hn32)
+            q = qmm(xq, wq, s_attn, 0, sx)
+            k = qmm(xq, wk, s_attn, 1, sx)
+            v = qmm(xq, wv, s_attn, 2, sx)
+        else:
+            hn = hn32.astype(cdtype)
+            q = jnp.dot(hn, wq[0], preferred_element_type=jnp.float32)
+            k = jnp.dot(hn, wk[0], preferred_element_type=jnp.float32)
+            v = jnp.dot(hn, wv[0], preferred_element_type=jnp.float32)
 
         cos = cos_row[:]
         sin = sin_row[:]
@@ -283,14 +325,25 @@ def _token_kernel(idx_ref,  # scalar prefetch: (2,) i32 = [pos, tok]
         wk_dma.wait()
         wv_dma.wait()
 
-        z = h + jnp.dot(att.astype(cdtype), wo[0],
-                        preferred_element_type=jnp.float32)
-        zn = rms(z, post_norm[0].astype(jnp.float32)).astype(cdtype)
-        g = jnp.dot(zn, gate_w[0], preferred_element_type=jnp.float32)
-        u = jnp.dot(zn, up_w[0], preferred_element_type=jnp.float32)
-        ff = (g * jax.nn.sigmoid(g)) * u
-        h_new = z + jnp.dot(ff.astype(cdtype), down_w[0],
+        if qlayers:
+            aq, asx = qvec(att)
+            z = h + qmm(aq, wo, s_attn, 3, asx)
+            zn32 = rms(z, post_norm[0].astype(jnp.float32))
+            zq, zsx = qvec(zn32)
+            g = qmm(zq, gate_w, s_ffn, 0, zsx)
+            u = qmm(zq, up_w, s_ffn, 1, zsx)
+            ff = (g * jax.nn.sigmoid(g)) * u
+            fq, fsx = qvec(ff)
+            h_new = z + qmm(fq, down_w, s_attn, 4, fsx)
+        else:
+            z = h + jnp.dot(att.astype(cdtype), wo[0],
                             preferred_element_type=jnp.float32)
+            zn = rms(z, post_norm[0].astype(jnp.float32)).astype(cdtype)
+            g = jnp.dot(zn, gate_w[0], preferred_element_type=jnp.float32)
+            u = jnp.dot(zn, up_w[0], preferred_element_type=jnp.float32)
+            ff = (g * jax.nn.sigmoid(g)) * u
+            h_new = z + jnp.dot(ff.astype(cdtype), down_w[0],
+                                preferred_element_type=jnp.float32)
         h_state[:] = jnp.where(l == n_layers - 1,
                                rms(h_new, final_norm[:].astype(jnp.float32)),
                                h_new)
@@ -298,10 +351,22 @@ def _token_kernel(idx_ref,  # scalar prefetch: (2,) i32 = [pos, tok]
     @pl.when(l >= n_layers)
     def _head():
         t = l - np.int32(n_layers)
-        hb = h_state[:].astype(head_w.dtype)  # (1, D) final-normed hidden
-        logits = jnp.dot(hb, head_w[:],
-                         preferred_element_type=jnp.float32) \
-            + head_b[:].astype(jnp.float32)  # (1, VT)
+        if qhead:
+            @pl.when(t == 0)
+            def _():
+                xq0, sx0 = qvec(h_state[:])
+                hq8[:] = xq0
+                hsx[0, 0] = sx0
+
+            acc = jnp.dot(hq8[:], head_w[:],
+                          preferred_element_type=jnp.int32)
+            logits = acc.astype(jnp.float32) \
+                * (head_s[:].astype(jnp.float32) * hsx[0, 0])
+        else:
+            hb = h_state[:].astype(head_w.dtype)  # (1, D) final-normed
+            logits = jnp.dot(hb, head_w[:],
+                             preferred_element_type=jnp.float32)
+        logits = logits + head_b[:].astype(jnp.float32)  # (1, VT)
         mx = jnp.max(logits)
         am = jax.lax.argmax(logits, 1, jnp.int32)[_Z]
 
@@ -328,8 +393,12 @@ def lane_pad_dim(d: int) -> int:
     return -(-d // 128) * 128
 
 
-def pick_vt(vocab: int, cap: int = 4096) -> int:
-    """Largest 128-multiple vocab-tile size that divides ``vocab``."""
+def pick_vt(vocab: int, cap: int = 8192) -> int:
+    """Largest 128-multiple vocab-tile size that divides ``vocab``.
+
+    Bigger tiles mean fewer head grid steps (measured ~4us/token at
+    stories15M: 10 tiles of 3200 -> 5 of 6400); the cap keeps the
+    double-buffered (D, vt) bf16 tile pair within the VMEM budget."""
     for vt in range(min(cap, vocab), 127, -128):
         if vocab % vt == 0 and vt % 128 == 0:
             return vt
@@ -349,7 +418,8 @@ def pick_sb(seq: int, cap: int = 256) -> int:
 def fused_decode_token(pos, tok, emb, cosr, sinr, rot, hmask, final_norm,
                        wq, wk, wv, wo, gate_w, up_w, down_w,
                        in_norm, post_norm, head_w, head_b, ck, cv,
-                       vt: int = 3200, sb: int = 256, interpret=False):
+                       vt: int = 3200, sb: int = 256, interpret=False,
+                       s_attn=None, s_ffn=None, head_s=None):
     """ONE Pallas launch = one full greedy decode step.
 
     pos scalar; tok (1,) i32 previous token; emb (V,D); cosr/sinr (S,D);
@@ -357,6 +427,14 @@ def fused_decode_token(pos, tok, emb, cosr, sinr, rot, hmask, final_norm,
     (N,D,*); norms (N,1,D); head_w (D,V); head_b (1,V); caches (N,S,Dp)
     lane-padded to a 128 multiple (``pad_cache_lanes``), updated in place in
     HBM (aliased).  Returns (next_tok (1,) i32, ck, cv).
+
+    Weight-only int8, split per weight group: pass layer matmul weights
+    (wq..down_w) as int8 with ``s_attn`` (N,8,D: rows q,k,v,o,down) +
+    ``s_ffn`` (N,8,F: rows gate,up), and/or the head as int8 with
+    ``head_s`` (1,V) — as produced by ``ops.quant.quantize_int8``.  Dots
+    run int8 x int8 -> int32 on the MXU with per-call activation
+    quantization; see the kernel docstring for why head-only is the
+    default profitable mode.
 
     This replaces the reference's whole per-token Python forward
     (reference llm/llama/model.py:258-269) with a single device kernel:
@@ -368,6 +446,9 @@ def fused_decode_token(pos, tok, emb, cosr, sinr, rot, hmask, final_norm,
     H = hmask.shape[1]
     F = gate_w.shape[2]
     V = head_w.shape[1]
+    qlayers = s_attn is not None
+    qhead = head_s is not None
+    assert qlayers == (s_ffn is not None)
     assert V % vt == 0 and vt % 128 == 0, (V, vt)
     assert S % sb == 0 and sb % 16 == 0, (S, sb)
     assert Dp % 128 == 0 and Dp >= D and hmask.shape[0] == Dp, (Dp, D)
@@ -412,30 +493,45 @@ def fused_decode_token(pos, tok, emb, cosr, sinr, rot, hmask, final_norm,
 
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
 
+    in_specs = [
+        row8(1),         # emb block around tok
+        row8(0),         # cos block around pos
+        row8(0),         # sin block around pos
+        full(D, D),      # rot
+        full(Dp, H),     # hmask (lane-padded)
+        full(1, D),      # final_norm
+        lspec(D, D),     # wq
+        lspec(D, D),     # wk
+        lspec(D, D),     # wv
+        lspec(D, D),     # wo
+        lspec(D, F),     # gate
+        lspec(D, F),     # up
+        lspec(F, D),     # down
+        lspec(1, D),     # in_norm
+        lspec(1, D),     # post_norm
+        vocab_tile(D),   # head_w
+        vocab_tile(1),   # head_b
+    ]
+    quant_ops = ()
+    if qlayers:
+        in_specs += [
+            lspec(8, D),     # s_attn (rows: q, k, v, o, down)
+            lspec(8, F),     # s_ffn (rows: gate, up)
+        ]
+        quant_ops += (s_attn, s_ffn)
+    if qhead:
+        in_specs += [vocab_tile(1)]  # head_s
+        quant_ops += (head_s,)
+    in_specs += [
+        any_spec,        # ck (N, S, Dp)
+        any_spec,        # cv
+    ]
+    cache_op = 1 + len(in_specs) - 2  # operand index of ck incl. prefetch arg
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(N + n_tiles,),
-        in_specs=[
-            row8(1),         # emb block around tok
-            row8(0),         # cos block around pos
-            row8(0),         # sin block around pos
-            full(D, D),      # rot
-            full(Dp, H),     # hmask (lane-padded)
-            full(1, D),      # final_norm
-            lspec(D, D),     # wq
-            lspec(D, D),     # wk
-            lspec(D, D),     # wv
-            lspec(D, D),     # wo
-            lspec(D, F),     # gate
-            lspec(D, F),     # up
-            lspec(F, D),     # down
-            lspec(1, D),     # in_norm
-            lspec(1, D),     # post_norm
-            vocab_tile(D),   # head_w
-            vocab_tile(1),   # head_b
-            any_spec,        # ck (N, S, Dp)
-            any_spec,        # cv
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, 1), lambda l, _i: (z, z),
                          memory_space=pltpu.SMEM),  # tok_out
@@ -454,14 +550,18 @@ def fused_decode_token(pos, tok, emb, cosr, sinr, rot, hmask, final_norm,
             pltpu.SMEM((1, 1), jnp.int32),      # bidx
             pltpu.SemaphoreType.DMA((4,)),      # rsem (k0,k1,v0,v1)
             pltpu.SemaphoreType.DMA((4,)),      # wsem (tile r/w, k/v)
-        ],
+        ] + ([
+            pltpu.VMEM((1, D), jnp.int8),       # hq8 (quantized final hidden)
+            pltpu.SMEM((1, 1), jnp.float32),    # hsx (its scale)
+        ] if qhead else []),
     )
 
     kernel = functools.partial(_token_kernel, n_layers=N, n_heads=H, dim=D,
-                               dpad=Dp, vt=vt, n_tiles=n_tiles, sb=sb)
+                               dpad=Dp, vt=vt, n_tiles=n_tiles, sb=sb,
+                               qlayers=qlayers, qhead=qhead)
     idx = jnp.stack([jnp.asarray(pos, jnp.int32),
                      jnp.asarray(tok, jnp.int32).reshape(())])
-    # operand indices include the scalar-prefetch arg: ck=18, cv=19
+    # operand indices include the scalar-prefetch arg (ck/cv at the end)
     tok_out, ck_new, cv_new = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -470,10 +570,16 @@ def fused_decode_token(pos, tok, emb, cosr, sinr, rot, hmask, final_norm,
             jax.ShapeDtypeStruct(ck.shape, ck.dtype),
             jax.ShapeDtypeStruct(cv.shape, cv.dtype),
         ],
-        input_output_aliases={18: 1, 19: 2},
+        input_output_aliases={cache_op: 1, cache_op + 1: 2},
+        # bigger vocab tiles (fewer grid steps, measured ~4us/token) need
+        # more double-buffer space than the conservative 16MB default; a
+        # v5e core has 128MB of physical VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(idx, emb, cosr, sinr, rot, hmask, final_norm, wq, wk, wv, wo,
-      gate_w, up_w, down_w, in_norm, post_norm, head_w, head_b, ck, cv)
+      gate_w, up_w, down_w, in_norm, post_norm, head_w, head_b,
+      *quant_ops, ck, cv)
     return tok_out.reshape(1), ck_new, cv_new
 
 

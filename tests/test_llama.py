@@ -250,6 +250,51 @@ def test_fused_decode_shape_guard():
     assert not odd._fused_decode_supported()  # ffn_dim 30 not 8-aligned
 
 
+def test_generate_int8_quant_plumbing():
+    """generate(fused=True, quant="int8") end to end (interpret mode): the
+    stream is deterministic, the full-precision prefill token matches the
+    unquantized path, and quant demands the fused B=1 path.  (The int8
+    kernel MATH is pinned against a dequantized NumPy reference in
+    test_ops_kernels.py.)"""
+    import functools
+
+    from pydynet_tpu.ops import decode_step as dsk
+
+    np.random.seed(3)
+    model = Llama(vocab_size=256, embed_dim=32, n_heads=2, ffn_dim=64,
+                  max_seq_len=32, max_batch_size=1, n_layers=2,
+                  dtype=np.float32)
+    model.eval()
+    assert model._fused_decode_supported()
+    ids = np.array([[1, 5, 9]])
+
+    orig_tok = dsk.fused_decode_token
+    dsk.fused_decode_token = functools.partial(orig_tok, interpret=True)
+    try:
+        with pdn.no_grad():
+            a = [int(t.numpy()[0, 0])
+                 for t in model.generate(ids, 16, chunk=5, fused=True,
+                                         quant="int8")]
+            b = [int(t.numpy()[0, 0])
+                 for t in model.generate(ids, 16, chunk=5, fused=True,
+                                         quant="int8")]
+            base = [int(t.numpy()[0, 0])
+                    for t in model.generate(ids, 16, chunk=5, fused=False)]
+    finally:
+        dsk.fused_decode_token = orig_tok
+        model._fused_chunk_fn = None
+
+    assert a == b  # deterministic
+    assert len(a) == 16 - 3 and all(0 <= t < 256 for t in a)
+    assert a[0] == base[0]  # prefill stays full precision
+
+    with pytest.raises(ValueError):
+        next(iter(model.generate(np.array([[1, 2], [3, 4]]), 8,
+                                 fused=True, quant="int8")))
+    with pytest.raises(ValueError):
+        next(iter(model.generate(ids, 8, fused=False, quant="int8")))
+
+
 def test_generate_early_break_then_reuse():
     model = tiny_model()
     model.eval()

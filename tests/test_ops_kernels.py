@@ -259,6 +259,165 @@ def test_flash_attention_asymmetric_blocks(bq, bk):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
 
 
+def test_quantize_int8_roundtrip():
+    from pydynet_tpu.ops.quant import dequantize_int8, quantize_int8
+
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.standard_normal((3, 16, 24)) * 0.3, jnp.float32)
+    q, s = quantize_int8(w, axis=1)
+    assert q.dtype == jnp.int8 and s.dtype == jnp.float32
+    assert q.shape == w.shape and s.shape == (3, 1, 24)
+    # per-element error bounded by half a quantization step
+    step = np.asarray(s)
+    err = np.abs(np.asarray(dequantize_int8(q, s)) - np.asarray(w))
+    assert (err <= 0.5 * step + 1e-7).all(), err.max()
+    # the factored matmul identity the kernel relies on
+    x = rng.standard_normal((1, 16)).astype(np.float32)
+    lhs = x @ np.asarray(dequantize_int8(q, s))[0]
+    rhs = (x @ np.asarray(q, np.float32)[0]) * step[0]
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-6)
+
+
+def _np_qvec(x):
+    """Mirror of the kernel's activation quantization (f32 like the TPU)."""
+    x = x.astype(np.float32)
+    amax = np.float32(max(np.abs(x).max(), 1e-30))
+    xq = np.round(x * (np.float32(127.0) / amax))
+    return xq.astype(np.float32), amax / np.float32(127.0)
+
+
+def _np_qmm(xq, w_i8, s, sx):
+    return (xq @ w_i8.astype(np.float32)) * (s.astype(np.float32) * sx)
+
+
+def _whole_token_reference_q(pos, tok, emb, head_q, head_s, head_b, qp, sp,
+                             norms, ck_std, cv_std, cfg):
+    """NumPy mirror of the int8 whole-token kernel: embed -> layers with
+    int8-quantized matmuls (weights AND per-call activation vectors) ->
+    final norm -> int8 head -> argmax."""
+    N, H, D, S = cfg["n_layers"], cfg["n_heads"], cfg["dim"], cfg["seq"]
+    hd = D // H
+    inv = 1.0 / (10000 ** (np.arange(0, hd, 2) / hd))
+    cos, sin = np.cos(pos * inv), np.sin(pos * inv)
+
+    def rms(x, w):
+        return x / np.sqrt((x * x).mean(-1, keepdims=True) + 1e-6) * w
+
+    h = emb[tok][None, :].astype(np.float32)
+    for i in range(N):
+        xq, sx = _np_qvec(rms(h, norms["in_norm"][i, 0]))
+        q = _np_qmm(xq, qp["wq"][i], sp["wq"][i, 0], sx)
+        k = _np_qmm(xq, qp["wk"][i], sp["wk"][i, 0], sx)
+        v = _np_qmm(xq, qp["wv"][i], sp["wv"][i, 0], sx)
+        qh = _rope_interleaved(q.reshape(1, H, hd), cos, sin)
+        kh = _rope_interleaved(k.reshape(1, H, hd), cos, sin)
+        ck_std[i, pos] = kh[0]
+        cv_std[i, pos] = v.reshape(H, hd)
+        out = np.zeros((H, hd))
+        for hh in range(H):
+            s = ck_std[i, :pos + 1, hh] @ qh[0, hh] / math.sqrt(hd)
+            p = np.exp(s - s.max())
+            p /= p.sum()
+            out[hh] = p @ cv_std[i, :pos + 1, hh]
+        aq, asx = _np_qvec(out.reshape(1, D))
+        z = h + _np_qmm(aq, qp["wo"][i], sp["wo"][i, 0], asx)
+        zq, zsx = _np_qvec(rms(z, norms["post_norm"][i, 0]))
+        g = _np_qmm(zq, qp["gate"][i], sp["gate"][i, 0], zsx)
+        u = _np_qmm(zq, qp["up"][i], sp["up"][i, 0], zsx)
+        ff = (g / (1 + np.exp(-g))) * u
+        fq, fsx = _np_qvec(ff)
+        h = z + _np_qmm(fq, qp["down"][i], sp["down"][i, 0], fsx)
+    hq, hsx = _np_qvec(rms(h, norms["final_norm"][0]))
+    logits = _np_qmm(hq, head_q, head_s, hsx) + head_b
+    return int(np.argmax(logits)), logits, ck_std, cv_std
+
+
+def test_fused_decode_token_int8_matches_quantized_reference():
+    """The int8 whole-token kernel (int8 x int8 MXU dots, per-call activation
+    quant) must match a NumPy mirror of the same quantized math."""
+    from pydynet_tpu.ops.quant import quantize_int8
+
+    rng = np.random.default_rng(7)
+    cfg = dict(n_layers=2, n_heads=2, dim=16, seq=32, ffn=24)
+    N, D, F, S, H = (cfg["n_layers"], cfg["dim"], cfg["ffn"], cfg["seq"],
+                     cfg["n_heads"])
+    V, vt, sb = 256, 128, 16
+    hd = D // H
+
+    raw = {
+        "wq": rng.standard_normal((N, D, D)) * 0.2,
+        "wk": rng.standard_normal((N, D, D)) * 0.2,
+        "wv": rng.standard_normal((N, D, D)) * 0.2,
+        "wo": rng.standard_normal((N, D, D)) * 0.2,
+        "gate": rng.standard_normal((N, D, F)) * 0.2,
+        "up": rng.standard_normal((N, D, F)) * 0.2,
+        "down": rng.standard_normal((N, F, D)) * 0.2,
+    }
+    norms = {
+        "in_norm": np.abs(rng.standard_normal((N, 1, D))) + 0.5,
+        "post_norm": np.abs(rng.standard_normal((N, 1, D))) + 0.5,
+        "final_norm": np.abs(rng.standard_normal((1, D))) + 0.5,
+    }
+    emb = rng.standard_normal((V, D)).astype(np.float32)
+    head_w = (rng.standard_normal((D, V)) * 0.3).astype(np.float32)
+    head_b = np.zeros((1, V), np.float32)
+
+    qw = {k: quantize_int8(jnp.asarray(v, jnp.float32), axis=1)
+          for k, v in raw.items()}
+    s_attn = jnp.concatenate(
+        [qw["wq"][1], qw["wk"][1], qw["wv"][1], qw["wo"][1], qw["down"][1],
+         jnp.zeros((N, 3, D), jnp.float32)], axis=1)
+    s_ffn = jnp.concatenate(
+        [qw["gate"][1], qw["up"][1], jnp.zeros((N, 6, F), jnp.float32)],
+        axis=1)
+    head_q, head_s = quantize_int8(jnp.asarray(head_w), axis=0)
+
+    qp = {k: np.asarray(qw[k][0]) for k in raw}
+    sp = {k: np.asarray(qw[k][1]) for k in raw}
+
+    Dp = ds.lane_pad_dim(D)
+    inv = 1.0 / (10000 ** (np.arange(0, hd, 2) / hd))
+    t = np.arange(S)[:, None]
+    cosr = np.tile(np.repeat(np.cos(t * inv), 2, -1), (1, H))
+    sinr = np.tile(np.repeat(np.sin(t * inv), 2, -1), (1, H))
+
+    f32 = jnp.float32
+    consts = dict(
+        emb=jnp.asarray(emb, f32), cosr=jnp.asarray(cosr, f32),
+        sinr=jnp.asarray(sinr, f32),
+        rot=jnp.asarray(ds.rope_pair_swap_matrix(D), f32),
+        hmask=jnp.pad(ds.head_mask_matrix(D, H).astype(f32),
+                      ((0, Dp - D), (0, 0))),
+        final_norm=jnp.asarray(norms["final_norm"], f32),
+        in_norm=jnp.asarray(norms["in_norm"], f32),
+        post_norm=jnp.asarray(norms["post_norm"], f32),
+        head_b=jnp.asarray(head_b, f32))
+
+    ck = jnp.zeros((N, S, Dp), f32)
+    cv = jnp.zeros((N, S, Dp), f32)
+    ck_std = np.zeros((N, S, H, hd))
+    cv_std = np.zeros((N, S, H, hd))
+
+    toks = [5, 190, 11, 42]
+    for i, tok in enumerate(toks):
+        nxt, ck, cv = ds.fused_decode_token(
+            i, jnp.asarray([tok], jnp.int32), consts["emb"], consts["cosr"],
+            consts["sinr"], consts["rot"], consts["hmask"],
+            consts["final_norm"], qw["wq"][0], qw["wk"][0], qw["wv"][0],
+            qw["wo"][0], qw["gate"][0], qw["up"][0], qw["down"][0],
+            consts["in_norm"], consts["post_norm"], head_q, consts["head_b"],
+            ck, cv, vt=vt, sb=sb, interpret=True,
+            s_attn=s_attn, s_ffn=s_ffn, head_s=head_s)
+        want, _, ck_std, cv_std = _whole_token_reference_q(
+            i, tok, emb, np.asarray(head_q), np.asarray(head_s)[0], head_b,
+            qp, sp, norms, ck_std, cv_std, cfg)
+        assert int(nxt[0]) == want, (i, int(nxt[0]), want)
+        # caches agree up to one activation-quant ulp (f32-vs-f64 rounding)
+        np.testing.assert_allclose(np.asarray(ck)[:, :i + 1, :D],
+                                   ck_std[:, :i + 1].reshape(N, i + 1, D),
+                                   atol=2e-2)
+
+
 def test_flash_attention_pick_blocks():
     from pydynet_tpu.ops.flash_attention import pick_blocks
 
