@@ -1,6 +1,8 @@
 from .mesh import make_mesh, named_sharding, shard, replicate
 from .ring_attention import ring_attention
 from . import llama_spmd
+from . import moe
+from . import pipeline
 
 from jax.sharding import PartitionSpec as _P
 

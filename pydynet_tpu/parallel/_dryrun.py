@@ -32,23 +32,32 @@ def main(n_devices: int) -> None:
 
 
 def run(n_devices: int) -> None:
-    """The actual mesh work; assumes ``jax.devices()`` has >= n CPU devices."""
+    """The actual mesh work; assumes ``jax.devices()`` has >= n CPU devices.
+
+    Exercises every parallelism axis the framework ships: a dp x tp SPMD
+    train step + tp-sharded decode (GSPMD), a dp x pp GPipe train step
+    (shard_map + ppermute), sp ring attention, and an ep-sharded MoE
+    forward/grad — one small step each.
+    """
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from . import llama_spmd
+    from . import llama_spmd, moe, pipeline
     from .mesh import make_mesh, shard
+    from .ring_attention import ring_attention
 
     devices = jax.devices()
     if len(devices) < n_devices:
         raise RuntimeError(
             f"need {n_devices} devices, have {len(devices)} "
             f"({devices[0].platform})")
+    devices = devices[:n_devices]
 
+    # ---- dp x tp: GSPMD train step + tp-sharded decode ---- #
     tp = 2 if n_devices % 2 == 0 else 1
     dp = n_devices // tp
-    mesh = make_mesh({"dp": dp, "tp": tp}, devices=devices[:n_devices])
+    mesh = make_mesh({"dp": dp, "tp": tp}, devices=devices)
 
     cfg = llama_spmd.config(vocab_size=128, dim=32, n_heads=2, ffn_dim=64,
                             n_layers=2, max_seq_len=16)
@@ -72,8 +81,51 @@ def run(n_devices: int) -> None:
     toks = llama_spmd.generate(params, tokens[:, :4], 4, mesh, cfg)
     assert toks.shape == (B, 4), toks.shape
 
-    print(f"dryrun_multichip({n_devices}): mesh dp={dp} tp={tp}, "
-          f"loss={loss:.4f}, decode {toks.shape} OK")
+    # ---- dp x pp: GPipe microbatch pipeline (shard_map + ppermute) ---- #
+    pp = 2 if n_devices % 2 == 0 else 1
+    pdp = n_devices // pp
+    pp_mesh = make_mesh({"dp": pdp, "pp": pp}, devices=devices)
+    pp_cfg = llama_spmd.config(vocab_size=128, dim=32, n_heads=2, ffn_dim=64,
+                               n_layers=2 * pp, max_seq_len=16)
+    pp_params = pipeline.shard_stage_params(
+        pipeline.stack_stages(llama_spmd.init_params(rng, pp_cfg), pp),
+        pp_mesh)
+    pp_step = pipeline.make_pp_train_step(pp_mesh, pp_cfg, lr=1e-2,
+                                          microbatches=2)
+    ptokens = jnp.asarray(rng.randint(0, 128, (2 * pdp, 8)), jnp.int32)
+    ptargets = jnp.asarray(rng.randint(0, 128, (2 * pdp, 8)), jnp.int32)
+    pp_params, pp_loss = pp_step(pp_params, ptokens, ptargets)
+    pp_loss = float(pp_loss)
+    assert np.isfinite(pp_loss), f"non-finite pp loss {pp_loss}"
+
+    # ---- sp: exact ring attention over a sequence-sharded mesh ---- #
+    sp_mesh = make_mesh({"sp": n_devices}, devices=devices)
+    Lsp = 8 * n_devices
+    q = jnp.asarray(rng.standard_normal((1, Lsp, 2, 8)), jnp.float32)
+    att = ring_attention(shard(q, sp_mesh, None, "sp"),
+                         shard(q, sp_mesh, None, "sp"),
+                         shard(q, sp_mesh, None, "sp"), sp_mesh, causal=True)
+    assert np.isfinite(np.asarray(att)).all()
+
+    # ---- ep: expert-parallel switch MoE forward + grad ---- #
+    ep_mesh = make_mesh({"ep": n_devices}, devices=devices)
+    mparams = moe.shard_moe_params(
+        moe.init_moe_params(rng, n_devices, 16, 32), ep_mesh)
+    x = jnp.asarray(rng.standard_normal((32, 16)), jnp.float32)
+
+    def moe_loss(p, x):
+        out, aux = moe.moe_ffn(p, x)
+        return jnp.sum(out ** 2) + 0.01 * aux
+
+    mloss, mgrads = jax.jit(jax.value_and_grad(moe_loss))(mparams, x)
+    assert np.isfinite(float(mloss))
+    assert all(np.isfinite(np.asarray(g)).all()
+               for g in jax.tree.leaves(mgrads))
+
+    print(f"dryrun_multichip({n_devices}): dp={dp} tp={tp} loss={loss:.4f} "
+          f"decode {toks.shape}; pp={pp} loss={pp_loss:.4f}; "
+          f"sp={n_devices} ring-attention; ep={n_devices} moe "
+          f"loss={float(mloss):.4f} OK")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,211 @@
+"""Pipeline parallelism (GPipe-style) over a ``pp`` mesh axis.
+
+The reference has no distributed layer at all (SURVEY.md §2.6); this module
+fills the pipeline axis of the TPU scale-out story the idiomatic way: the
+layer stack is split into P contiguous stages, each stage's weights live on
+one ring position of the ``pp`` axis, and microbatches stream through the
+ring with ``jax.lax.ppermute`` inside one ``shard_map`` — no host
+orchestration, one XLA program, and the backward pipeline falls out of AD
+(the transpose of a ppermute is the reverse ppermute, so jax.grad schedules
+the reverse-order bubble automatically).
+
+Composes with data parallelism in the same shard_map: shard the microbatch
+dimension's batch axis over ``dp`` and the stage axis over ``pp``
+(``make_pp_train_step`` below does both).  Tensor parallelism stays in
+``llama_spmd`` (GSPMD) — mixing manual-collective pp with automatic tp in
+one region is possible but not needed at this model scale.
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .mesh import Mesh, named_sharding, P
+
+try:  # jax >= 0.8 top-level export; fall back to the experimental path
+    from jax import shard_map as _shard_map
+
+    def shard_map(f, **kw):
+        return _shard_map(f, **kw)
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+
+def pipeline_apply(stage_fn, stage_params, x_mb, *, axis: str = "pp",
+                   n_stages: int):
+    """Run ``x_mb`` (M, ...) through ``n_stages`` pipeline stages.
+
+    MUST be called inside a ``shard_map`` whose mesh has axis ``axis`` of
+    size ``n_stages``; ``stage_params`` is this device's stage's parameter
+    pytree (stage-sharded outside), ``stage_fn(params, x) -> y`` with
+    ``y.shape == x.shape`` (hidden-state-in, hidden-state-out stages).
+
+    Classic GPipe schedule: T = M + P - 1 ticks; at tick t stage 0 injects
+    microbatch t, stage p processes what stage p-1 produced at t-1 (carried
+    by a ring ppermute), and stage P-1 emits microbatch t-(P-1).  Outputs
+    are accumulated into a zeros buffer on the last stage only and
+    psum-broadcast at the end, so the result is replicated over ``axis``.
+    """
+    M = x_mb.shape[0]
+    Pn = n_stages
+    p = jax.lax.axis_index(axis)
+    perm = [(i, (i + 1) % Pn) for i in range(Pn)]
+
+    def tick(carry, t):
+        state, acc = carry
+        mb = jnp.clip(t, 0, M - 1)
+        inj = jax.lax.dynamic_index_in_dim(x_mb, mb, 0, keepdims=False)
+        inp = jnp.where(p == 0, inj, state)
+        out = stage_fn(stage_params, inp)
+        oidx = jnp.clip(t - (Pn - 1), 0, M - 1)
+        write = jnp.logical_and(p == Pn - 1, t >= Pn - 1)
+        upd = jax.lax.dynamic_update_index_in_dim(
+            acc, out.astype(acc.dtype), oidx, 0)
+        acc = jnp.where(write, upd, acc)
+        state = jax.lax.ppermute(out, axis, perm)
+        return (state, acc), None
+
+    state0 = jnp.zeros_like(x_mb[0])
+    acc0 = jnp.zeros_like(x_mb)
+    (_, acc), _ = jax.lax.scan(tick, (state0, acc0),
+                               jnp.arange(M + Pn - 1, dtype=jnp.int32))
+    # everything but the last stage holds zeros -> psum replicates the result
+    return jax.lax.psum(acc, axis)
+
+
+# --------------------------------------------------------------------- #
+#                    Llama over a (dp, pp) mesh                          #
+# --------------------------------------------------------------------- #
+def stack_stages(params, n_stages: int, pp_keys=("wqkv", "wo", "wgu", "down",
+                                                 "in_norm", "post_norm")):
+    """Reshape layer-stacked (N, ...) per-layer params to (P, N/P, ...)."""
+    out = dict(params)
+    for k in pp_keys:
+        v = params[k]
+        N = v.shape[0]
+        assert N % n_stages == 0, (k, N, n_stages)
+        out[k] = v.reshape((n_stages, N // n_stages) + v.shape[1:])
+    return out
+
+
+def shard_stage_params(params, mesh: Mesh, pp_keys=("wqkv", "wo", "wgu",
+                                                    "down", "in_norm",
+                                                    "post_norm")):
+    """Place stage-stacked params: stage axis over ``pp``, rest replicated."""
+    out = {}
+    for k, v in params.items():
+        if k in pp_keys:
+            sh = named_sharding(mesh, "pp", *([None] * (v.ndim - 1)))
+        else:
+            sh = named_sharding(mesh)
+        out[k] = jax.device_put(v, sh)
+    return out
+
+
+def _layer_body(h, W, cos, sin, mask, cfg):
+    """One pre-norm transformer layer (same math as llama_spmd)."""
+    from . import llama_spmd
+
+    B, L, D = h.shape
+    H = cfg["n_heads"]
+    hd = D // H
+    hn = llama_spmd._rms(h, W["in_norm"])
+    qkv = hn @ W["wqkv"]
+    q = qkv[..., :D].reshape(B, L, H, hd)
+    k = qkv[..., D:2 * D].reshape(B, L, H, hd)
+    v = qkv[..., 2 * D:].reshape(B, L, H, hd)
+    q, k = llama_spmd._rope(q, cos, sin), llama_spmd._rope(k, cos, sin)
+    s = jnp.einsum("blhd,bmhd->bhlm", q, k) / math.sqrt(hd)
+    p = jax.nn.softmax(s + mask, axis=-1)
+    att = jnp.einsum("bhlm,bmhd->blhd", p, v).reshape(B, L, D)
+    z = h + att @ W["wo"]
+    zn = llama_spmd._rms(z, W["post_norm"])
+    gu = zn @ W["wgu"]
+    gate, up = jnp.split(gu, 2, axis=-1)
+    return z + ((gate * jax.nn.sigmoid(gate)) * up) @ W["down"]
+
+
+def pp_forward_logits(params, tokens, cfg, mesh: Mesh, microbatches: int,
+                      n_stages: int):
+    """Full-sequence causal forward with the layer stack pipelined over
+    ``pp`` (and the batch sharded over ``dp`` if the mesh has that axis).
+
+    ``params`` must be stage-stacked (``stack_stages``) and placed with
+    ``shard_stage_params``.  Embedding / final norm / lm_head run replicated
+    outside the pipeline region (they are tiny at this scale).
+    """
+    B, L = tokens.shape
+    D = cfg["dim"]
+    M = microbatches
+    assert B % M == 0, (B, M)
+    h = params["tok"][tokens]
+    cos, sin = params["cos"][:L], params["sin"][:L]
+    mask = jnp.where(
+        jnp.arange(L)[:, None] >= jnp.arange(L)[None, :], 0.0,
+        -jnp.inf).astype(h.dtype)
+
+    layer_keys = ("wqkv", "wo", "wgu", "down", "in_norm", "post_norm")
+    stage_params = {k: params[k] for k in layer_keys}
+
+    h_mb = h.reshape((M, B // M) + h.shape[1:])
+
+    dp = "dp" in mesh.axis_names
+    mb_spec = P(None, "dp") if dp else P()
+    # shard_map specs: stage axis split over pp (block size 1, squeezed by
+    # indexing [0] inside), microbatch batch dim over dp, rest replicated
+    stage_in_spec = {k: P("pp") for k in layer_keys}
+
+    def run(W, h_mb, cos, sin, mask):
+        W = {k: v[0] for k, v in W.items()}  # (1, N/P, ...) -> (N/P, ...)
+
+        def stage_fn(Ws, hmb):
+            def one(h, xs):
+                return _layer_body(h, xs, cos, sin, mask, cfg), None
+
+            return jax.lax.scan(one, hmb, Ws)[0]
+
+        return pipeline_apply(stage_fn, W, h_mb, axis="pp",
+                              n_stages=n_stages)
+
+    h_mb = shard_map(
+        run,
+        mesh=mesh,
+        in_specs=(stage_in_spec, mb_spec, P(), P(), P()),
+        out_specs=mb_spec,
+        check_vma=False,
+    )(stage_params, h_mb, cos, sin, mask)
+
+    h = h_mb.reshape((B,) + h_mb.shape[2:])
+    from . import llama_spmd
+    h = llama_spmd._rms(h, params["norm"])
+    return h @ params["head_w"] + params["head_b"]
+
+
+def make_pp_train_step(mesh: Mesh, cfg, lr: float = 1e-3,
+                       microbatches: int = 4):
+    """Compiled pipeline-parallel (x data-parallel) train step.
+
+    ``mesh`` must have a ``pp`` axis (stage count must divide n_layers) and
+    may have a ``dp`` axis; returns ``step(params, tokens, targets) ->
+    (params, loss)`` over stage-stacked params."""
+    n_stages = mesh.shape["pp"]
+    assert cfg["n_layers"] % n_stages == 0, (cfg["n_layers"], n_stages)
+
+    def loss_fn(params, tokens, targets):
+        logits = pp_forward_logits(params, tokens, cfg, mesh, microbatches,
+                                   n_stages)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)
+        return jnp.mean(nll)
+
+    @jax.jit
+    def step(params, tokens, targets):
+        loss, grads = jax.value_and_grad(loss_fn)(params, tokens, targets)
+        new_params = jax.tree.map(lambda p, g: p - lr * g, params, grads)
+        return new_params, loss
+
+    return step

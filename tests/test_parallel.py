@@ -196,6 +196,140 @@ def test_llama_spmd_generate_consistent_with_train_forward():
     assert np.array_equal(got[0], seq[0, 4:]), (got, seq)
 
 
+@pytest.mark.parametrize("axes,micro", [({"pp": 4}, 4), ({"pp": 2}, 8),
+                                        ({"dp": 2, "pp": 4}, 2)])
+def test_pipeline_train_matches_single_device(axes, micro):
+    """GPipe pipeline (shard_map + ppermute ring) over pp — optionally
+    composed with dp — must reproduce the single-device losses exactly
+    (microbatching is mathematically a no-op for the batch-mean loss)."""
+    from pydynet_tpu.parallel import pipeline
+
+    cfg = llama_spmd.config(vocab_size=64, dim=16, n_heads=2, ffn_dim=32,
+                            n_layers=4, max_seq_len=16)
+    rng = np.random.RandomState(0)
+    tokens = rng.randint(0, 64, (8, 8)).astype(np.int32)
+    targets = rng.randint(0, 64, (8, 8)).astype(np.int32)
+
+    def fresh_params():
+        # each side gets its OWN buffers: the donating reference step would
+        # otherwise delete shards the pipeline params alias (device_put of a
+        # replicated spec reuses the source buffer on overlapping devices)
+        return llama_spmd.init_params(np.random.RandomState(1), cfg)
+
+    mesh = make_mesh(axes)
+    n_stages = axes["pp"]
+    pparams = pipeline.shard_stage_params(
+        pipeline.stack_stages(fresh_params(), n_stages), mesh)
+
+    # single-device reference trajectory (plain GSPMD step on a 1x1 mesh)
+    ref_mesh = make_mesh({"dp": 1, "tp": 1})
+    ref_params = llama_spmd.shard_params(fresh_params(), ref_mesh)
+    ref_step = llama_spmd.make_train_step(ref_mesh, cfg, lr=1e-1)
+    want = []
+    for _ in range(3):
+        ref_params, loss = ref_step(
+            ref_params, jax.numpy.asarray(tokens), jax.numpy.asarray(targets))
+        want.append(float(loss))
+    step = pipeline.make_pp_train_step(mesh, cfg, lr=1e-1, microbatches=micro)
+    got = []
+    for _ in range(3):
+        pparams, loss = step(pparams, jax.numpy.asarray(tokens),
+                             jax.numpy.asarray(targets))
+        got.append(float(loss))
+
+    assert np.allclose(got, want, rtol=1e-5, atol=1e-6), (got, want)
+    assert got[-1] < got[0]
+
+
+def test_pipeline_apply_identity_routing():
+    """Each microbatch must traverse every stage exactly once, in order."""
+    from pydynet_tpu.parallel.pipeline import pipeline_apply, shard_map
+
+    mesh = make_mesh({"pp": 4})
+    from jax.sharding import PartitionSpec as P
+
+    # stage p adds 10**p: after 4 stages every element gains 1111
+    stage_marks = np.array([1.0, 10.0, 100.0, 1000.0])[:, None]
+
+    def run(marks, x):
+        return pipeline_apply(lambda m, h: h + m[0], marks, x,
+                              axis="pp", n_stages=4)
+
+    x = np.arange(12.0).reshape(6, 2)  # 6 microbatches of 2
+    got = shard_map(run, mesh=mesh, in_specs=(P("pp"), P()),
+                    out_specs=P(), check_vma=False)(stage_marks, x)
+    assert np.allclose(np.asarray(got), x + 1111.0), got
+
+
+def test_moe_matches_per_token_reference():
+    """GShard dense-dispatch switch MoE == per-token routing loop."""
+    from pydynet_tpu.parallel import moe
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(0)
+    T, D, F, E = 32, 8, 16, 4
+    params = moe.init_moe_params(rng, E, D, F)
+    x = jnp.asarray(rng.standard_normal((T, D)), jnp.float32)
+
+    out, aux = moe.moe_ffn(params, x)
+    want = moe.moe_ffn_reference(params, x)
+    assert np.allclose(np.asarray(out), want, atol=1e-5), \
+        np.abs(np.asarray(out) - want).max()
+    assert np.isfinite(float(aux)) and float(aux) > 0
+
+
+def test_moe_capacity_drops_tokens():
+    from pydynet_tpu.parallel import moe
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(1)
+    T, D, F, E = 16, 8, 16, 4
+    params = moe.init_moe_params(rng, E, D, F)
+    # route EVERY token to expert 0: a zero router makes all logits tie and
+    # argmax resolve to expert 0 for every token
+    params = dict(params)
+    params["wg"] = jax.numpy.zeros_like(params["wg"])
+    x = jnp.asarray(rng.standard_normal((T, D)), jnp.float32)
+    out, _ = moe.moe_ffn(params, x, capacity_factor=1.0)  # C = 4
+    want = moe.moe_ffn_reference(params, x, capacity_factor=1.0)
+    nz = np.any(np.asarray(out) != 0, axis=-1)
+    assert nz.sum() == moe.capacity(T, E, 1.0)  # only C tokens served
+    assert np.allclose(np.asarray(out), want, atol=1e-5)
+
+
+def test_moe_expert_parallel_matches_unsharded():
+    """Experts sharded over ep (GSPMD partitions the dispatch einsums) must
+    be numerically identical to the unsharded run, and grads must flow."""
+    from pydynet_tpu.parallel import moe
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(2)
+    T, D, F, E = 64, 8, 16, 8
+    params = moe.init_moe_params(rng, E, D, F)
+    x = jnp.asarray(rng.standard_normal((T, D)), jnp.float32)
+    want, _ = moe.moe_ffn(params, x)
+
+    mesh = make_mesh({"ep": 8})
+    sharded = moe.shard_moe_params(params, mesh)
+
+    @jax.jit
+    def f(p, x):
+        return moe.moe_ffn(p, x)
+
+    got, aux = f(sharded, x)
+    assert np.allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+    assert len(got.sharding.device_set) >= 1
+
+    def loss(p, x):
+        out, aux = moe.moe_ffn(p, x)
+        return jnp.sum(out ** 2) + 0.01 * aux
+
+    g = jax.jit(jax.grad(loss))(sharded, x)
+    for k in ("wg", "w1", "w2"):
+        arr = np.asarray(g[k])
+        assert np.isfinite(arr).all() and np.abs(arr).max() > 0, k
+
+
 def test_graft_entry_dryrun():
     from __graft_entry__ import dryrun_multichip
     dryrun_multichip(8)
