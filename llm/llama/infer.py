@@ -59,6 +59,13 @@ def main(argv=None):
                         help="decode compute dtype (bfloat16 ~2x faster)")
     parser.add_argument("--chunk", type=int, default=None,
                         help="decode tokens per device dispatch")
+    parser.add_argument("--quant", choices=["int8-head", "int8"],
+                        default=None,
+                        help="weight-only int8 for the fused decode path "
+                        "(int8-head: lm_head only, the measured win)")
+    parser.add_argument("--no-warmup", action="store_true",
+                        help="include XLA compilation in the timed region "
+                        "(default: one untimed warmup generate first)")
     args = parser.parse_args(argv)
 
     tokenizer = Tokenizer(args.tokenizer)
@@ -82,6 +89,14 @@ def main(argv=None):
             gen_kwargs["dtype"] = jnp.bfloat16
         if args.chunk:
             gen_kwargs["chunk"] = args.chunk
+        if args.quant:
+            gen_kwargs["quant"] = args.quant
+        if not args.no_warmup and model.device.kind == "accel":
+            # compile outside the timed region (the reference's NumPy loop
+            # has no compile step; tok/s should measure decode, not XLA)
+            for _ in model.generate(input_ids, args.max_new_tokens,
+                                    **gen_kwargs):
+                pass
         start = time.time()
         for token in model.generate(input_ids, args.max_new_tokens,
                                     **gen_kwargs):
