@@ -500,8 +500,7 @@ class Llama(nn.Module):
         """decode_chunk built on the whole-token Pallas kernel (B=1): one
         launch per token covers embed -> layers -> lm_head -> argmax, with
         position-bounded KV streaming (ops/decode_step.fused_decode_token)."""
-        from ...ops.decode_step import (fused_decode_step, fused_decode_token,
-                                        pick_sb, pick_vt)
+        from ...ops.decode_step import (fused_decode_token, pick_sb, pick_vt)
 
         if self._decode_fns is None:  # provides _xla_forward_tokens
             self._decode_fns = self._make_decode_fns()
@@ -540,31 +539,24 @@ class Llama(nn.Module):
         @partial(jax.jit, static_argnames=("n_steps",),
                  donate_argnames=("ck", "cv"))
         def decode_chunk_batched(weights, ck, cv, last_tok, pos, n_steps):
-            """B>1 variant: caches (B, N, S, D), the whole-model kernel
-            vmapped over the batch (one extra grid dimension)."""
-            head_w, head_b = weights["head_w"], weights["head_b"]
-            wdt = head_w.dtype
-
-            def one(pos32, h0, cosd, sind, ck_b, cv_b):
-                return fused_decode_step(
-                    pos32, h0, cosd, sind, weights["rot"], weights["hmask"],
-                    weights["norm2"], weights["wq"], weights["wk"],
-                    weights["wv"], weights["wo"], weights["gate_w"],
-                    weights["up_w"], weights["down"], weights["in_norm2"],
-                    weights["post_norm2"], ck_b, cv_b)
-
-            vone = jax.vmap(one, in_axes=(None, 0, None, None, 0, 0))
+            """B>1 variant: caches (N, B, S, Dp) lane-padded; the batched
+            whole-token kernel streams each weight matrix ONCE per token for
+            the whole batch (ops/decode_step.fused_decode_token_batched).
+            Two launches per token: the (B,) embedding gather + the kernel."""
+            from ...ops.decode_step import fused_decode_token_batched
 
             def step(carry, _):
                 ck, cv, tok, p = carry
-                h0 = weights["tok"][tok][:, None, :]  # (B, 1, D)
-                cosd = jax.lax.dynamic_slice_in_dim(weights["cosD"], p, 1)
-                sind = jax.lax.dynamic_slice_in_dim(weights["sinD"], p, 1)
-                h, ck, cv = vone(p, h0, cosd, sind, ck, cv)  # h (B, 1, D)
-                logits = (h[:, 0].astype(wdt) @ head_w).astype(jnp.float32) \
-                    + head_b.astype(jnp.float32)
-                nxt = jnp.argmax(logits, axis=-1).astype(tok.dtype)
-                return (ck, cv, nxt, p + 1), nxt
+                h0 = weights["tok"][tok].astype(jnp.float32)  # (B, D)
+                nxt, ck, cv = fused_decode_token_batched(
+                    p, h0, weights["cosD"], weights["sinD"], weights["rot"],
+                    weights["hmask_pad"], weights["norm2"], weights["wq"],
+                    weights["wk"], weights["wv"], weights["wo"],
+                    weights["gate_w"], weights["up_w"], weights["down"],
+                    weights["in_norm2"], weights["post_norm2"],
+                    weights["head_w"], weights["head_b2"], ck, cv,
+                    vt=vt, sb=sb)
+                return (ck, cv, nxt.astype(tok.dtype), p + 1), nxt
 
             pos = jnp.asarray(pos, jnp.int32)
             (ck, cv, tok, p), toks = jax.lax.scan(
@@ -593,8 +585,8 @@ class Llama(nn.Module):
                 ck, cv, toks = decode_chunk(weights, ck, cv, tok,
                                             prompt.shape[1], n_steps)
             else:
-                ck = ck5.transpose(1, 0, 2, 3, 4).reshape(B, N, S, D)
-                cv = cv5.transpose(1, 0, 2, 3, 4).reshape(B, N, S, D)
+                ck = pad_cache_lanes(ck5.reshape(N, B, S, D), Dp)
+                cv = pad_cache_lanes(cv5.reshape(N, B, S, D), Dp)
                 ck, cv, toks = decode_chunk_batched(weights, ck, cv, tok,
                                                     prompt.shape[1], n_steps)
             return jnp.concatenate([tok[None], toks], axis=0)
@@ -662,7 +654,7 @@ class Llama(nn.Module):
                               jnp.asarray(input_ids, jnp.int32), 0)
         if fused:
             # fused kernel uses flat lane-padded (N, S, Dp) caches
-            # ((B, N, S, D) batched)
+            # ((N, B, S, Dp) batched)
             from ...ops.decode_step import lane_pad_dim, pad_cache_lanes
             N = self.n_layers
             S, D = self.max_seq_len, self.embed_dim
@@ -671,8 +663,8 @@ class Llama(nn.Module):
                 cv = pad_cache_lanes(cv.reshape(N, S, D), lane_pad_dim(D))
                 decode_chunk = self._fused_chunk_fn[0]
             else:
-                ck = ck.transpose(1, 0, 2, 3, 4).reshape(B, N, S, D)
-                cv = cv.transpose(1, 0, 2, 3, 4).reshape(B, N, S, D)
+                ck = pad_cache_lanes(ck.reshape(N, B, S, D), lane_pad_dim(D))
+                cv = pad_cache_lanes(cv.reshape(N, B, S, D), lane_pad_dim(D))
                 decode_chunk = self._fused_chunk_fn[2]
 
         pos = L

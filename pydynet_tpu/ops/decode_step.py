@@ -380,6 +380,319 @@ def _token_kernel(idx_ref,  # scalar prefetch: (2,) i32 = [pos, tok]
             tok_out[0, 0] = bidx[0, 0]
 
 
+# ===================================================================== #
+#   batched whole-token kernel: B rows share ONE weight stream per token  #
+# ===================================================================== #
+def _token_kernel_batched(idx_ref,  # scalar prefetch: (1,) i32 = [pos]
+                          h0, cos_blk, sin_blk, rot, hmask, final_norm,
+                          wq, wk, wv, wo, gate_w, up_w, down_w,
+                          in_norm, post_norm, head_w, head_b,
+                          ck_in, cv_in, tok_out, ck, cv,
+                          h_state, cos_row, sin_row, ktile, vtile,
+                          kbuf, vbuf, best, bidx, rsem, wsem,
+                          *, n_layers: int, n_heads: int, dim: int,
+                          dpad: int, vt: int, n_tiles: int, sb: int,
+                          batch: int):
+    """Batched variant of ``_token_kernel``: the hidden state is (B, D), so
+    every weight matrix streams from HBM ONCE per token for the whole batch
+    (the vmapped fallback re-streams weights per row), and the qkv/ffn/head
+    matmuls are real (B, K) x (K, M) MXU ops instead of matvecs.  KV-cache
+    traffic is inherently per-row: caches are (N, B, S, Dp) and stream as
+    single strided (B, sb, Dp) block DMAs.  The previous-token embedding
+    gather happens OUTSIDE (a (B,) gather is one tiny XLA kernel; the
+    scalar-prefetch block trick only fetches one row block), so a batched
+    decode step is 2 launches.  Attention math is per-row (static unroll)."""
+    l = pl.program_id(0)
+    pos = idx_ref[0]
+    B = batch
+    scale = 1.0 / math.sqrt(dim // n_heads)
+    cdtype = kbuf.dtype
+    pad = dpad - dim
+
+    def rms(x, w):
+        return (x / jnp.sqrt(jnp.mean(x * x, -1, keepdims=True) + 1e-6)) * w
+
+    @pl.when(l == 0)
+    def _():
+        rsel = jax.lax.broadcasted_iota(jnp.int32, (8, dim), 0)
+        prow = jax.lax.rem(pos, np.int32(8))
+
+        def pick(blk):
+            return jnp.sum(
+                jnp.where(rsel == prow, blk[:].astype(jnp.float32), 0.0),
+                axis=0, keepdims=True)
+
+        h_state[:] = h0[:].astype(jnp.float32)
+        cos_row[:] = pick(cos_blk)
+        sin_row[:] = pick(sin_blk)
+        best[:] = jnp.full((B, 1), -jnp.inf, jnp.float32)
+        bidx[:] = jnp.zeros((B, 1), jnp.int32)
+
+    @pl.when(l < n_layers)
+    def _layer():
+        apos = pl.multiple_of((pos // np.int32(16)) * np.int32(16), 16)
+        rk_dma = pltpu.make_async_copy(
+            ck.at[l, :, pl.ds(apos, 16), :], ktile, wsem.at[_Z])
+        rv_dma = pltpu.make_async_copy(
+            cv.at[l, :, pl.ds(apos, 16), :], vtile, wsem.at[np.int32(1)])
+        rk_dma.start(); rv_dma.start()
+
+        h = h_state[:]  # (B, D) f32
+        hn = rms(h, in_norm[0].astype(jnp.float32)).astype(cdtype)
+        q = jnp.dot(hn, wq[0], preferred_element_type=jnp.float32)
+        k = jnp.dot(hn, wk[0], preferred_element_type=jnp.float32)
+        v = jnp.dot(hn, wv[0], preferred_element_type=jnp.float32)
+
+        cos = cos_row[:]  # (1, D) broadcasts over rows
+        sin = sin_row[:]
+        rot32 = rot[:].astype(jnp.float32)
+        q = q * cos + jnp.dot(q, rot32,
+                              preferred_element_type=jnp.float32) * sin
+        k = k * cos + jnp.dot(k, rot32,
+                              preferred_element_type=jnp.float32) * sin
+
+        kp = jnp.pad(k, ((0, 0), (0, pad))).astype(cdtype)  # (B, dpad)
+        vp = jnp.pad(v, ((0, 0), (0, pad))).astype(cdtype)
+
+        rk_dma.wait(); rv_dma.wait()
+        hit = (jax.lax.broadcasted_iota(jnp.int32, (16, dpad), 0)
+               + apos == pos)[None]  # (1, 16, dpad)
+        ktile[:] = jnp.where(hit, kp[:, None, :], ktile[:])
+        vtile[:] = jnp.where(hit, vp[:, None, :], vtile[:])
+        wk_dma = pltpu.make_async_copy(
+            ktile, ck.at[l, :, pl.ds(apos, 16), :], wsem.at[np.int32(2)])
+        wv_dma = pltpu.make_async_copy(
+            vtile, cv.at[l, :, pl.ds(apos, 16), :], wsem.at[np.int32(3)])
+        wk_dma.start(); wv_dma.start()
+
+        # per-row head-blocked attention, (dpad, B*H) stacked query masks
+        qp32 = jnp.pad(q, ((0, 0), (0, pad)))  # (B, dpad) f32
+        qM = jnp.concatenate(
+            [qp32[b].reshape(dpad, 1) * hmask[:].astype(jnp.float32)
+             for b in range(B)], axis=1).astype(cdtype)  # (dpad, B*H)
+        hmt = hmask[:].T.astype(cdtype)  # (H, dpad)
+
+        def get_k(slot, blk):
+            return pltpu.make_async_copy(
+                ck.at[l, :, pl.ds(blk * np.int32(sb), sb), :],
+                kbuf.at[slot], rsem.at[slot])
+
+        def get_v(slot, blk):
+            return pltpu.make_async_copy(
+                cv.at[l, :, pl.ds(blk * np.int32(sb), sb), :],
+                vbuf.at[slot], rsem.at[np.int32(2) + slot])
+
+        nblk = (pos + np.int32(sb - 1)) // np.int32(sb)
+
+        @pl.when(nblk > 0)
+        def _():
+            get_k(_Z, _Z).start()
+            get_v(_Z, _Z).start()
+
+        H = n_heads
+        # init with the current row per sample: p_self = 1 per head
+        m0 = jnp.stack([
+            jnp.dot(kp[b:b + 1], qM[:, b * H:(b + 1) * H],
+                    preferred_element_type=jnp.float32)[0] * scale
+            for b in range(B)])  # (B, H)
+        l0 = jnp.ones_like(m0)
+        acc0 = vp.astype(jnp.float32)  # (B, dpad)
+
+        def body(blk, carry):
+            m, lsum, acc = carry
+            slot = jax.lax.rem(blk, np.int32(2))
+            nxt = jax.lax.rem(blk + np.int32(1), np.int32(2))
+
+            @pl.when(blk + 1 < nblk)
+            def _():
+                get_k(nxt, blk + np.int32(1)).start()
+                get_v(nxt, blk + np.int32(1)).start()
+
+            get_k(slot, blk).wait()
+            get_v(slot, blk).wait()
+            rows = blk * np.int32(sb) + jax.lax.broadcasted_iota(
+                jnp.int32, (sb, H), 0)
+            ms, ls, accs = [], [], []
+            for b in range(B):
+                s = jnp.dot(kbuf[slot, b], qM[:, b * H:(b + 1) * H],
+                            preferred_element_type=jnp.float32) * scale
+                s = jnp.where(rows < pos, s, jnp.float32(-jnp.inf))
+                m_new = jnp.maximum(m[b], jnp.max(s, axis=0))  # (H,)
+                corr = jnp.exp(m[b] - m_new)
+                p = jnp.exp(s - m_new[None, :])                # (sb, H)
+                ls.append(lsum[b] * corr + jnp.sum(p, axis=0))
+                pD = jnp.dot(p.astype(cdtype), hmt,
+                             preferred_element_type=jnp.float32)
+                corrD = jnp.dot(corr[None].astype(cdtype), hmt,
+                                preferred_element_type=jnp.float32)[0]
+                accs.append(acc[b] * corrD + jnp.sum(
+                    pD * vbuf[slot, b].astype(jnp.float32), axis=0))
+                ms.append(m_new)
+            return jnp.stack(ms), jnp.stack(ls), jnp.stack(accs)
+
+        m, lsum, acc = jax.lax.fori_loop(np.int32(0), nblk, body,
+                                         (m0, l0, acc0))
+        lD = jnp.dot(lsum.astype(cdtype), hmt,
+                     preferred_element_type=jnp.float32)  # (B, dpad)
+        att = jax.lax.slice(acc / jnp.maximum(lD, 1e-30), (0, 0),
+                            (B, dim))
+
+        wk_dma.wait()
+        wv_dma.wait()
+
+        z = h + jnp.dot(att.astype(cdtype), wo[0],
+                        preferred_element_type=jnp.float32)
+        zn = rms(z, post_norm[0].astype(jnp.float32)).astype(cdtype)
+        g = jnp.dot(zn, gate_w[0], preferred_element_type=jnp.float32)
+        u = jnp.dot(zn, up_w[0], preferred_element_type=jnp.float32)
+        ff = (g * jax.nn.sigmoid(g)) * u
+        h_new = z + jnp.dot(ff.astype(cdtype), down_w[0],
+                            preferred_element_type=jnp.float32)
+        h_state[:] = jnp.where(l == n_layers - 1,
+                               rms(h_new, final_norm[:].astype(jnp.float32)),
+                               h_new)
+
+    @pl.when(l >= n_layers)
+    def _head():
+        t = l - np.int32(n_layers)
+        hb = h_state[:].astype(head_w.dtype)  # (B, D)
+        logits = jnp.dot(hb, head_w[:], preferred_element_type=jnp.float32) \
+            + head_b[:].astype(jnp.float32)  # (B, VT)
+        mx = jnp.max(logits, axis=1, keepdims=True)      # (B, 1)
+        am = jax.lax.argmax(logits, 1, jnp.int32)[:, None]
+        better = mx > best[:]
+        best[:] = jnp.where(better, mx, best[:])
+        bidx[:] = jnp.where(better, am + t * np.int32(vt), bidx[:])
+
+        @pl.when(l == n_layers + n_tiles - 1)
+        def _():
+            tok_out[:] = bidx[:]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("vt", "sb", "interpret"))
+def fused_decode_token_batched(pos, h0, cosr, sinr, rot, hmask, final_norm,
+                               wq, wk, wv, wo, gate_w, up_w, down_w,
+                               in_norm, post_norm, head_w, head_b, ck, cv,
+                               vt: int = 6400, sb: int = 256,
+                               interpret=False):
+    """Batched greedy decode step: ONE Pallas launch for B rows.
+
+    ``h0`` (B, D) f32 is the already-gathered previous-token embedding
+    (callers do ``emb[toks]`` — one XLA gather); caches are (N, B, S, Dp)
+    lane-padded, aliased in place.  Returns (next_tok (B,) i32, ck, cv).
+    Weights stream from HBM once per token for the whole batch — the
+    aggregate-throughput upgrade over vmapping the B=1 kernel."""
+    N, B, S, Dp = ck.shape
+    D = wq.shape[1]
+    H = hmask.shape[1]
+    F = gate_w.shape[2]
+    V = head_w.shape[1]
+    assert h0.shape == (B, D), (h0.shape, B, D)
+    assert V % vt == 0 and vt % 128 == 0, (V, vt)
+    assert S % sb == 0 and sb % 16 == 0, (S, sb)
+    assert Dp % 128 == 0 and Dp >= D and hmask.shape[0] == Dp, (Dp, D)
+    assert S % 8 == 0
+    n_tiles = V // vt
+
+    z = np.int32(0)
+    NL = np.int32(N)
+    NT1 = np.int32(n_tiles - 1)
+
+    def _i32(x):
+        return jax.lax.convert_element_type(x, jnp.int32)
+
+    def lspec(*shape):
+        return pl.BlockSpec(
+            (1,) + shape,
+            lambda l, _i: (jax.lax.min(_i32(l), NL - np.int32(1)),)
+            + (z,) * len(shape),
+            memory_space=pltpu.VMEM)
+
+    def full(*shape):
+        return pl.BlockSpec(shape, lambda l, _i: (z,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    def vocab_tile(rows):
+        return pl.BlockSpec(
+            (rows, vt),
+            lambda l, _i: (z, jax.lax.min(jax.lax.max(_i32(l) - NL, z), NT1)),
+            memory_space=pltpu.VMEM)
+
+    def row8():
+        return pl.BlockSpec(
+            (8, D),
+            lambda l, i: (jax.lax.div(_i32(i[0]), np.int32(8)), z),
+            memory_space=pltpu.VMEM)
+
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(N + n_tiles,),
+        in_specs=[
+            full(B, D),      # h0
+            row8(),          # cos block around pos
+            row8(),          # sin block around pos
+            full(D, D),      # rot
+            full(Dp, H),     # hmask (lane-padded)
+            full(1, D),      # final_norm
+            lspec(D, D),     # wq
+            lspec(D, D),     # wk
+            lspec(D, D),     # wv
+            lspec(D, D),     # wo
+            lspec(D, F),     # gate
+            lspec(D, F),     # up
+            lspec(F, D),     # down
+            lspec(1, D),     # in_norm
+            lspec(1, D),     # post_norm
+            vocab_tile(D),   # head_w
+            vocab_tile(1),   # head_b
+            any_spec,        # ck (N, B, S, Dp)
+            any_spec,        # cv
+        ],
+        out_specs=[
+            full(B, 1),      # tok_out (VMEM: vector argmax state)
+            any_spec,        # ck
+            any_spec,        # cv
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B, D), jnp.float32),       # h_state
+            pltpu.VMEM((1, D), jnp.float32),       # cos_row
+            pltpu.VMEM((1, D), jnp.float32),       # sin_row
+            pltpu.VMEM((B, 16, Dp), ck.dtype),     # ktile (RMW)
+            pltpu.VMEM((B, 16, Dp), cv.dtype),     # vtile (RMW)
+            pltpu.VMEM((2, B, sb, Dp), ck.dtype),  # kbuf
+            pltpu.VMEM((2, B, sb, Dp), cv.dtype),  # vbuf
+            pltpu.VMEM((B, 1), jnp.float32),       # best
+            pltpu.VMEM((B, 1), jnp.int32),         # bidx
+            pltpu.SemaphoreType.DMA((4,)),         # rsem
+            pltpu.SemaphoreType.DMA((4,)),         # wsem
+        ],
+    )
+
+    kernel = functools.partial(_token_kernel_batched, n_layers=N, n_heads=H,
+                               dim=D, dpad=Dp, vt=vt, n_tiles=n_tiles,
+                               sb=sb, batch=B)
+    idx = jnp.asarray(pos, jnp.int32).reshape(1)
+    # operand indices include the scalar-prefetch arg: ck=18, cv=19
+    tok_out, ck_new, cv_new = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            jax.ShapeDtypeStruct(ck.shape, ck.dtype),
+            jax.ShapeDtypeStruct(cv.shape, cv.dtype),
+        ],
+        input_output_aliases={18: 1, 19: 2},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(idx, h0, cosr, sinr, rot, hmask, final_norm, wq, wk, wv, wo,
+      gate_w, up_w, down_w, in_norm, post_norm, head_w, head_b, ck, cv)
+    return tok_out.reshape(B), ck_new, cv_new
+
+
 def pad_cache_lanes(c, dim_pad: int):
     """Pad the last (lane) dim of a cache to the DMA alignment unit."""
     pad = dim_pad - c.shape[-1]

@@ -295,6 +295,44 @@ def test_generate_int8_quant_plumbing():
         next(iter(model.generate(ids, 8, fused=False, quant="int8")))
 
 
+def test_generate_batched_fused_matches_xla():
+    """B>1 generate through the batched whole-token kernel (interpret) must
+    be token-exact vs the XLA scan path."""
+    import functools
+
+    from pydynet_tpu.ops import decode_step as dsk
+
+    np.random.seed(5)
+    model = Llama(vocab_size=256, embed_dim=32, n_heads=2, ffn_dim=64,
+                  max_seq_len=32, max_batch_size=3, n_layers=2,
+                  dtype=np.float32)
+    model.eval()
+    ids = np.array([[1, 5, 9], [2, 7, 3], [30, 20, 10]])
+
+    with pdn.no_grad():
+        want = [t.numpy() for t in model.generate(ids, 14, chunk=5,
+                                                  fused=False)]
+
+    orig = dsk.fused_decode_token_batched
+    dsk.fused_decode_token_batched = functools.partial(orig, interpret=True)
+    try:
+        model._fused_chunk_fn = None
+        with pdn.no_grad():
+            got = [t.numpy() for t in model.generate(ids, 14, chunk=5,
+                                                     fused=True)]
+            # whole-request single-dispatch path too (prefill_decode)
+            got2 = [t.numpy() for t in model.generate(ids, 14, chunk=32,
+                                                      fused=True)]
+    finally:
+        dsk.fused_decode_token_batched = orig
+        model._fused_chunk_fn = None
+
+    assert len(got) == len(want) == len(got2)
+    for a, b, c in zip(got, want, got2):
+        assert np.array_equal(a, b), (a, b)
+        assert np.array_equal(c, b), (c, b)
+
+
 def test_generate_early_break_then_reuse():
     model = tiny_model()
     model.eval()

@@ -418,6 +418,82 @@ def test_fused_decode_token_int8_matches_quantized_reference():
                                    atol=2e-2)
 
 
+def test_fused_decode_token_batched_matches_reference():
+    """The batched whole-token kernel == B independent runs of the NumPy
+    per-token reference (shared weight stream, per-row caches/argmax)."""
+    rng = np.random.default_rng(11)
+    cfg = dict(n_layers=2, n_heads=2, dim=16, seq=32, ffn=24)
+    N, D, F, S, H = (cfg["n_layers"], cfg["dim"], cfg["ffn"], cfg["seq"],
+                     cfg["n_heads"])
+    B, V, vt, sb = 3, 256, 128, 16
+    hd = D // H
+
+    p = {
+        "wq": rng.standard_normal((N, D, D)) * 0.2,
+        "wk": rng.standard_normal((N, D, D)) * 0.2,
+        "wv": rng.standard_normal((N, D, D)) * 0.2,
+        "wo": rng.standard_normal((N, D, D)) * 0.2,
+        "gate": rng.standard_normal((N, D, F)) * 0.2,
+        "up": rng.standard_normal((N, D, F)) * 0.2,
+        "down": rng.standard_normal((N, F, D)) * 0.2,
+        "in_norm": np.abs(rng.standard_normal((N, 1, D))) + 0.5,
+        "post_norm": np.abs(rng.standard_normal((N, 1, D))) + 0.5,
+        "final_norm": np.abs(rng.standard_normal((1, D))) + 0.5,
+    }
+    emb = rng.standard_normal((V, D)).astype(np.float32)
+    head_w = (rng.standard_normal((D, V)) * 0.3).astype(np.float32)
+    head_b = np.zeros((1, V), np.float32)
+
+    Dp = ds.lane_pad_dim(D)
+    inv = 1.0 / (10000 ** (np.arange(0, hd, 2) / hd))
+    t = np.arange(S)[:, None]
+    cosr = np.tile(np.repeat(np.cos(t * inv), 2, -1), (1, H))
+    sinr = np.tile(np.repeat(np.sin(t * inv), 2, -1), (1, H))
+
+    f32 = jnp.float32
+    args = dict(
+        cosr=jnp.asarray(cosr, f32), sinr=jnp.asarray(sinr, f32),
+        rot=jnp.asarray(ds.rope_pair_swap_matrix(D), f32),
+        hmask=jnp.pad(ds.head_mask_matrix(D, H).astype(f32),
+                      ((0, Dp - D), (0, 0))),
+        final_norm=jnp.asarray(p["final_norm"], f32),
+        wq=jnp.asarray(p["wq"], f32), wk=jnp.asarray(p["wk"], f32),
+        wv=jnp.asarray(p["wv"], f32), wo=jnp.asarray(p["wo"], f32),
+        gate=jnp.asarray(p["gate"], f32), up=jnp.asarray(p["up"], f32),
+        down=jnp.asarray(p["down"], f32),
+        in_norm=jnp.asarray(p["in_norm"], f32),
+        post_norm=jnp.asarray(p["post_norm"], f32),
+        head_w=jnp.asarray(head_w, f32), head_b=jnp.asarray(head_b, f32))
+
+    ck = jnp.zeros((N, B, S, Dp), f32)
+    cv = jnp.zeros((N, B, S, Dp), f32)
+    # per-sample standard-layout caches for the reference
+    ck_std = np.zeros((B, N, S, H, hd))
+    cv_std = np.zeros((B, N, S, H, hd))
+
+    toks = np.array([[5, 190, 11, 42],
+                     [7, 3, 250, 99],
+                     [101, 55, 21, 8]]).T  # (steps, B)
+    for i in range(toks.shape[0]):
+        h0 = jnp.asarray(emb[toks[i]], f32)  # (B, D) gather outside
+        nxt, ck, cv = ds.fused_decode_token_batched(
+            i, h0, args["cosr"], args["sinr"], args["rot"], args["hmask"],
+            args["final_norm"], args["wq"], args["wk"], args["wv"],
+            args["wo"], args["gate"], args["up"], args["down"],
+            args["in_norm"], args["post_norm"], args["head_w"],
+            args["head_b"], ck, cv, vt=vt, sb=sb, interpret=True)
+        for b in range(B):
+            h = _reference_decode_step(i, emb[toks[i, b]][None, :], p,
+                                       ck_std[b], cv_std[b], cfg)
+            want = int(np.argmax(h @ head_w + head_b))
+            assert int(nxt[b]) == want, (i, b, int(nxt[b]), want)
+        np.testing.assert_allclose(
+            np.asarray(ck)[:, :, :i + 1, :D],
+            ck_std.transpose(1, 0, 2, 3, 4)[:, :, :i + 1].reshape(
+                N, B, i + 1, D),
+            atol=1e-4)
+
+
 def test_flash_attention_pick_blocks():
     from pydynet_tpu.ops.flash_attention import pick_blocks
 
