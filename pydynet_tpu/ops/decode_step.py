@@ -490,11 +490,21 @@ def _token_kernel_batched(idx_ref,  # scalar prefetch: (1,) i32 = [pos]
             get_v(_Z, _Z).start()
 
         H = n_heads
+
+        def diag_blocks(s_full, rb, cb):
+            """(B*rb, B*cb) -> (B, rb, cb): row-block b paired with
+            col-block b (the cross-sample products are discarded — the
+            B^2 MXU waste buys ONE un-unrolled matmul, which keeps both
+            Mosaic compile time and the op count O(1) in B)."""
+            return jnp.stack([
+                jax.lax.slice(s_full, (b * rb, b * cb),
+                              ((b + 1) * rb, (b + 1) * cb))
+                for b in range(B)])
+
         # init with the current row per sample: p_self = 1 per head
-        m0 = jnp.stack([
-            jnp.dot(kp[b:b + 1], qM[:, b * H:(b + 1) * H],
-                    preferred_element_type=jnp.float32)[0] * scale
-            for b in range(B)])  # (B, H)
+        s_self = jnp.dot(kp, qM,
+                         preferred_element_type=jnp.float32) * scale
+        m0 = diag_blocks(s_self, 1, H)[:, 0, :]  # (B, H)
         l0 = jnp.ones_like(m0)
         acc0 = vp.astype(jnp.float32)  # (B, dpad)
 
@@ -510,25 +520,25 @@ def _token_kernel_batched(idx_ref,  # scalar prefetch: (1,) i32 = [pos]
 
             get_k(slot, blk).wait()
             get_v(slot, blk).wait()
+            kb = kbuf[slot].reshape(B * sb, dpad)
+            s_full = jnp.dot(kb, qM,
+                             preferred_element_type=jnp.float32) * scale
+            s = diag_blocks(s_full, sb, H)  # (B, sb, H)
             rows = blk * np.int32(sb) + jax.lax.broadcasted_iota(
-                jnp.int32, (sb, H), 0)
-            ms, ls, accs = [], [], []
-            for b in range(B):
-                s = jnp.dot(kbuf[slot, b], qM[:, b * H:(b + 1) * H],
-                            preferred_element_type=jnp.float32) * scale
-                s = jnp.where(rows < pos, s, jnp.float32(-jnp.inf))
-                m_new = jnp.maximum(m[b], jnp.max(s, axis=0))  # (H,)
-                corr = jnp.exp(m[b] - m_new)
-                p = jnp.exp(s - m_new[None, :])                # (sb, H)
-                ls.append(lsum[b] * corr + jnp.sum(p, axis=0))
-                pD = jnp.dot(p.astype(cdtype), hmt,
-                             preferred_element_type=jnp.float32)
-                corrD = jnp.dot(corr[None].astype(cdtype), hmt,
-                                preferred_element_type=jnp.float32)[0]
-                accs.append(acc[b] * corrD + jnp.sum(
-                    pD * vbuf[slot, b].astype(jnp.float32), axis=0))
-                ms.append(m_new)
-            return jnp.stack(ms), jnp.stack(ls), jnp.stack(accs)
+                jnp.int32, (B, sb, H), 1)
+            s = jnp.where(rows < pos, s, jnp.float32(-jnp.inf))
+            m_new = jnp.maximum(m, jnp.max(s, axis=1))       # (B, H)
+            corr = jnp.exp(m - m_new)                        # (B, H)
+            p = jnp.exp(s - m_new[:, None, :])               # (B, sb, H)
+            lsum = lsum * corr + jnp.sum(p, axis=1)
+            pD = jnp.dot(p.reshape(B * sb, H).astype(cdtype), hmt,
+                         preferred_element_type=jnp.float32
+                         ).reshape(B, sb, dpad)
+            corrD = jnp.dot(corr.astype(cdtype), hmt,
+                            preferred_element_type=jnp.float32)  # (B, dpad)
+            acc = acc * corrD + jnp.sum(
+                pD * vbuf[slot].astype(jnp.float32), axis=1)
+            return m_new, lsum, acc
 
         m, lsum, acc = jax.lax.fori_loop(np.int32(0), nblk, body,
                                          (m0, l0, acc0))
