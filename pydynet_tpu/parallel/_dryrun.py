@@ -81,15 +81,15 @@ def run(n_devices: int) -> None:
     toks = llama_spmd.generate(params, tokens[:, :4], 4, mesh, cfg)
     assert toks.shape == (B, 4), toks.shape
 
-    # ---- dp x pp: GPipe microbatch pipeline (shard_map + ppermute) ---- #
+    # -- dp x pp x tp: GPipe ring with Megatron tp INSIDE the shard_map -- #
     pp = 2 if n_devices % 2 == 0 else 1
-    pdp = n_devices // pp
-    pp_mesh = make_mesh({"dp": pdp, "pp": pp}, devices=devices)
+    ptp = 2 if n_devices % 4 == 0 else 1
+    pdp = n_devices // (pp * ptp)
+    pp_mesh = make_mesh({"dp": pdp, "pp": pp, "tp": ptp}, devices=devices)
     pp_cfg = llama_spmd.config(vocab_size=128, dim=32, n_heads=2, ffn_dim=64,
                                n_layers=2 * pp, max_seq_len=16)
-    pp_params = pipeline.shard_stage_params(
-        pipeline.stack_stages(llama_spmd.init_params(rng, pp_cfg), pp),
-        pp_mesh)
+    pp_params = pipeline.prepare_pp_params(
+        llama_spmd.init_params(rng, pp_cfg), pp_mesh, pp)
     pp_step = pipeline.make_pp_train_step(pp_mesh, pp_cfg, lr=1e-2,
                                           microbatches=2)
     ptokens = jnp.asarray(rng.randint(0, 128, (2 * pdp, 8)), jnp.int32)
@@ -123,7 +123,8 @@ def run(n_devices: int) -> None:
                for g in jax.tree.leaves(mgrads))
 
     print(f"dryrun_multichip({n_devices}): dp={dp} tp={tp} loss={loss:.4f} "
-          f"decode {toks.shape}; pp={pp} loss={pp_loss:.4f}; "
+          f"decode {toks.shape}; dp={pdp}xpp={pp}xtp={ptp} "
+          f"loss={pp_loss:.4f}; "
           f"sp={n_devices} ring-attention; ep={n_devices} moe "
           f"loss={float(mloss):.4f} OK")
 

@@ -11,9 +11,12 @@ the reverse-order bubble automatically).
 
 Composes with data parallelism in the same shard_map: shard the microbatch
 dimension's batch axis over ``dp`` and the stage axis over ``pp``
-(``make_pp_train_step`` below does both).  Tensor parallelism stays in
-``llama_spmd`` (GSPMD) — mixing manual-collective pp with automatic tp in
-one region is possible but not needed at this model scale.
+(``make_pp_train_step`` below does both).  Tensor parallelism composes too —
+on a mesh with a ``tp`` axis the layer weights inside the pipeline region
+are Megatron-sharded (QKV/gate-up columns = heads, output/down rows) and the
+layer body issues the two ``psum``s per block *manually* (GSPMD cannot see
+inside a shard_map region, so unlike ``llama_spmd`` the collectives are
+written out): a full dp x pp x tp 3-D mesh in ONE compiled program.
 """
 from __future__ import annotations
 
@@ -78,10 +81,63 @@ def pipeline_apply(stage_fn, stage_params, x_mb, *, axis: str = "pp",
 
 
 # --------------------------------------------------------------------- #
-#                    Llama over a (dp, pp) mesh                          #
+#                 Llama over a (dp, pp[, tp]) mesh                       #
 # --------------------------------------------------------------------- #
-def stack_stages(params, n_stages: int, pp_keys=("wqkv", "wo", "wgu", "down",
-                                                 "in_norm", "post_norm")):
+FUSED_LAYER_KEYS = ("wqkv", "wo", "wgu", "down", "in_norm", "post_norm")
+# tp needs the fused QKV / gate-up matrices split so the head (column) and
+# row dimensions can carry a "tp" PartitionSpec axis each
+TP_LAYER_KEYS = ("wq", "wk", "wv", "wo", "gate", "up", "down",
+                 "in_norm", "post_norm")
+_TP_COL = ("wq", "wk", "wv", "gate", "up")   # column-parallel (heads / ffn)
+_TP_ROW = ("wo", "down")                     # row-parallel (psum after)
+
+
+def split_tp_layer_params(params):
+    """``llama_spmd`` fused layout -> separate per-matrix keys for tp.
+
+    ``wqkv`` (N, D, 3D) -> ``wq``/``wk``/``wv`` (N, D, D); ``wgu``
+    (N, D, 2F) -> ``gate``/``up`` (N, D, F).  Column blocks of each matrix
+    are contiguous heads, so sharding the last axis over ``tp`` is exactly
+    Megatron column parallelism."""
+    D = params["wqkv"].shape[1]
+    F = params["wgu"].shape[2] // 2
+    out = {k: v for k, v in params.items() if k not in ("wqkv", "wgu")}
+    out["wq"] = params["wqkv"][..., :D]
+    out["wk"] = params["wqkv"][..., D:2 * D]
+    out["wv"] = params["wqkv"][..., 2 * D:]
+    out["gate"] = params["wgu"][..., :F]
+    out["up"] = params["wgu"][..., F:]
+    return out
+
+
+def _tp_stage_specs():
+    """shard_map in_specs for tp-split stage-stacked layer params."""
+    spec = {}
+    for k in TP_LAYER_KEYS:
+        if k in _TP_COL:
+            spec[k] = P("pp", None, None, "tp")
+        elif k in _TP_ROW:
+            spec[k] = P("pp", None, "tp", None)
+        else:  # norms: (P, N/P, D), replicated over tp
+            spec[k] = P("pp")
+    return spec
+
+
+def prepare_pp_params(params, mesh: Mesh, n_stages: int):
+    """One-call prep: ``llama_spmd.init_params``-layout pytree -> stage-
+    stacked (and, if the mesh has a ``tp`` axis, head-split tp-sharded)
+    params placed on the mesh, ready for ``make_pp_train_step``."""
+    if "tp" in mesh.axis_names and mesh.shape["tp"] > 1:
+        params = stack_stages(split_tp_layer_params(params), n_stages,
+                              pp_keys=TP_LAYER_KEYS)
+        specs = _tp_stage_specs()
+        return {k: jax.device_put(
+            v, named_sharding(mesh, *specs.get(k, P())))
+            for k, v in params.items()}
+    return shard_stage_params(stack_stages(params, n_stages), mesh)
+
+
+def stack_stages(params, n_stages: int, pp_keys=FUSED_LAYER_KEYS):
     """Reshape layer-stacked (N, ...) per-layer params to (P, N/P, ...)."""
     out = dict(params)
     for k in pp_keys:
@@ -129,17 +185,50 @@ def _layer_body(h, W, cos, sin, mask, cfg):
     return z + ((gate * jax.nn.sigmoid(gate)) * up) @ W["down"]
 
 
+def _layer_body_tp(h, W, cos, sin, mask, cfg, tp_axis: str):
+    """Megatron-tp variant of ``_layer_body`` with MANUAL collectives,
+    for use inside a shard_map region (GSPMD cannot partition there).
+
+    ``W`` holds this rank's shards: wq/wk/wv (D, D/tp) = a contiguous block
+    of heads, gate/up (D, F/tp), wo (D/tp, D) and down (F/tp, D) rows.
+    Attention runs entirely on local heads; the row-parallel output/down
+    matmuls produce partial sums that one ``psum`` each turns into the
+    replicated residual stream — the standard 2-collectives-per-block
+    Megatron schedule, here riding ICI inside the pipeline ring.
+    """
+    from . import llama_spmd
+
+    B, L, D = h.shape
+    hd = D // cfg["n_heads"]
+    Hl = W["wq"].shape[1] // hd  # local heads on this tp rank
+    hn = llama_spmd._rms(h, W["in_norm"])
+    q = (hn @ W["wq"]).reshape(B, L, Hl, hd)
+    k = (hn @ W["wk"]).reshape(B, L, Hl, hd)
+    v = (hn @ W["wv"]).reshape(B, L, Hl, hd)
+    q, k = llama_spmd._rope(q, cos, sin), llama_spmd._rope(k, cos, sin)
+    s = jnp.einsum("blhd,bmhd->bhlm", q, k) / math.sqrt(hd)
+    p = jax.nn.softmax(s + mask, axis=-1)
+    att = jnp.einsum("bhlm,bmhd->blhd", p, v).reshape(B, L, Hl * hd)
+    z = h + jax.lax.psum(att @ W["wo"], tp_axis)
+    zn = llama_spmd._rms(z, W["post_norm"])
+    g = zn @ W["gate"]
+    u = zn @ W["up"]
+    ff = (g * jax.nn.sigmoid(g)) * u
+    return z + jax.lax.psum(ff @ W["down"], tp_axis)
+
+
 def pp_forward_logits(params, tokens, cfg, mesh: Mesh, microbatches: int,
                       n_stages: int):
     """Full-sequence causal forward with the layer stack pipelined over
-    ``pp`` (and the batch sharded over ``dp`` if the mesh has that axis).
+    ``pp``, the batch sharded over ``dp``, and — if the mesh has a ``tp``
+    axis — each layer Megatron-sharded over ``tp`` with manual psums
+    (``_layer_body_tp``), all inside ONE shard_map region.
 
-    ``params`` must be stage-stacked (``stack_stages``) and placed with
-    ``shard_stage_params``.  Embedding / final norm / lm_head run replicated
+    ``params`` must come from ``prepare_pp_params`` (stage-stacked; head-
+    split when tp).  Embedding / final norm / lm_head run replicated
     outside the pipeline region (they are tiny at this scale).
     """
     B, L = tokens.shape
-    D = cfg["dim"]
     M = microbatches
     assert B % M == 0, (B, M)
     h = params["tok"][tokens]
@@ -148,23 +237,30 @@ def pp_forward_logits(params, tokens, cfg, mesh: Mesh, microbatches: int,
         jnp.arange(L)[:, None] >= jnp.arange(L)[None, :], 0.0,
         -jnp.inf).astype(h.dtype)
 
-    layer_keys = ("wqkv", "wo", "wgu", "down", "in_norm", "post_norm")
+    tp = "tp" in mesh.axis_names and mesh.shape["tp"] > 1
+    if tp:
+        assert cfg["n_heads"] % mesh.shape["tp"] == 0, \
+            (cfg["n_heads"], mesh.shape["tp"])
+        layer_keys = TP_LAYER_KEYS
+        stage_in_spec = _tp_stage_specs()
+        body = partial(_layer_body_tp, tp_axis="tp")
+    else:
+        layer_keys = FUSED_LAYER_KEYS
+        stage_in_spec = {k: P("pp") for k in layer_keys}
+        body = _layer_body
     stage_params = {k: params[k] for k in layer_keys}
 
     h_mb = h.reshape((M, B // M) + h.shape[1:])
 
     dp = "dp" in mesh.axis_names
     mb_spec = P(None, "dp") if dp else P()
-    # shard_map specs: stage axis split over pp (block size 1, squeezed by
-    # indexing [0] inside), microbatch batch dim over dp, rest replicated
-    stage_in_spec = {k: P("pp") for k in layer_keys}
 
     def run(W, h_mb, cos, sin, mask):
         W = {k: v[0] for k, v in W.items()}  # (1, N/P, ...) -> (N/P, ...)
 
         def stage_fn(Ws, hmb):
             def one(h, xs):
-                return _layer_body(h, xs, cos, sin, mask, cfg), None
+                return body(h, xs, cos, sin, mask, cfg), None
 
             return jax.lax.scan(one, hmb, Ws)[0]
 
@@ -187,11 +283,12 @@ def pp_forward_logits(params, tokens, cfg, mesh: Mesh, microbatches: int,
 
 def make_pp_train_step(mesh: Mesh, cfg, lr: float = 1e-3,
                        microbatches: int = 4):
-    """Compiled pipeline-parallel (x data-parallel) train step.
+    """Compiled pipeline-parallel (x data-parallel x tensor-parallel) step.
 
     ``mesh`` must have a ``pp`` axis (stage count must divide n_layers) and
-    may have a ``dp`` axis; returns ``step(params, tokens, targets) ->
-    (params, loss)`` over stage-stacked params."""
+    may have ``dp`` and/or ``tp`` axes; returns ``step(params, tokens,
+    targets) -> (params, loss)`` over ``prepare_pp_params``-placed params
+    (stage-stacked; head-split and tp-sharded when the mesh has tp)."""
     n_stages = mesh.shape["pp"]
     assert cfg["n_layers"] % n_stages == 0, (cfg["n_layers"], n_stages)
 
