@@ -245,11 +245,14 @@ class CLIP(nn.Module):
     def finetune_step(self, image, text_tokens, target_ids, optimizer,
                       criterion=None):
         """One compiled fine-tune step (reference model.py:219-243)."""
+        # recompile when the optimizer OR criterion changes (both live in
+        # the closure); None keys the default CrossEntropyLoss
+        key = (optimizer, criterion)
         if criterion is None:
             criterion = nn.CrossEntropyLoss()
         self.train(True)
 
-        if self._ft_step is None or self._ft_opt is not optimizer:
+        if self._ft_step is None or self._ft_opt != key:
             def inner(img, txt, tgt):
                 optimizer.zero_grad()
                 logits = self(img, txt)
@@ -259,7 +262,7 @@ class CLIP(nn.Module):
                 return loss
 
             self._ft_step = pdn.jit(inner, state=(self, optimizer))
-            self._ft_opt = optimizer
+            self._ft_opt = key
 
         img = Tensor(np.asarray(image), device=self.device) \
             if not isinstance(image, Tensor) else image

@@ -211,7 +211,7 @@ class Llama(nn.Module):
         self.lm_head = nn.Linear(embed_dim, vocab_size, dtype=dtype)
 
         self._ft_step = None
-        self._ft_opt = None
+        self._ft_key = None
         self._decode_fns = None
         self._fused_chunk_fn = None
         self._weights_cache = {}  # (dtype, fused) -> stacked decode weights
@@ -269,11 +269,16 @@ class Llama(nn.Module):
         forward+backward+optimizer update is a single XLA program.
         ``sync=False`` returns the loss as a device Tensor without the
         host round trip (call ``.item()`` when a float is needed)."""
+        # cache key: everything `inner` closes over besides the traced
+        # tensors — a changed optimizer, start_pos or criterion must
+        # recompile, not silently reuse the old closure (None = the default
+        # CrossEntropyLoss, so default calls share one compiled step)
+        key = (optimizer, start_pos, criterion)
         if criterion is None:
             criterion = nn.CrossEntropyLoss()
         self.train(True)
 
-        if self._ft_step is None or self._ft_opt is not optimizer:
+        if self._ft_step is None or self._ft_key != key:
             def inner(inp, tgt):
                 optimizer.zero_grad()
                 logits = self.forward_logits(inp, start_pos)
@@ -284,7 +289,7 @@ class Llama(nn.Module):
                 return loss
 
             self._ft_step = pdn.jit(inner, state=(self, optimizer))
-            self._ft_opt = optimizer
+            self._ft_key = key
 
         inp = Tensor(np.asarray(input_ids), device=self.device)
         tgt = Tensor(np.asarray(target_ids).reshape(-1), dtype=np.int64,
@@ -633,7 +638,13 @@ class Llama(nn.Module):
             self._weights_cache[key] = weights
 
         cpu = Device("cpu")
-        total = max_new_tokens  # reference: total-length bound
+        # reference quirk: max_new_tokens bounds the TOTAL sequence length
+        # (model.py:259 iterates range(L, max_new_tokens)); additionally cap
+        # at max_seq_len — the KV cache physically ends there (the reference
+        # silently drops cache writes past it via NumPy slice clamping)
+        total = min(max_new_tokens, self.max_seq_len)
+        if total <= L:  # reference: range(L, total) yields nothing
+            return
 
         if fused and self._fused_chunk_fn is None:
             self._fused_chunk_fn = self._make_fused_decode_fns()

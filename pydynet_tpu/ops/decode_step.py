@@ -684,7 +684,10 @@ def fused_decode_token_batched(pos, h0, cosr, sinr, rot, hmask, final_norm,
     kernel = functools.partial(_token_kernel_batched, n_layers=N, n_heads=H,
                                dim=D, dpad=Dp, vt=vt, n_tiles=n_tiles,
                                sb=sb, batch=B)
-    idx = jnp.asarray(pos, jnp.int32).reshape(1)
+    # clamp: surplus chunk steps past the cache end must stay in bounds
+    # (see fused_decode_token)
+    idx = jnp.minimum(jnp.asarray(pos, jnp.int32),
+                      np.int32(S - 1)).reshape(1)
     # operand indices include the scalar-prefetch arg: ck=18, cv=19
     tok_out, ck_new, cv_new = pl.pallas_call(
         kernel,
@@ -882,7 +885,11 @@ def fused_decode_token(pos, tok, emb, cosr, sinr, rot, hmask, final_norm,
     kernel = functools.partial(_token_kernel, n_layers=N, n_heads=H, dim=D,
                                dpad=Dp, vt=vt, n_tiles=n_tiles, sb=sb,
                                qlayers=qlayers, qhead=qhead)
-    idx = jnp.stack([jnp.asarray(pos, jnp.int32),
+    # clamp: a surplus step of a fixed-size decode chunk (model.generate
+    # discards tokens past the request on the host) must not DMA the
+    # pl.ds(apos, 16) cache tile past the end of the (N, S, Dp) buffer
+    idx = jnp.stack([jnp.minimum(jnp.asarray(pos, jnp.int32),
+                                 np.int32(S - 1)),
                      jnp.asarray(tok, jnp.int32).reshape(())])
     # operand indices include the scalar-prefetch arg (ck/cv at the end)
     tok_out, ck_new, cv_new = pl.pallas_call(
@@ -1061,7 +1068,8 @@ def fused_decode_step(pos, h0, cosd, sind, rot, hmask, final_norm,
         ],
         input_output_aliases=aliases,
         interpret=interpret,
-    )(jnp.asarray(pos, jnp.int32).reshape(1), h0, cosd, sind, rot, hmask,
+    )(jnp.minimum(jnp.asarray(pos, jnp.int32), np.int32(S - 1)).reshape(1),
+      h0, cosd, sind, rot, hmask,
       final_norm, wq, wk, wv, wo, gate_w, up_w, down_w, in_norm, post_norm,
       ck, cv)
     return h_out, ck_new, cv_new

@@ -4,9 +4,11 @@ Decode at stories15M scale is HBM-bandwidth bound: every generated token
 streams every weight byte once (reference llm/llama/model.py:258-269 is the
 same loop at 300 tok/s on NumPy).  Storing the matmul weights as int8 with a
 per-output-channel float32 scale halves the per-token HBM traffic; the
-whole-token Pallas kernel dequantizes tiles to bf16 *after* the HBM->VMEM DMA
-(the convert hides under the next tile's DMA), so compute numerics stay
-bf16-matmul/f32-accumulate.  Per-channel symmetric int8 keeps the greedy
+whole-token Pallas kernel feeds the int8 tiles to the MXU as stored
+(int8 x int8 -> int32 accumulate, activations quantized per call, f32
+rescale by activation-scale x per-channel weight scale afterward) — an
+in-kernel int8->bf16 dequantize was measured SLOWER than the DMA it saves
+because the relayout repacks sublanes.  Per-channel symmetric int8 keeps the greedy
 argmax stable: measured logit RMS error at stories15M scale is ~6e-3 against
 f32, an order of magnitude below the bf16 decision margin bench.py gates on.
 """
@@ -37,5 +39,6 @@ def quantize_int8(w, axis: int):
 
 def dequantize_int8(q, scale, dtype=jnp.float32):
     """Inverse of :func:`quantize_int8` (reference/tests only — the decode
-    kernel dequantizes in VMEM, tile by tile)."""
+    kernel never materializes the dequantized weights; it rescales the
+    int32 matmul results instead)."""
     return (q.astype(jnp.float32) * scale).astype(dtype)

@@ -93,12 +93,33 @@ def _rope(x, cos, sin):
                      axis=-1).reshape(x.shape)
 
 
+def layer_dense(h, W, cos, sin, mask, cfg):
+    """One pre-norm transformer layer over fused-layout weights ``W``
+    (wqkv/wo/wgu/down/in_norm/post_norm).  Shared by the GSPMD training
+    forward below and the pipeline-parallel stage body
+    (``pipeline._layer_body``) so the two paths cannot drift."""
+    B, L, D = h.shape
+    H = cfg["n_heads"]
+    hd = D // H
+    hn = _rms(h, W["in_norm"])
+    qkv = hn @ W["wqkv"]
+    q = qkv[..., :D].reshape(B, L, H, hd)
+    k = qkv[..., D:2 * D].reshape(B, L, H, hd)
+    v = qkv[..., 2 * D:].reshape(B, L, H, hd)
+    q, k = _rope(q, cos, sin), _rope(k, cos, sin)
+    s = jnp.einsum("blhd,bmhd->bhlm", q, k) / math.sqrt(hd)
+    p = jax.nn.softmax(s + mask, axis=-1)
+    att = jnp.einsum("bhlm,bmhd->blhd", p, v).reshape(B, L, D)
+    z = h + att @ W["wo"]
+    zn = _rms(z, W["post_norm"])
+    gu = zn @ W["wgu"]
+    gate, up = jnp.split(gu, 2, axis=-1)
+    return z + ((gate * jax.nn.sigmoid(gate)) * up) @ W["down"]
+
+
 def forward_logits(params, tokens, cfg):
     """Full-sequence causal forward -> (B, L, V) logits."""
     B, L = tokens.shape
-    H = cfg["n_heads"]
-    D = cfg["dim"]
-    hd = D // H
     h = params["tok"][tokens]
     cos, sin = params["cos"][:L], params["sin"][:L]
     mask = jnp.where(
@@ -106,20 +127,7 @@ def forward_logits(params, tokens, cfg):
         -jnp.inf).astype(h.dtype)
 
     def layer(h, xs):
-        hn = _rms(h, xs["in_norm"])
-        qkv = hn @ xs["wqkv"]
-        q = qkv[..., :D].reshape(B, L, H, hd)
-        k = qkv[..., D:2 * D].reshape(B, L, H, hd)
-        v = qkv[..., 2 * D:].reshape(B, L, H, hd)
-        q, k = _rope(q, cos, sin), _rope(k, cos, sin)
-        s = jnp.einsum("blhd,bmhd->bhlm", q, k) / math.sqrt(hd)
-        p = jax.nn.softmax(s + mask, axis=-1)
-        att = jnp.einsum("bhlm,bmhd->blhd", p, v).reshape(B, L, D)
-        z = h + att @ xs["wo"]
-        zn = _rms(z, xs["post_norm"])
-        gu = zn @ xs["wgu"]
-        gate, up = jnp.split(gu, 2, axis=-1)
-        return z + ((gate * jax.nn.sigmoid(gate)) * up) @ xs["down"], None
+        return layer_dense(h, xs, cos, sin, mask, cfg), None
 
     layer_w = {k: params[k] for k in ("wqkv", "wo", "wgu", "down",
                                       "in_norm", "post_norm")}

@@ -35,7 +35,13 @@ try:  # jax >= 0.8 top-level export; fall back to the experimental path
     def shard_map(f, **kw):
         return _shard_map(f, **kw)
 except ImportError:  # pragma: no cover
-    from jax.experimental.shard_map import shard_map
+    from jax.experimental.shard_map import shard_map as _shard_map_legacy
+
+    def shard_map(f, **kw):
+        # call sites use the jax>=0.8 kwarg name; the legacy API calls the
+        # same replication check check_rep
+        kw["check_rep"] = kw.pop("check_vma", True)
+        return _shard_map_legacy(f, **kw)
 
 
 def pipeline_apply(stage_fn, stage_params, x_mb, *, axis: str = "pp",
@@ -148,9 +154,7 @@ def stack_stages(params, n_stages: int, pp_keys=FUSED_LAYER_KEYS):
     return out
 
 
-def shard_stage_params(params, mesh: Mesh, pp_keys=("wqkv", "wo", "wgu",
-                                                    "down", "in_norm",
-                                                    "post_norm")):
+def shard_stage_params(params, mesh: Mesh, pp_keys=FUSED_LAYER_KEYS):
     """Place stage-stacked params: stage axis over ``pp``, rest replicated."""
     out = {}
     for k, v in params.items():
@@ -163,26 +167,10 @@ def shard_stage_params(params, mesh: Mesh, pp_keys=("wqkv", "wo", "wgu",
 
 
 def _layer_body(h, W, cos, sin, mask, cfg):
-    """One pre-norm transformer layer (same math as llama_spmd)."""
+    """One pre-norm transformer layer (the llama_spmd math, one source)."""
     from . import llama_spmd
 
-    B, L, D = h.shape
-    H = cfg["n_heads"]
-    hd = D // H
-    hn = llama_spmd._rms(h, W["in_norm"])
-    qkv = hn @ W["wqkv"]
-    q = qkv[..., :D].reshape(B, L, H, hd)
-    k = qkv[..., D:2 * D].reshape(B, L, H, hd)
-    v = qkv[..., 2 * D:].reshape(B, L, H, hd)
-    q, k = llama_spmd._rope(q, cos, sin), llama_spmd._rope(k, cos, sin)
-    s = jnp.einsum("blhd,bmhd->bhlm", q, k) / math.sqrt(hd)
-    p = jax.nn.softmax(s + mask, axis=-1)
-    att = jnp.einsum("bhlm,bmhd->blhd", p, v).reshape(B, L, D)
-    z = h + att @ W["wo"]
-    zn = llama_spmd._rms(z, W["post_norm"])
-    gu = zn @ W["wgu"]
-    gate, up = jnp.split(gu, 2, axis=-1)
-    return z + ((gate * jax.nn.sigmoid(gate)) * up) @ W["down"]
+    return llama_spmd.layer_dense(h, W, cos, sin, mask, cfg)
 
 
 def _layer_body_tp(h, W, cos, sin, mask, cfg, tp_axis: str):

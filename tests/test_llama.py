@@ -65,6 +65,59 @@ def test_generate_count_and_chunk_independence():
     assert a == b
 
 
+def test_generate_zero_tokens_and_cache_cap():
+    """Reference parity: range(L, max_new_tokens) yields NOTHING when the
+    prompt already reaches the bound; and the total is physically capped at
+    max_seq_len (the KV cache ends there — the reference silently drops
+    writes past it via NumPy slice clamping)."""
+    model = tiny_model()
+    model.eval()
+    ids = np.array([[1, 2, 3, 4, 5]])
+    with pdn.no_grad():
+        assert list(model.generate(ids, 5)) == []   # total == L
+        assert list(model.generate(ids, 3)) == []   # total < L
+        toks = list(model.generate(ids, 10_000, chunk=8))
+    assert len(toks) == CFG["max_seq_len"] - ids.shape[1]
+
+
+def test_finetune_step_recompiles_on_changed_args():
+    """Regression: a second finetune_step with a different start_pos or
+    criterion must NOT silently reuse the step compiled with the old closure
+    values."""
+    from pydynet_tpu import nn
+
+    inp = np.array([[1, 5, 9, 3]])
+    tgt = np.array([[5, 9, 3, 7]])
+
+    def frozen(seed=0):
+        m = tiny_model(seed)
+        m.set_trainable_parameters(("lm_head",))
+        # lr=0: params never change, so the loss is a pure function of
+        # (inputs, start_pos, criterion) and runs can be compared directly
+        return m, optim.SGD(m.parameters(), lr=0.0)
+
+    m, opt = frozen()
+    l_pos0 = m.finetune_step(inp, tgt, opt)
+    step0 = m._ft_step
+
+    # criterion swap recompiles: sum-reduction CE == mean CE * token count
+    l_sum = m.finetune_step(inp, tgt, opt,
+                            criterion=nn.CrossEntropyLoss(reduction="sum"))
+    assert m._ft_step is not step0
+    assert l_sum == pytest.approx(l_pos0 * tgt.size, rel=1e-5)
+
+    # start_pos change must not silently reuse the pos-0 program.  The
+    # train-mode forward has no KV cache, so a non-zero offset builds a
+    # shape-incompatible mask (the reference fails the same way,
+    # model.py:199-203) — reaching that error proves the recompile happened
+    # (the stale pos-0 program would succeed with the wrong positions).
+    with pytest.raises(Exception):
+        m.finetune_step(inp, tgt, opt, start_pos=2)
+
+    # back to the defaults: recompiles again, reproduces the original loss
+    assert m.finetune_step(inp, tgt, opt) == pytest.approx(l_pos0, rel=1e-6)
+
+
 def test_forward_logits_shapes():
     model = tiny_model()
     model.train(True)

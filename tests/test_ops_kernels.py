@@ -418,6 +418,53 @@ def test_fused_decode_token_int8_matches_quantized_reference():
                                    atol=2e-2)
 
 
+def test_fused_decode_token_clamps_pos_at_cache_end(tiny):
+    """Regression: ``model.generate`` dispatches fixed-size decode chunks
+    and discards surplus tokens on the host, so the kernel can legally be
+    invoked with pos >= S.  It must clamp to S-1 (identical result, DMAs in
+    bounds) instead of issuing an out-of-bounds pl.ds(apos, 16) cache RMW."""
+    cfg, p = tiny
+    N, D, F, S, H = (cfg["n_layers"], cfg["dim"], cfg["ffn"], cfg["seq"],
+                     cfg["n_heads"])
+    V, vt, sb = 256, 128, 16
+    hd = D // H
+    rng = np.random.default_rng(23)
+    Dp = ds.lane_pad_dim(D)
+
+    inv = 1.0 / (10000 ** (np.arange(0, hd, 2) / hd))
+    t = np.arange(S)[:, None]
+    cosr = np.tile(np.repeat(np.cos(t * inv), 2, -1), (1, H))
+    sinr = np.tile(np.repeat(np.sin(t * inv), 2, -1), (1, H))
+    f32 = jnp.float32
+    emb = jnp.asarray(rng.standard_normal((V, D)), f32)
+    head_w = jnp.asarray(rng.standard_normal((D, V)) * 0.3, f32)
+    head_b = jnp.zeros((1, V), f32)
+    w = {k: jnp.asarray(v, f32) for k, v in p.items()}
+    consts = (emb, jnp.asarray(cosr, f32), jnp.asarray(sinr, f32),
+              jnp.asarray(ds.rope_pair_swap_matrix(D), f32),
+              jnp.pad(ds.head_mask_matrix(D, H).astype(np.float32),
+                      ((0, Dp - D), (0, 0))),
+              w["final_norm"], w["wq"], w["wk"], w["wv"], w["wo"],
+              w["gate"], w["up"], w["down"], w["in_norm"], w["post_norm"],
+              head_w, head_b)
+    ck0 = jnp.asarray(
+        np.pad(rng.standard_normal((N, S, D)) * 0.3, ((0, 0), (0, 0),
+                                                      (0, Dp - D))), f32)
+    cv0 = jnp.asarray(
+        np.pad(rng.standard_normal((N, S, D)) * 0.3, ((0, 0), (0, 0),
+                                                      (0, Dp - D))), f32)
+    tok = jnp.asarray([7], jnp.int32)
+
+    n1, ck1, cv1 = ds.fused_decode_token(S - 1, tok, *consts, ck0, cv0,
+                                         vt=vt, sb=sb, interpret=True)
+    for pos in (S, S + 5):
+        n2, ck2, cv2 = ds.fused_decode_token(pos, tok, *consts, ck0, cv0,
+                                             vt=vt, sb=sb, interpret=True)
+        assert int(n2[0]) == int(n1[0]), (pos, int(n2[0]), int(n1[0]))
+        np.testing.assert_array_equal(np.asarray(ck2), np.asarray(ck1))
+        np.testing.assert_array_equal(np.asarray(cv2), np.asarray(cv1))
+
+
 def test_fused_decode_token_batched_matches_reference():
     """The batched whole-token kernel == B independent runs of the NumPy
     per-token reference (shared weight stream, per-row caches/argmax)."""
