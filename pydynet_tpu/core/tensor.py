@@ -794,6 +794,9 @@ def matmul(x, y) -> "Tensor":
 
 
 def maximum(x, y) -> "Tensor":
+    # NOTE: at exact ties BOTH operands receive the full gradient —
+    # deliberate parity with the reference's equality-mask grad
+    # (reference core/tensor.py:808-814), not the 50/50 subgradient split
     x, y = _pair(x, y)
     xd, yd = x._data, y._data
     out = jnp.maximum(xd, yd)
@@ -934,7 +937,9 @@ def transpose(x, axes=None) -> "Tensor":
     if axes is None:
         inv = None
     else:
-        axes = tuple(axes)
+        # normalize negatives BEFORE argsort: argsort((0, -1, -2)) is not
+        # the inverse permutation of (0, 2, 1) and silently scrambles grads
+        axes = tuple(a % xd.ndim for a in axes)
         inv = tuple(np.argsort(axes))
     return _node(jnp.transpose(xd, axes), (x,),
                  lambda g, needs: (jnp.transpose(g, inv),))

@@ -45,6 +45,7 @@ def _collect_state(state):
     parameter name for Module-owned tensors (None otherwise), used by
     mesh ``shard_rules``."""
     seen, out, flexible, names = set(), [], [], []
+    opt_objs = []
 
     def add(t, flex, name):
         if id(t) not in seen:
@@ -66,6 +67,8 @@ def _collect_state(state):
             for name, t in obj._parameters.items():
                 add(t, flex, name)
         elif hasattr(obj, "_state_tensors"):
+            if isinstance(getattr(obj, "params", None), list):
+                opt_objs.append(obj)  # optimizer: moments named in post-pass
             for t in obj._state_tensors():
                 visit(t, flex=flex)
         elif isinstance(obj, (list, tuple)):
@@ -80,6 +83,23 @@ def _collect_state(state):
 
     visit(state)
     visit(_random.default_generator)
+
+    # post-pass: name optimizer moment buffers after the parameter they
+    # mirror (buffer lists are index-parallel to optimizer.params), so mesh
+    # shard_rules place them IDENTICALLY to their parameter — a shape+dtype
+    # heuristic is ambiguous when two same-shaped params shard differently
+    # (e.g. column- vs row-parallel attention projections)
+    index = {id(t): i for i, t in enumerate(out)}
+    name_of = {id(t): n for t, n in zip(out, names) if n is not None}
+    for opt in opt_objs:
+        params = opt.params
+        for bufs in (getattr(opt, bn, None) for bn in ("v", "m", "G")):
+            if isinstance(bufs, list) and len(bufs) == len(params):
+                for p, b in zip(params, bufs):
+                    i = index.get(id(b))
+                    pname = name_of.get(id(p))
+                    if i is not None and names[i] is None and pname:
+                        names[i] = pname
     return out, flexible, names
 
 
@@ -122,11 +142,11 @@ class _JitFunction:
     def _resolve_shard_rules(self, mesh, rules):
         """Per-state-tensor NamedSharding from (fnmatch-pattern, spec) rules.
 
-        Module parameters match by dotted name; unnamed state (optimizer
-        moment buffers, which mirror their parameter exactly) inherits the
-        sharding of a named tensor with identical shape+dtype; everything
-        else is replicated — the tensor-parallel upgrade promised by the
-        round-1 dp-only ``pdn.jit(mesh=)``.
+        Module parameters match by dotted name; optimizer moment buffers
+        carry the dotted name of the parameter they mirror (paired by
+        index in ``_collect_state``) so they shard IDENTICALLY to it;
+        everything else is replicated — the tensor-parallel upgrade
+        promised by the round-1 dp-only ``pdn.jit(mesh=)``.
         """
         import fnmatch
         from jax.sharding import NamedSharding
@@ -139,22 +159,8 @@ class _JitFunction:
                     return spec
             return None
 
-        specs = [match(n) for n in self._state_names]
-        by_shape = {}
-        for t, n, s in zip(self._state_tensors, self._state_names, specs):
-            if n is not None and s is not None:
-                key = (tuple(np.shape(t._data)),
-                       str(getattr(t._data, "dtype", "")))
-                by_shape.setdefault(key, s)
-        out = []
-        for t, n, s in zip(self._state_tensors, self._state_names, specs):
-            if s is None and n is None:
-                key = (tuple(np.shape(t._data)),
-                       str(getattr(t._data, "dtype", "")))
-                s = by_shape.get(key)
-            out.append(NamedSharding(mesh, s) if s is not None
-                       else self._rep_sharding)
-        return out
+        return [NamedSharding(mesh, s) if (s := match(n)) is not None
+                else self._rep_sharding for n in self._state_names]
 
     # -- runs under trace --------------------------------------------------
     def _pure(self, state_vals, dyn_leaves, dyn_mask, packed_static):

@@ -61,7 +61,10 @@ def leaky_relu(x: Tensor, alpha: float) -> Tensor:
 
 
 def silu(x: Tensor) -> Tensor:
-    return x / (1 + tensor.exp(-x))
+    # x * sigmoid(x) via the sign-split-stable sigmoid: the naive
+    # x / (1 + exp(-x)) overflows exp at x < -88 (f32) and its backward
+    # chain then yields 0 * inf = NaN gradients
+    return x * tensor.sigmoid(x)
 
 
 def gelu(x: Tensor) -> Tensor:
@@ -100,6 +103,14 @@ def scaled_dot_product_attention(q: Tensor, k: Tensor, v: Tensor, mask=None,
         return wrap_pure(lambda a, b, c: fa.flash_attention_causal(a, b, c),
                          q, k, v)
     if mask is not None:
+        if causal:
+            # fold causality into the additive mask (the flash kernel only
+            # takes pure-causal; silently dropping causal here would let
+            # queries read the future)
+            return wrap_pure(
+                lambda a, b, c, m: fa.mha_reference(
+                    a, b, c, m + fa._causal_mask(a.shape[1]).astype(m.dtype)),
+                q, k, v, mask)
         return wrap_pure(lambda a, b, c, m: fa.mha_reference(a, b, c, m),
                          q, k, v, mask)
     return wrap_pure(lambda a, b, c: fa.mha_reference(a, b, c), q, k, v)

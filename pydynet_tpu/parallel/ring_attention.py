@@ -48,10 +48,9 @@ def _local_ring(q, k, v, *, axis_name: str, causal: bool, scale: float):
     perm = [(p, (p + 1) % n) for p in range(n)]
     tri = (jnp.arange(Lloc)[:, None] >= jnp.arange(Lloc)[None, :])
 
-    def step(carry, s):
-        m, l, acc, kb, vb = carry
+    def accum(m, l, acc, kb, vb, s):
+        """Fold K/V block ``s`` hops upstream into the running softmax."""
         j = (idx - s) % n
-
         sblk = jnp.einsum("blhd,bmhd->bhlm", qf,
                           kb.astype(jnp.float32))  # (B,H,Lloc,Lloc)
         if causal:
@@ -69,13 +68,21 @@ def _local_ring(q, k, v, *, axis_name: str, causal: bool, scale: float):
         l_new = l * alpha + jnp.sum(p, -1, keepdims=True)
         acc_new = acc * alpha + jnp.einsum(
             "bhlm,bmhd->bhld", p, vb.astype(jnp.float32))
+        return m_new, l_new, acc_new
 
+    def step(carry, s):
+        m, l, acc, kb, vb = carry
+        m, l, acc = accum(m, l, acc, kb, vb, s)
         kb = jax.lax.ppermute(kb, axis_name, perm)
         vb = jax.lax.ppermute(vb, axis_name, perm)
-        return (m_new, l_new, acc_new, kb, vb), None
+        return (m, l, acc, kb, vb), None
 
-    (m, l, acc, _, _), _ = jax.lax.scan(step, (m0, l0, acc0, k, v),
-                                        jnp.arange(n))
+    # n-1 rotated steps, then the final block WITHOUT the trailing
+    # ppermute (a full-circle rotation whose blocks are never read would
+    # cost one extra round of K/V ICI traffic per call)
+    (m, l, acc, kb, vb), _ = jax.lax.scan(step, (m0, l0, acc0, k, v),
+                                          jnp.arange(n - 1))
+    m, l, acc = accum(m, l, acc, kb, vb, jnp.asarray(n - 1))
     out = acc / jnp.maximum(l, 1e-30)
     return out.transpose(0, 2, 1, 3).astype(q.dtype)  # (B, Lloc, H, d)
 

@@ -7,6 +7,8 @@ step counter, and the learning rate — enough for exact train resumption.
 """
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 
@@ -19,7 +21,16 @@ def load_state_dict(module, state: dict, strict: bool = True):
     missing = []
     for name, param in module._parameters.items():
         if name in state:
-            param.data = np.asarray(state[name])
+            value = np.asarray(state[name])
+            if tuple(value.shape) != tuple(param.shape):
+                # Tensor's data setter only casts dtype; without this check
+                # a wrong-architecture checkpoint silently replaces the
+                # parameter wholesale and fails much later (or never)
+                raise ValueError(
+                    f"shape mismatch for '{name}': checkpoint has "
+                    f"{tuple(value.shape)}, parameter is "
+                    f"{tuple(param.shape)}")
+            param.data = value
         elif strict:
             missing.append(name)
     if missing:
@@ -43,14 +54,23 @@ def save_checkpoint(path: str, module, optimizer=None, step: int = None,
         blob["step"] = np.asarray(step)
     for k, v in (extra or {}).items():
         blob[f"extra.{k}"] = np.asarray(v)
-    np.savez(path, **blob)
+    # write to the file object so the checkpoint lands at EXACTLY `path`
+    # (bare np.savez appends '.npz' to extensionless paths, which broke
+    # save/load round trips through the same path string)
+    with open(path, "wb") as f:
+        np.savez(f, **blob)
 
 
-def load_checkpoint(path: str, module, optimizer=None):
+def load_checkpoint(path: str, module, optimizer=None, strict: bool = True):
+    """Restore a ``save_checkpoint`` blob.  ``strict`` (default) errors on
+    parameters absent from the checkpoint — resuming from a half-matching
+    checkpoint silently mixes fresh-init and restored weights otherwise."""
+    if not os.path.exists(path) and os.path.exists(path + ".npz"):
+        path += ".npz"  # checkpoints written by np.savez's auto-suffix
     blob = np.load(path)
     model_state = {k[len("model."):]: blob[k] for k in blob.files
                    if k.startswith("model.")}
-    load_state_dict(module, model_state, strict=False)
+    load_state_dict(module, model_state, strict=strict)
     if optimizer is not None:
         if "opt.lr" in blob.files:
             optimizer.lr = float(blob["opt.lr"])

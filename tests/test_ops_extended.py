@@ -8,6 +8,38 @@ import pydynet_tpu as pdn
 np.random.seed(1)
 
 
+def test_transpose_negative_axes_grad():
+    """Regression: argsort of raw negative axes is NOT the inverse
+    permutation — grads came back silently scrambled."""
+    x_np = np.random.randn(2, 3, 4)
+    g_np = np.random.randn(2, 4, 3)
+    for axes in [(0, -1, -2), (-1, 0, 1), (2, 0, 1), (-1, -3, -2)]:
+        x = pdn.Tensor(x_np, requires_grad=True)
+        y = pdn.transpose(x, axes)
+        assert y.shape == np.transpose(x_np, axes).shape
+        g = np.random.randn(*y.shape)
+        (y * pdn.Tensor(g)).sum().backward()
+        norm = tuple(a % 3 for a in axes)
+        want = np.transpose(g, np.argsort(norm))
+        assert np.allclose(x.grad, want), axes
+
+
+def test_silu_stable_at_large_negative():
+    """Regression: x / (1 + exp(-x)) overflowed exp below ~-88 (f32) and
+    produced NaN gradients."""
+    import pydynet_tpu.nn.functional as F
+
+    x = pdn.Tensor(np.array([-100.0, -5.0, 0.0, 5.0], np.float32),
+                   requires_grad=True)
+    y = F.silu(x)
+    assert np.isfinite(y.numpy()).all()
+    y.sum().backward()
+    assert np.isfinite(np.asarray(x.grad)).all()
+    # parity with the reference's formula where it is well-conditioned
+    ref = np.array([-5.0, 0.0, 5.0]) / (1 + np.exp(-np.array([-5., 0., 5.])))
+    assert np.allclose(y.numpy()[1:], ref, atol=1e-6)
+
+
 def test_unary_function_forward_matches_numpy():
     x_np = np.random.uniform(0.5, 2.0, size=(3, 4)).astype(np.float64)
     x = pdn.Tensor(x_np)

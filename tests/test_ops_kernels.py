@@ -180,6 +180,34 @@ def test_sdpa_functional_tape_node():
     assert np.allclose(o1.numpy()[0, :3], o2.numpy()[0, :3], atol=1e-6)
 
 
+def test_sdpa_causal_with_mask_stays_causal():
+    """Regression: causal=True with an additive mask silently dropped the
+    causal constraint (every query could read the future)."""
+    import pydynet_tpu as pdn
+    import pydynet_tpu.nn.functional as F
+
+    rng = np.random.default_rng(5)
+    q, k, v = (pdn.Tensor(rng.standard_normal((1, 8, 2, 4)))
+               for _ in range(3))
+    zero_mask = pdn.Tensor(np.zeros((8, 8)))
+    with pdn.no_grad():
+        plain = F.scaled_dot_product_attention(q, k, v, causal=True)
+        masked = F.scaled_dot_product_attention(q, k, v, mask=zero_mask,
+                                                causal=True)
+    assert np.allclose(plain.numpy(), masked.numpy(), atol=1e-5)
+
+    # and the mask itself still applies on top of causality: blocking key 3
+    # changes queries 3..7 (which see it causally) but not queries 0..2
+    block3 = np.zeros((8, 8))
+    block3[:, 3] = -np.inf
+    with pdn.no_grad():
+        blocked = F.scaled_dot_product_attention(
+            q, k, v, mask=pdn.Tensor(block3), causal=True)
+    assert np.allclose(blocked.numpy()[0, :3], plain.numpy()[0, :3],
+                       atol=1e-5)
+    assert not np.allclose(blocked.numpy()[0, 3:], plain.numpy()[0, 3:])
+
+
 def test_fused_batchnorm_matches_composite():
     from pydynet_tpu.ops import batchnorm as bn
 

@@ -146,10 +146,20 @@ def test_module_tp_rules_match_single_device():
         q.sharding
     shard_shape = q.sharding.shard_shape(q.shape)
     assert shard_shape == (16, 8), shard_shape  # out dim halved over tp=2
-    # optimizer moments inherit the parameter sharding by shape
-    m = opt2.m[[id(p) for p in opt2.params].index(
-        id(net2._parameters["layers.0.attention.Q.weight"]))]
-    assert m._data.sharding.shard_shape(m._data.shape)[-1] == 8
+    # optimizer moments are paired to THEIR parameter by identity —
+    # O.weight is row-parallel P('tp', None) with the same (dim, dim) shape
+    # as the column-parallel Q.weight, so a shape-based heuristic would
+    # mis-place one of the two (regression for the by-shape inheritance)
+    def moment_of(pname):
+        p = net2._parameters[pname]
+        return opt2.m[[id(q) for q in opt2.params].index(id(p))], p
+
+    for pname in ("layers.0.attention.Q.weight",
+                  "layers.0.attention.O.weight"):
+        m, p = moment_of(pname)
+        assert m._data.sharding.spec == p._data.sharding.spec, pname
+    _, o_p = moment_of("layers.0.attention.O.weight")
+    assert o_p._data.sharding.spec == jax.sharding.PartitionSpec("tp", None)
 
 
 @pytest.mark.parametrize("dp,tp", [(1, 2), (2, 2), (1, 1)])

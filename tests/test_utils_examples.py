@@ -61,6 +61,38 @@ def test_state_dict_strict_missing():
         utils.load_state_dict(net, {}, strict=True)
 
 
+def test_checkpoint_extensionless_path_roundtrip(tmp_path):
+    """Regression: np.savez appends '.npz' to extensionless paths, which
+    broke save -> load through the same path string."""
+    net = nn.Linear(3, 2)
+    path = str(tmp_path / "ck")  # no extension
+    utils.save_checkpoint(path, net)
+    np.random.seed(7)
+    net2 = nn.Linear(3, 2)
+    utils.load_checkpoint(path, net2)
+    assert np.allclose(net2.weight.numpy(), net.weight.numpy())
+
+
+def test_load_state_dict_rejects_wrong_shapes():
+    """Regression: the data setter only casts dtype, so without a check a
+    wrong-architecture checkpoint silently replaced parameters wholesale."""
+    net = nn.Linear(4, 4)
+    bad = {name: np.zeros((2, 2)) for name in net._parameters}
+    with pytest.raises(ValueError, match="shape mismatch"):
+        utils.load_state_dict(net, bad, strict=False)
+
+
+def test_load_checkpoint_strict_by_default(tmp_path):
+    """Resuming from a checkpoint missing parameters must fail loudly, not
+    mix restored and fresh-init weights."""
+    small = nn.Linear(2, 2)
+    path = str(tmp_path / "ck.npz")
+    utils.save_checkpoint(path, small)
+    bigger = nn.Sequential(nn.Linear(2, 2), nn.Linear(2, 2))
+    with pytest.raises(KeyError):
+        utils.load_checkpoint(path, bigger)
+
+
 def test_check_finite():
     net = nn.Linear(2, 2)
     assert utils.check_finite(net) == []
