@@ -99,19 +99,39 @@ class _PrefetchIter:
 
         self._q = queue.Queue(maxsize=depth)
         self._error = None
+        self._stop = threading.Event()
         inner = _DataLoaderIter(loader)
+
+        def put(item) -> bool:
+            # bounded put that notices shutdown: a consumer that stops
+            # iterating early (break / exception / GC) would otherwise leave
+            # this thread blocked on a full queue forever, pinning `depth`
+            # assembled batches and the dataset
+            while not self._stop.is_set():
+                try:
+                    self._q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for batch in inner:
-                    self._q.put(batch)
+                    if not put(batch):
+                        return
             except BaseException as e:  # surface in the consumer thread
                 self._error = e
             finally:
-                self._q.put(self._DONE)
+                put(self._DONE)
 
         self._thread = threading.Thread(target=worker, daemon=True)
         self._thread.start()
+
+    def close(self):
+        self._stop.set()
+
+    __del__ = close
 
     def __next__(self):
         item = self._q.get()

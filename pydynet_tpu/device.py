@@ -108,7 +108,13 @@ class Device:
         if self.kind == "cpu":
             return _cpu_devices()[0]
         devs = _accel_devices()
-        return devs[self.device_id % len(devs)]
+        if self.device_id >= len(devs):
+            # match set_device()'s validation — a silent modulo wrap would
+            # place data on the wrong chip for a typo'd index
+            raise RuntimeError(
+                f"Bad device index {self.device_id}: "
+                f"only {len(devs)} accelerator device(s) available")
+        return devs[self.device_id]
 
     @property
     def device(self):  # reference-compat attribute (cuda.py:41)

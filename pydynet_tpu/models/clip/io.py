@@ -78,8 +78,18 @@ class Params:
             try:
                 print(f"Downloading {model_path}")
                 download(self.MODEL_URLS["ViT-B/32"], model_path)
-            except Exception:
-                pass
+            except Exception as e:  # surface the reason, keep going to the
+                print(f"Download failed: {type(e).__name__}: {e}")  # raise
+        self._tensors = None
+        if os.path.isfile(model_path) and not os.path.isfile(index_path):
+            # the JSON byte-offset sidecar is a reference-repo artifact
+            # nothing regenerates; the .pt is a TorchScript archive, so when
+            # torch (cpu) is available read the tensors from it directly —
+            # this makes the download path usable end-to-end
+            self._tensors = self._load_with_torch(model_path)
+            if self._tensors is not None:
+                self.files, self.info = None, None
+                return
         if not (os.path.isfile(model_path) and os.path.isfile(index_path)):
             raise FileNotFoundError(
                 f"CLIP checkpoint not found at {model_path} (+ JSON index). "
@@ -90,7 +100,20 @@ class Params:
         with open(index_path) as f:
             self.info = json.load(f)
 
+    @staticmethod
+    def _load_with_torch(path):
+        try:
+            import torch
+
+            sd = torch.jit.load(path, map_location="cpu").state_dict()
+            return {k: v.detach().float().numpy() for k, v in sd.items()}
+        except Exception as e:
+            print(f"torch fallback load failed: {type(e).__name__}: {e}")
+            return None
+
     def __getitem__(self, name: str) -> np.ndarray:
+        if self._tensors is not None:
+            return np.asarray(self._tensors[name], np.float32)
         info = self.info[name]
         data = self.files[info["path"]][info["start"]:info["end"]]
         arr = np.frombuffer(data, dtype=info["dtype"]).reshape(info["shape"])

@@ -177,7 +177,10 @@ class TextEncoder(nn.Module):
 
     def forward(self, idx, position_emb):
         if not isinstance(idx, Tensor):
-            idx = Tensor(np.asarray(idx))
+            # place ids on the model's device like CLIP.forward does for
+            # img — a CPU-committed idx gathering TPU-committed embeddings
+            # raises 'incompatible devices' in eager mode
+            idx = Tensor(np.asarray(idx), device=self.device)
         x = self.token_embed(idx) + position_emb
         mask = build_attention_mask(x.shape[1]).to(x.device)
         for block in self.transformers:
@@ -246,8 +249,11 @@ class CLIP(nn.Module):
                       criterion=None):
         """One compiled fine-tune step (reference model.py:219-243)."""
         # recompile when the optimizer OR criterion changes (both live in
-        # the closure); None keys the default CrossEntropyLoss
-        key = (optimizer, criterion)
+        # the closure); builtin Loss modules key by (type, reduction) so a
+        # fresh instance per call doesn't recompile every step
+        from ...nn.modules.loss import criterion_cache_key
+
+        key = (optimizer, criterion_cache_key(criterion))
         if criterion is None:
             criterion = nn.CrossEntropyLoss()
         self.train(True)

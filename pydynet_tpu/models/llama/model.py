@@ -271,9 +271,12 @@ class Llama(nn.Module):
         host round trip (call ``.item()`` when a float is needed)."""
         # cache key: everything `inner` closes over besides the traced
         # tensors — a changed optimizer, start_pos or criterion must
-        # recompile, not silently reuse the old closure (None = the default
-        # CrossEntropyLoss, so default calls share one compiled step)
-        key = (optimizer, start_pos, criterion)
+        # recompile, not silently reuse the old closure (builtin Loss
+        # modules key by (type, reduction) so fresh per-call instances
+        # don't recompile every step)
+        from ...nn.modules.loss import criterion_cache_key
+
+        key = (optimizer, start_pos, criterion_cache_key(criterion))
         if criterion is None:
             criterion = nn.CrossEntropyLoss()
         self.train(True)

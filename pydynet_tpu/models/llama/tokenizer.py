@@ -83,4 +83,12 @@ class Tokenizer:
         # where the model's 32k ids exceed the synthesized table) decode to ''
         text = "".join(self.vocab[i] if 0 <= i < len(self.vocab) else ""
                        for i in ids)
-        return text.strip("<s>").strip("</s>")
+        # remove the literal bos/eos markers.  Deliberate fix vs the
+        # reference (tokenizer.py:65): str.strip("<s>") strips the CHARACTER
+        # SET {'<','s','>'}, so e.g. "snakes" decoded to "nake"
+        for marker in ("<s>", "</s>"):
+            while text.startswith(marker):
+                text = text[len(marker):]
+            while text.endswith(marker):
+                text = text[:-len(marker)]
+        return text

@@ -31,3 +31,18 @@ class CrossEntropyLoss(Loss):
 
     def forward(self, y_pred: Tensor, y_true: Tensor) -> Tensor:
         return F.cross_entropy_loss(y_pred, y_true, reduction=self.reduction)
+
+
+def criterion_cache_key(criterion):
+    """Recompile key for jitted train steps that close over a criterion.
+
+    Parameterless ``Loss`` modules are pure functions of
+    (type, reduction) — keying them by identity would recompile every step
+    when callers pass a fresh instance per call.  Arbitrary callables keep
+    identity keying (their behavior isn't introspectable)."""
+    if criterion is None:
+        return None
+    if type(criterion).__module__ == __name__ and isinstance(criterion,
+                                                             Loss):
+        return (type(criterion), criterion.reduction)
+    return criterion

@@ -31,10 +31,6 @@ from ...device import Device
 from ...special import zeros, empty
 
 
-def empty_like(shape, kwargs):
-    return empty(shape, **kwargs)
-
-
 # ------------------------- pure cell steps (raw arrays) ------------------ #
 def _rnn_step(x_t, h, Wx, Wh, b, nonlinearity):
     lin = x_t @ Wx + h @ Wh
@@ -78,10 +74,10 @@ class RNNCell(Module):
         self.kwargs = {"device": Device(device), "dtype": dtype}
         self.nonlinearity = nonlinearity
         self.fn = {"tanh": F.tanh, "relu": F.relu}[nonlinearity]
-        self.Wx = Parameter(empty_like((input_size, hidden_size), self.kwargs))
-        self.Wh = Parameter(empty_like((hidden_size, hidden_size), self.kwargs))
+        self.Wx = Parameter(empty((input_size, hidden_size), **self.kwargs))
+        self.Wh = Parameter(empty((hidden_size, hidden_size), **self.kwargs))
         if bias:
-            self.bias = Parameter(empty_like(hidden_size, self.kwargs))
+            self.bias = Parameter(empty(hidden_size, **self.kwargs))
         self.has_bias = bias
         self.reset_parameters()
 
@@ -143,10 +139,10 @@ class LSTMCell(Module):
         self.input_size = input_size
         self.hidden_size = hidden_size
         self.kwargs = {"device": Device(device), "dtype": dtype}
-        self.Wx = Parameter(empty_like((input_size, 4 * hidden_size), self.kwargs))
-        self.Wh = Parameter(empty_like((hidden_size, 4 * hidden_size), self.kwargs))
+        self.Wx = Parameter(empty((input_size, 4 * hidden_size), **self.kwargs))
+        self.Wh = Parameter(empty((hidden_size, 4 * hidden_size), **self.kwargs))
         if bias:
-            self.bias = Parameter(empty_like(4 * hidden_size, self.kwargs))
+            self.bias = Parameter(empty(4 * hidden_size, **self.kwargs))
         self.has_bias = bias
         self.reset_parameters()
 
@@ -211,13 +207,13 @@ class GRUCell(Module):
         self.input_size = input_size
         self.hidden_size = hidden_size
         self.kwargs = {"device": Device(device), "dtype": dtype}
-        self.Wx1 = Parameter(empty_like((input_size, 2 * hidden_size), self.kwargs))
-        self.Wh1 = Parameter(empty_like((hidden_size, 2 * hidden_size), self.kwargs))
-        self.Wx2 = Parameter(empty_like((input_size, hidden_size), self.kwargs))
-        self.Wh2 = Parameter(empty_like((hidden_size, hidden_size), self.kwargs))
+        self.Wx1 = Parameter(empty((input_size, 2 * hidden_size), **self.kwargs))
+        self.Wh1 = Parameter(empty((hidden_size, 2 * hidden_size), **self.kwargs))
+        self.Wx2 = Parameter(empty((input_size, hidden_size), **self.kwargs))
+        self.Wh2 = Parameter(empty((hidden_size, hidden_size), **self.kwargs))
         if bias:
-            self.bias1 = Parameter(empty_like(2 * hidden_size, self.kwargs))
-            self.bias2 = Parameter(empty_like(hidden_size, self.kwargs))
+            self.bias1 = Parameter(empty(2 * hidden_size, **self.kwargs))
+            self.bias2 = Parameter(empty(hidden_size, **self.kwargs))
         self.has_bias = bias
         self.reset_parameters()
 
@@ -364,6 +360,17 @@ class _RNNBase(Module):
         return zeros((d * self.num_layers, x.shape[1], self.hidden_size),
                      **self.kwargs)
 
+    def _check_state(self, x, h, what: str = "hidden"):
+        """Reference parity (rnn.py:137-142,374-381): a malformed caller
+        state must raise, not broadcast into plausible-looking garbage."""
+        d = 2 if self.bidirectional else 1
+        ok = (x.ndim == 2 and tuple(h.shape) == (d * self.num_layers,
+                                                 self.hidden_size)) or \
+             (x.ndim == 3 and tuple(h.shape) == (d * self.num_layers,
+                                                 x.shape[1],
+                                                 self.hidden_size))
+        assert ok, f"Wrong {what} state input!"
+
     def __repr__(self) -> str:
         return ("{}({}, {}, num_layers={}, bias={}, batch_first={}, "
                 "bidirectional={})").format(self.__class__.__name__,
@@ -382,9 +389,12 @@ class RNN(_RNNBase):
     _prefix = "rnn"
 
     def __init__(self, input_size, hidden_size, num_layers: int = 1,
-                 bias: bool = True, nonlinearity: str = "tanh",
+                 nonlinearity: str = "tanh", bias: bool = True,
                  batch_first: bool = False, bidirectional: bool = False,
                  device=None, dtype=None) -> None:
+        # positional order matches the reference exactly (rnn.py:82-90:
+        # num_layers, NONLINEARITY, bias, ...) — swapping the two silently
+        # mis-binds reference-style positional calls like RNN(64,128,2,'relu')
         self.nonlinearity = nonlinearity
         super().__init__(input_size, hidden_size, num_layers, bias,
                          batch_first, bidirectional, device, dtype,
@@ -415,6 +425,8 @@ def _forward_single_state(self, x, h):
         x = x.swapaxes(0, 1)
     if h is None:
         h = self.init_hidden(x)
+    else:
+        self._check_state(x, h)
 
     hn_list, hrn_list = [], []
     layer_f = layer_r = x
@@ -449,6 +461,8 @@ class LSTM(_RNNBase):
             c = self.init_hidden(x)
         else:
             h, c = hx
+            self._check_state(x, h)
+            self._check_state(x, c, "cell")
 
         hn_list, hrn_list, cn_list, crn_list = [], [], [], []
         layer_f = layer_r = x

@@ -34,7 +34,13 @@ class Optimizer:
     @lr.setter
     def lr(self, value) -> None:
         if not hasattr(self, "_lr_tensor"):
-            self.__dict__["_lr_tensor"] = Tensor(np.float32(value))
+            t = Tensor(np.float32(value))
+            # keep the scalar UNCOMMITTED (random.py does the same for PRNG
+            # keys): Tensor.__init__ commits to CPU, and a CPU-committed
+            # scalar x TPU-committed grad raises 'incompatible devices' in
+            # the eager step() path
+            t._data = jnp.asarray(np.float32(value))
+            self.__dict__["_lr_tensor"] = t
         else:
             self._lr_tensor._data = jnp.asarray(value, jnp.float32)
 
@@ -154,8 +160,10 @@ class Adam(Optimizer):
         self.eps = eps
         self.weight_decay = weight_decay
         self.m, self.v = self._make_buffers(2)
-        # bias-correction step counter, traced so jit steps keep counting
+        # bias-correction step counter, traced so jit steps keep counting;
+        # uncommitted like _lr_tensor so eager TPU steps don't mix devices
         self._t_tensor = Tensor(np.float32(1.0))
+        self._t_tensor._data = jnp.asarray(np.float32(1.0))
 
     @property
     def t(self) -> float:

@@ -217,3 +217,24 @@ def test_clip_full_model_grad_check_numerical():
             p.data[idx] = orig
         want = (fp - fm) / (2 * eps)
         assert abs(got - want) < 1e-5, (name, got, want)
+
+
+def test_clip_params_torch_fallback(tmp_path):
+    """Regression: the download path fetched the .pt but the JSON
+    byte-offset sidecar never exists (nothing generates it); Params now
+    reads the TorchScript archive directly via torch (cpu) when the
+    sidecar is missing."""
+    torch = pytest.importorskip("torch")
+    from pydynet_tpu.models.clip.io import Params
+
+    class M(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.w = torch.nn.Parameter(
+                torch.arange(6, dtype=torch.float32).reshape(2, 3))
+
+    torch.jit.save(torch.jit.script(M()), str(tmp_path / "ViT-B-32.pt"))
+    p = Params("ViT-B/32", download_root=str(tmp_path))
+    arr = p["w"]
+    assert arr.dtype == np.float32 and arr.shape == (2, 3)
+    assert np.allclose(arr, np.arange(6).reshape(2, 3))

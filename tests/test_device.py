@@ -50,3 +50,16 @@ def test_accel_alias_names():
     if not cuda.is_available():
         pytest.skip("no accelerator under the CPU test backend")
     assert Device("cuda") == Device("tpu") == Device("gpu")
+
+
+def test_bad_accel_index_raises(monkeypatch):
+    """Regression: an out-of-range accelerator index silently wrapped
+    modulo the device count, placing data on the wrong chip."""
+    import jax
+    import pydynet_tpu.device as dev
+
+    monkeypatch.setattr(dev, "_accel_devices", lambda: [jax.devices()[0]])
+    monkeypatch.setattr(dev, "is_available", lambda: True)
+    d = dev.Device("cuda:3")
+    with pytest.raises(RuntimeError, match="Bad device index"):
+        d.jax_device

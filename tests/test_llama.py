@@ -219,6 +219,32 @@ def test_tokenizer_fallback_vocab():
     assert tok.decode([99999]) == ""
 
 
+def test_tokenizer_decode_keeps_edge_chars():
+    """Regression (deliberate fix vs the reference): str.strip('<s>')
+    strips the CHARACTER SET, so 'snakes' decoded to 'nake'."""
+    tok = Tokenizer("/nonexistent/path.json")  # byte-level fallback vocab
+    ids = tok.encode("snakes", add_bos=True, add_eos=True)
+    assert tok.decode(ids) == "snakes"
+    ids2 = tok.encode("</html>", add_bos=True)
+    assert tok.decode(ids2) == "</html>"
+
+
+def test_finetune_same_criterion_type_reuses_compiled_step():
+    """Passing a FRESH CrossEntropyLoss instance per call must not
+    recompile (builtin Loss modules key by type+reduction)."""
+    from pydynet_tpu import nn
+
+    m = tiny_model()
+    m.set_trainable_parameters(("lm_head",))
+    opt = optim.SGD(m.parameters(), lr=0.0)
+    inp = np.array([[1, 5, 9, 3]])
+    tgt = np.array([[5, 9, 3, 7]])
+    m.finetune_step(inp, tgt, opt, criterion=nn.CrossEntropyLoss())
+    step0 = m._ft_step
+    m.finetune_step(inp, tgt, opt, criterion=nn.CrossEntropyLoss())
+    assert m._ft_step is step0
+
+
 def test_rotary_cache_values():
     from pydynet_tpu.models.llama.model import compute_cos_sin_cache
     cos, sin = compute_cos_sin_cache(8, 16)

@@ -1,6 +1,7 @@
 """RNN/LSTM/GRU: scan drivers vs per-step cell loops (must match exactly),
 shapes incl. bidirectional/batch_first/unbatched, grads flow, jit training."""
 import numpy as np
+import pytest
 
 import pydynet_tpu as pdn
 from pydynet_tpu import nn, optim
@@ -193,3 +194,28 @@ def test_gru_grad_numerical_f64():
             flat[i] = orig
             wflat[i] = (fp - fm) / (2 * eps)
     assert np.allclose(got, want, atol=1e-6), np.abs(got - want).max()
+
+
+def test_rnn_positional_args_match_reference_order():
+    """Regression: reference order is (in, hidden, num_layers,
+    NONLINEARITY, bias, ...) — the repo had bias before nonlinearity, so
+    RNN(64, 128, 2, 'relu') silently got bias='relu', nonlinearity='tanh'."""
+    rnn = nn.RNN(4, 8, 2, "relu")
+    assert rnn.nonlinearity == "relu"
+    assert rnn.has_bias is True
+    rnn2 = nn.RNN(4, 8, 2, "relu", False)
+    assert rnn2.nonlinearity == "relu"
+    assert rnn2.has_bias is False
+
+
+def test_drivers_reject_malformed_hidden_state():
+    """Reference parity: a wrong-shaped caller hidden state must raise
+    ('Wrong hidden state input!'), not broadcast silently."""
+    x = pdn.Tensor(np.random.randn(5, 3, 4))  # (L, B, in)
+    rnn = nn.RNN(4, 8)
+    with pytest.raises(AssertionError, match="hidden"):
+        rnn(x, pdn.Tensor(np.random.randn(1, 8)))  # missing batch dim
+    lstm = nn.LSTM(4, 8)
+    h_ok = pdn.Tensor(np.random.randn(1, 3, 8))
+    with pytest.raises(AssertionError, match="cell"):
+        lstm(x, (h_ok, pdn.Tensor(np.random.randn(1, 8))))

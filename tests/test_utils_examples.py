@@ -149,3 +149,40 @@ def test_dataloader_prefetch_matches_sequential():
     loader.prefetch = 4
     b = [by.tolist() for _, by in loader]
     assert a == b
+
+
+def test_prefetch_iter_unblocks_on_early_exit():
+    """Regression: breaking out of a prefetching DataLoader left the
+    worker thread blocked on a full queue forever."""
+    import time
+    from pydynet_tpu.data import DataLoader, Dataset
+
+    class DS(Dataset):
+        def __init__(self):
+            self.x = np.arange(64)
+
+        def __len__(self):
+            return 64
+
+        def __getitem__(self, idx):
+            return self.x[idx]
+
+    it = iter(DataLoader(DS(), batch_size=2, prefetch=2))
+    next(it)  # worker is now parked on a full queue
+    thread = it._thread
+    it.close()
+    thread.join(timeout=5.0)
+    assert not thread.is_alive()
+
+
+def test_optimizer_scalar_state_uncommitted():
+    """Regression: CPU-committed lr/t scalars crash eager steps on
+    TPU-resident params ('incompatible devices'); they must stay
+    uncommitted so jax co-locates them with whatever device the math
+    runs on."""
+    net = nn.Linear(3, 3)
+    for opt in (optim.SGD(net.parameters(), lr=0.1),
+                optim.Adam(net.parameters(), lr=0.1)):
+        assert not opt._lr_tensor._data.committed
+        if hasattr(opt, "_t_tensor"):
+            assert not opt._t_tensor._data.committed
