@@ -124,7 +124,9 @@ def fidelity_gate(model, prompt_ids, truth, margins, quant):
         if margins[i] > MARGIN:
             checked += 1
             ok += int(int(outs[i - 1]) == truth[i])
-    return checked, ok == checked
+    # fail closed: zero confident steps means NOTHING was verified — do not
+    # let a format into the race on a vacuous 0 == 0
+    return checked, checked > 0 and ok == checked
 
 
 def main():

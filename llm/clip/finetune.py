@@ -3,9 +3,13 @@
 Flag parity with /root/reference/llm/clip/finetune.py; each step is one
 compiled forward+backward+Adam XLA program (CLIP.finetune_step).
 """
+import os
 import argparse
 
 import numpy as np
+
+from .._cpu import force_cpu_platform_if_requested
+force_cpu_platform_if_requested()  # must precede the pydynet_tpu import
 
 import pydynet_tpu.optim as optim
 
@@ -38,6 +42,8 @@ def main(argv=None):
                         default="llm/clip/data/finetuned_clip_params.npz")
     parser.add_argument("--weights-dir", type=str, default="llm/clip/data")
     parser.add_argument("--random-init", action="store_true")
+    parser.add_argument("--no-cuda", action="store_true",
+                        help="Run on the CPU platform")
     args = parser.parse_args(argv)
 
     labels = parse_labels(args.labels)
@@ -55,7 +61,7 @@ def main(argv=None):
                                              download_root=args.weights_dir))
         except FileNotFoundError as e:
             print(f"[clip.finetune] {e}\n-> random-initialized weights")
-    if pdn.cuda.is_available():
+    if pdn.cuda.is_available() and not args.no_cuda:
         model = model.to("cuda:0")
 
     prefixes = tuple(p.strip() for p in args.trainable.split(",")
@@ -70,6 +76,11 @@ def main(argv=None):
         if step == 1 or step % 5 == 0 or step == args.steps:
             print(f"step={step:04d}, loss={loss:.6f}")
 
+    # the default save dir (llm/clip/data) is not checked in — create it
+    # rather than lose all the training work to a FileNotFoundError
+    save_dir = os.path.dirname(args.save)
+    if save_dir:
+        os.makedirs(save_dir, exist_ok=True)
     save_finetuned_parameters(model, args.save)
     print(f"Saved finetuned params to {args.save}")
 

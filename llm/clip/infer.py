@@ -11,6 +11,9 @@ import time
 
 import numpy as np
 
+from .._cpu import force_cpu_platform_if_requested
+force_cpu_platform_if_requested()  # must precede the pydynet_tpu import
+
 import pydynet_tpu as pdn
 import pydynet_tpu.nn.functional as F
 
@@ -36,6 +39,8 @@ def main(argv=None):
     parser.add_argument("--finetuned", type=str, default=None)
     parser.add_argument("--weights-dir", type=str, default="llm/clip/data")
     parser.add_argument("--random-init", action="store_true")
+    parser.add_argument("--no-cuda", action="store_true",
+                        help="Run on the CPU platform")
     args = parser.parse_args(argv)
 
     labels = [x.strip() for x in args.labels.split(",") if x.strip()]
@@ -52,7 +57,7 @@ def main(argv=None):
             print(f"[clip.infer] {e}\n-> random-initialized weights")
     if args.finetuned is not None:
         clip = load_finetuned_parameters(clip, args.finetuned)
-    if pdn.cuda.is_available():
+    if pdn.cuda.is_available() and not args.no_cuda:
         clip = clip.to("cuda:0")
 
     clip.eval()

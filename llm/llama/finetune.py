@@ -10,6 +10,9 @@ import time
 
 import numpy as np
 
+from .._cpu import force_cpu_platform_if_requested
+force_cpu_platform_if_requested()  # must precede the pydynet_tpu import
+
 import pydynet_tpu as pdn
 import pydynet_tpu.optim as optim
 
@@ -37,7 +40,11 @@ def main(argv=None):
     parser.add_argument("--text", type=str, required=True)
     parser.add_argument("--steps", type=int, default=30)
     parser.add_argument("--lr", type=float, default=1e-4)
-    parser.add_argument("--cuda", action="store_true")
+    parser.add_argument("--cuda", action="store_true",
+                        help="(reference parity; the accelerator is already "
+                        "the default — use --no-cuda to opt out)")
+    parser.add_argument("--no-cuda", action="store_true",
+                        help="Run on the CPU platform")
     parser.add_argument("--trainable", type=str, default="lm_head",
                         help="Comma-separated parameter name prefixes")
     parser.add_argument("--save", type=str,
@@ -58,7 +65,7 @@ def main(argv=None):
         print(f"[finetune] checkpoint {args.weights!r} not found -> "
               "random-initialized weights")
 
-    if pdn.cuda.is_available():
+    if pdn.cuda.is_available() and not args.no_cuda:
         model = model.to("cuda:0")
 
     prefixes = tuple(p.strip() for p in args.trainable.split(",") if p.strip())

@@ -13,6 +13,9 @@ import time
 
 import numpy as np
 
+from .._cpu import force_cpu_platform_if_requested
+force_cpu_platform_if_requested()  # must precede the pydynet_tpu import
+
 import pydynet_tpu as pdn
 from .tokenizer import Tokenizer
 from .model import Llama
@@ -45,7 +48,11 @@ def main(argv=None):
     parser = argparse.ArgumentParser(
         description="Prompt input, e.g. There was a boy")
     parser.add_argument("--prompt", type=str, default="There was a boy")
-    parser.add_argument("--cuda", action="store_true")
+    parser.add_argument("--cuda", action="store_true",
+                        help="(reference parity; the accelerator is already "
+                        "the default here — use --no-cuda to opt out)")
+    parser.add_argument("--no-cuda", action="store_true",
+                        help="Force CPU inference")
     parser.add_argument("--finetuned", type=str, default=None,
                         help="Optional finetuned parameter file (.npz)")
     parser.add_argument("--weights", type=str,
@@ -71,10 +78,9 @@ def main(argv=None):
     tokenizer = Tokenizer(args.tokenizer)
     model = build_model(args)
 
-    if args.cuda and pdn.cuda.is_available():
-        model = model.to("cuda:0")
-    elif pdn.cuda.is_available():
-        # default to the accelerator: this is the TPU-native framework
+    # default to the accelerator (the reference makes --cuda opt-in;
+    # this is the TPU-native framework, so CPU is the opt-OUT)
+    if pdn.cuda.is_available() and not args.no_cuda:
         model = model.to("cuda:0")
 
     model.eval()

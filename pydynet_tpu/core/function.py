@@ -30,7 +30,9 @@ def normalize_axis_tuple(axis, ndim, argname=None, allow_duplicate=False):
             axis = [operator.index(axis)]
         except TypeError:
             pass
-    axis = tuple(a % ndim if a < 0 else a for a in axis)
+    # single +ndim shift like numpy, NOT modulo: `a % ndim` silently wraps
+    # out-of-range negatives (e.g. -10 on a 2-d array) instead of raising
+    axis = tuple(a + ndim if a < 0 else a for a in axis)
     for a in axis:
         if not 0 <= a < ndim:
             raise np.exceptions.AxisError(a, ndim, argname)
@@ -82,7 +84,7 @@ def dsplit(x, indices_or_sections) -> list:
 
 def split(x, indices_or_sections, axis: int = 0) -> list:
     x = _coerce(x)
-    axis = axis % x.ndim
+    (axis,) = normalize_axis_tuple(axis, x.ndim, "axis")
     if axis == 0:
         return _split_along(x, indices_or_sections, 0)
     # general axis: swap to front, split, swap back (reference function.py:160-166)

@@ -652,6 +652,13 @@ class Llama(nn.Module):
         if fused and self._fused_chunk_fn is None:
             self._fused_chunk_fn = self._make_fused_decode_fns()
 
+        # a short request must not compile/execute a full default-size
+        # chunk (a 24-token ask on the XLA:CPU path was paying a 512-step
+        # scan compile): cap at the next power of two of the actual need,
+        # so executables still land on a handful of reusable sizes
+        need_total = max(total - L - 1, 1)
+        chunk = min(chunk, 1 << (need_total - 1).bit_length())
+
         if fused and 0 < total - L - 1 <= chunk:
             # whole request in ONE device dispatch: cache alloc + prefill +
             # fused decode scan, one readback at the end

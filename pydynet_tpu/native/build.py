@@ -18,21 +18,33 @@ def _source_path(name: str) -> str:
 def _lib_path(name: str) -> str:
     with open(_source_path(name), "rb") as f:
         digest = hashlib.sha256(f.read()).hexdigest()[:12]
+    # per-user cache (like _config.py's XLA cache), NOT a predictable
+    # world-writable /tmp path: the .so is dlopened, so another local user
+    # pre-planting a file there would execute code in our process
     cache_dir = os.environ.get(
         "PYDYNET_TPU_NATIVE_CACHE",
-        os.path.join(tempfile.gettempdir(), "pydynet_tpu_native"))
+        os.path.join(os.path.expanduser("~"), ".cache", "pydynet_tpu",
+                     "native"))
     os.makedirs(cache_dir, exist_ok=True)
     return os.path.join(cache_dir, f"lib{name}_{digest}.so")
 
 
 def _compile(name: str, lib: str) -> bool:
+    # unique temp + atomic rename: concurrent builds in two processes must
+    # not interleave writes into one shared .tmp
+    fd, tmp = tempfile.mkstemp(suffix=".so.tmp", dir=os.path.dirname(lib))
+    os.close(fd)
     cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-           _source_path(name), "-o", lib + ".tmp"]
+           _source_path(name), "-o", tmp]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        os.replace(lib + ".tmp", lib)
+        os.replace(tmp, lib)
         return True
     except Exception:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
 
 

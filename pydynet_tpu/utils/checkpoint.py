@@ -35,6 +35,11 @@ def load_state_dict(module, state: dict, strict: bool = True):
             missing.append(name)
     if missing:
         raise KeyError(f"missing parameters in state dict: {missing[:5]}...")
+    # models that snapshot stacked device weights for decoding must not
+    # keep serving pre-restore weights (Llama.move/io clear this too)
+    cache = getattr(module, "_weights_cache", None)
+    if isinstance(cache, dict):
+        cache.clear()
     return module
 
 
@@ -80,7 +85,18 @@ def load_checkpoint(path: str, module, optimizer=None, strict: bool = True):
                 for i, b in enumerate(bufs):
                     key = f"opt.{buf_name}.{i}"
                     if key in blob.files:
-                        b.data = blob[key]
+                        value = blob[key]
+                        if tuple(value.shape) != tuple(b.shape):
+                            # moments are matched by index: a different
+                            # trainable set between save and load would
+                            # silently pair old moments with new params
+                            raise ValueError(
+                                f"shape mismatch for optimizer moment "
+                                f"'{key}': checkpoint has "
+                                f"{tuple(value.shape)}, buffer is "
+                                f"{tuple(b.shape)} — was the optimizer "
+                                "built over a different parameter set?")
+                        b.data = value
         if hasattr(optimizer, "_t_tensor") and "opt.t" in blob.files:
             optimizer._t_tensor.data = blob["opt.t"]
     return int(blob["step"]) if "step" in blob.files else None

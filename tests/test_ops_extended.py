@@ -173,3 +173,15 @@ def test_getitem_with_tensor_key_and_repeats():
     y = x[idx].sum()
     y.backward()
     assert np.allclose(x.grad, [2.0, 0.0, 1.0, 0.0])
+
+
+def test_out_of_range_axes_raise():
+    """Regression: `a % ndim` silently wrapped out-of-range negative axes
+    (numpy and the reference raise AxisError)."""
+    x2 = pdn.Tensor(np.random.randn(3, 4))
+    with pytest.raises(np.exceptions.AxisError):
+        pdn.squeeze(pdn.Tensor(np.random.randn(1, 4)), -5)
+    with pytest.raises(np.exceptions.AxisError):
+        pdn.unsqueeze(x2, -10)
+    with pytest.raises(np.exceptions.AxisError):
+        pdn.split(x2, 2, axis=-5)

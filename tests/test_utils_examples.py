@@ -186,3 +186,49 @@ def test_optimizer_scalar_state_uncommitted():
         assert not opt._lr_tensor._data.committed
         if hasattr(opt, "_t_tensor"):
             assert not opt._t_tensor._data.committed
+
+
+def test_checkpoint_restore_clears_decode_weight_cache(tmp_path):
+    """Regression: generate() snapshots stacked device weights; restoring a
+    checkpoint must invalidate that snapshot or decode keeps serving the
+    pre-restore weights."""
+    from pydynet_tpu.models.llama.model import Llama
+
+    np.random.seed(0)
+    model = Llama(vocab_size=97, embed_dim=24, n_heads=2, ffn_dim=40,
+                  max_seq_len=32, max_batch_size=1, n_layers=2,
+                  dtype=np.float32)
+    model.eval()
+    ids = np.array([[1, 5, 9]])
+    with pdn.no_grad():
+        before = [int(t.numpy()[0, 0]) for t in model.generate(ids, 10)]
+    assert model._weights_cache  # populated by generate
+    path = str(tmp_path / "llama_ck.npz")
+    utils.save_checkpoint(path, model)
+
+    np.random.seed(1)  # different weights
+    model2 = Llama(vocab_size=97, embed_dim=24, n_heads=2, ffn_dim=40,
+                   max_seq_len=32, max_batch_size=1, n_layers=2,
+                   dtype=np.float32)
+    model2.eval()
+    with pdn.no_grad():
+        [t for t in model2.generate(ids, 10)]  # populate the cache
+    utils.load_checkpoint(path, model2)
+    assert not model2._weights_cache  # invalidated by the restore
+    with pdn.no_grad():
+        after = [int(t.numpy()[0, 0]) for t in model2.generate(ids, 10)]
+    assert after == before
+
+
+def test_checkpoint_moment_shape_mismatch_raises(tmp_path):
+    """Regression: index-matched optimizer moments loaded into a different
+    trainable set silently paired old moments with new params."""
+    net = nn.Linear(4, 4)
+    opt = optim.Adam(net.parameters(), lr=1e-3)
+    path = str(tmp_path / "ck.npz")
+    utils.save_checkpoint(path, net, opt)
+
+    net2 = nn.Linear(4, 4)
+    opt2 = optim.Adam([list(net2.parameters())[1]], lr=1e-3)  # bias only
+    with pytest.raises((ValueError, KeyError)):
+        utils.load_checkpoint(path, net2, opt2)
