@@ -12,7 +12,6 @@ from os.path import exists, join
 import numpy as np
 
 import pydynet_tpu as pdn
-import pydynet_tpu.nn.functional as F
 from pydynet_tpu import nn
 from pydynet_tpu.optim import Adam
 from pydynet_tpu.data import data_loader

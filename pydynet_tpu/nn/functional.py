@@ -17,7 +17,6 @@ API parity with /root/reference/pydynet/nn/functional.py, rebuilt TPU-first:
 """
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .mesh import Mesh, named_sharding, P
+from .mesh import Mesh, named_sharding
 
 
 def init_moe_params(rng: np.random.RandomState, n_experts: int, dim: int,

@@ -1,7 +1,6 @@
 """nn layer: functional ops vs NumPy oracles (fwd + numerical grad-checks to
 1e-5 per BASELINE.md), module registration semantics, norms, dropout."""
 import numpy as np
-import pytest
 
 import pydynet_tpu as pdn
 from pydynet_tpu import nn

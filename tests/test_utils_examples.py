@@ -1,5 +1,4 @@
 """utils (checkpoint/debug/profiler) + example smoke tests (CPU, tiny)."""
-import sys
 
 import numpy as np
 import pytest
@@ -154,7 +153,6 @@ def test_dataloader_prefetch_matches_sequential():
 def test_prefetch_iter_unblocks_on_early_exit():
     """Regression: breaking out of a prefetching DataLoader left the
     worker thread blocked on a full queue forever."""
-    import time
     from pydynet_tpu.data import DataLoader, Dataset
 
     class DS(Dataset):
