@@ -102,21 +102,28 @@ class Attention(nn.Module):
     (reference model.py:61-121)."""
 
     def __init__(self, dim: int, n_heads: int, max_seq_len: int,
-                 max_batch_size: int = None, dtype=None):
+                 max_batch_size: int = None, dtype=None,
+                 n_kv_heads: int = None):
         super().__init__()
         self.dim = dim
         self.n_heads = n_heads
         assert dim % n_heads == 0
         self.head_dim = dim // n_heads
+        # grouped-query attention (GQA, Llama-2/3 style): n_kv_heads < n_heads
+        # means each K/V head serves n_heads//n_kv_heads query heads.  The
+        # reference model is MHA-only (model.py:61-121); None keeps that.
+        self.n_kv_heads = n_kv_heads if n_kv_heads else n_heads
+        assert n_heads % self.n_kv_heads == 0, (n_heads, self.n_kv_heads)
+        kv_dim = self.n_kv_heads * self.head_dim
         self.max_seq_len = max_seq_len
         self.max_batch_size = max_batch_size if max_batch_size else 1
 
         self.Q = nn.Linear(dim, dim, bias=False, dtype=dtype)
-        self.K = nn.Linear(dim, dim, bias=False, dtype=dtype)
-        self.V = nn.Linear(dim, dim, bias=False, dtype=dtype)
+        self.K = nn.Linear(dim, kv_dim, bias=False, dtype=dtype)
+        self.V = nn.Linear(dim, kv_dim, bias=False, dtype=dtype)
         self.O = nn.Linear(dim, dim, bias=False, dtype=dtype)
 
-        cache_shape = (self.max_batch_size, max_seq_len, n_heads,
+        cache_shape = (self.max_batch_size, max_seq_len, self.n_kv_heads,
                        self.head_dim)
         self.cache_k = nn.Parameter(pdn.special.zeros(cache_shape,
                                                       dtype=dtype),
@@ -128,8 +135,8 @@ class Attention(nn.Module):
     def __call__(self, x, start_pos: int, mask, freqs_cos, freqs_sin):
         B, L, _ = x.shape
         xq = self.Q(x).reshape(B, L, self.n_heads, self.head_dim)
-        xk = self.K(x).reshape(B, L, self.n_heads, self.head_dim)
-        xv = self.V(x).reshape(B, L, self.n_heads, self.head_dim)
+        xk = self.K(x).reshape(B, L, self.n_kv_heads, self.head_dim)
+        xv = self.V(x).reshape(B, L, self.n_kv_heads, self.head_dim)
 
         xq, xk = apply_rotary_emb(xq, xk, freqs_cos, freqs_sin)
 
@@ -138,6 +145,13 @@ class Attention(nn.Module):
             self.cache_v[:B, start_pos:start_pos + L] = xv
             xk = self.cache_k[:B, :start_pos + L]
             xv = self.cache_v[:B, :start_pos + L]
+
+        if self.n_kv_heads != self.n_heads:
+            # GQA: broadcast each KV head to its query-head group (XLA fuses
+            # the repeat into the attention einsums)
+            g = self.n_heads // self.n_kv_heads
+            xk = pdn.wrap_pure(lambda a: jnp.repeat(a, g, axis=2), xk)
+            xv = pdn.wrap_pure(lambda a: jnp.repeat(a, g, axis=2), xv)
 
         if self._train and mask is not None and start_pos == 0:
             # training path: pure causal -> Pallas flash attention
@@ -167,10 +181,10 @@ class TransformerBlock(nn.Module):
     """Pre-norm block (reference model.py:124-150)."""
 
     def __init__(self, dim, n_heads, ffn_dim, max_seq_len,
-                 max_batch_size=None, dtype=None):
+                 max_batch_size=None, dtype=None, n_kv_heads=None):
         super().__init__()
         self.attention = Attention(dim, n_heads, max_seq_len, max_batch_size,
-                                   dtype)
+                                   dtype, n_kv_heads)
         self.ffn = FeedForward(dim, ffn_dim, dtype)
         self.input_norm = nn.RMSNorm(dim, dtype=dtype)
         self.post_attn_norm = nn.RMSNorm(dim, dtype=dtype)
@@ -185,11 +199,12 @@ class Llama(nn.Module):
 
     def __init__(self, vocab_size, embed_dim, n_heads, ffn_dim: int,
                  max_seq_len: int, max_batch_size: int = None,
-                 n_layers: int = 6, dtype=None):
+                 n_layers: int = 6, dtype=None, n_kv_heads: int = None):
         super().__init__()
         self.vocab_size = vocab_size
         self.embed_dim = embed_dim
         self.n_heads = n_heads
+        self.n_kv_heads = n_kv_heads if n_kv_heads else n_heads
         self.ffn_dim = ffn_dim
         self.max_seq_len = max_seq_len
         self.max_batch_size = max_batch_size
@@ -204,7 +219,7 @@ class Llama(nn.Module):
 
         self.layers = nn.ModuleList([
             TransformerBlock(embed_dim, n_heads, ffn_dim, max_seq_len,
-                             max_batch_size, dtype)
+                             max_batch_size, dtype, n_kv_heads)
             for _ in range(n_layers)
         ])
         self.norm = nn.RMSNorm(embed_dim, dtype=dtype)
@@ -348,6 +363,8 @@ class Llama(nn.Module):
     def _make_decode_fns(self):
         S = self.max_seq_len
         H, hd = self.n_heads, self.head_dim
+        Hkv = self.n_kv_heads
+        g = H // Hkv  # query heads per KV head (1 = MHA)
         scale = 1.0 / math.sqrt(hd)
 
         def rms(x, w):
@@ -371,25 +388,28 @@ class Llama(nn.Module):
             pos32 = jnp.asarray(pos, jnp.int32)
 
             D = H * hd
+            Dkv = Hkv * hd
 
             def layer(h, xs):
                 W, ck_i, cv_i = xs
                 hn = rms(h, W["in_norm"])
-                qkv = hn @ W["wqkv"]  # one fused (D, 3D) matmul
+                qkv = hn @ W["wqkv"]  # one fused (D, D+2*Dkv) matmul
                 q = qkv[..., :D].reshape(B, L, H, hd)
-                k = qkv[..., D:2 * D].reshape(B, L, H, hd)
-                v = qkv[..., 2 * D:].reshape(B, L, H, hd)
+                k = qkv[..., D:D + Dkv].reshape(B, L, Hkv, hd)
+                v = qkv[..., D + Dkv:].reshape(B, L, Hkv, hd)
                 q = _rope_pure(q, cos.astype(q.dtype), sin.astype(q.dtype))
                 k = _rope_pure(k, cos.astype(k.dtype), sin.astype(k.dtype))
                 ck_i = jax.lax.dynamic_update_slice(
                     ck_i, k, (zero, pos32, zero, zero))
                 cv_i = jax.lax.dynamic_update_slice(
                     cv_i, v, (zero, pos32, zero, zero))
-                s = jnp.einsum("blhd,bmhd->bhlm", q, ck_i,
+                kk = ck_i if g == 1 else jnp.repeat(ck_i, g, axis=2)
+                vv = cv_i if g == 1 else jnp.repeat(cv_i, g, axis=2)
+                s = jnp.einsum("blhd,bmhd->bhlm", q, kk,
                                preferred_element_type=jnp.float32) * scale
                 p = jax.nn.softmax(s + mask, axis=-1).astype(h.dtype)
                 att = jnp.einsum("bhlm,bmhd->blhd", p,
-                                 cv_i).reshape(B, L, -1)
+                                 vv).reshape(B, L, -1)
                 z = h + att @ W["wo"]
                 zn = rms(z, W["post_norm"])
                 gu = zn @ W["wgu"]  # fused (D, 2F) gate+up matmul
@@ -452,10 +472,24 @@ class Llama(nn.Module):
         expand = lambda t: jnp.tile(jnp.repeat(t, 2, axis=-1), (1, H))
         hmask = dsk.head_mask_matrix(D, H, wdt)
         fused = dict(base)
+        Hkv = self.n_kv_heads
+        Dkv = Hkv * self.head_dim
+        g = H // Hkv
+
+        def kv_expand(w):
+            # GQA -> kernel MHA layout: duplicate each KV head's weight
+            # COLUMNS to its query-head group, so k = hn @ wk_expanded is
+            # already head-expanded (duplicated heads receive the identical
+            # per-head RoPE rotation, so this is exact)
+            if g == 1:
+                return w
+            w3 = w.reshape(N, D, Hkv, self.head_dim)
+            return jnp.repeat(w3, g, axis=2).reshape(N, D, D)
+
         fused.update({
             "wq": base["wqkv"][..., :D],
-            "wk": base["wqkv"][..., D:2 * D],
-            "wv": base["wqkv"][..., 2 * D:],
+            "wk": kv_expand(base["wqkv"][..., D:D + Dkv]),
+            "wv": kv_expand(base["wqkv"][..., D + Dkv:]),
             "gate_w": base["wgu"][..., :self.ffn_dim],
             "up_w": base["wgu"][..., self.ffn_dim:],
             "in_norm2": base["in_norm"][:, None, :],
@@ -574,7 +608,7 @@ class Llama(nn.Module):
         forward_tokens = self._xla_forward_tokens
         from ...ops.decode_step import lane_pad_dim, pad_cache_lanes
         N, S = self.n_layers, self.max_seq_len
-        H, hd, D = self.n_heads, self.head_dim, self.embed_dim
+        Hkv, hd, D = self.n_kv_heads, self.head_dim, self.embed_dim
         Dp = lane_pad_dim(D)
 
         @partial(jax.jit, static_argnames=("n_steps",))
@@ -584,25 +618,38 @@ class Llama(nn.Module):
             (1+n_steps, B) tokens including the prefill token."""
             B = prompt.shape[0]
             dt = weights["tok"].dtype
-            ck5 = jnp.zeros((N, B, S, H, hd), dt)
-            cv5 = jnp.zeros((N, B, S, H, hd), dt)
+            ck5 = jnp.zeros((N, B, S, Hkv, hd), dt)  # XLA-path KV layout
+            cv5 = jnp.zeros((N, B, S, Hkv, hd), dt)
             tok, ck5, cv5 = forward_tokens(weights, ck5, cv5, prompt, 0)
             if B == 1:
-                ck = pad_cache_lanes(ck5.reshape(N, S, D), Dp)
-                cv = pad_cache_lanes(cv5.reshape(N, S, D), Dp)
+                ck = pad_cache_lanes(self._kv_flat(ck5), Dp)
+                cv = pad_cache_lanes(self._kv_flat(cv5), Dp)
                 ck, cv, toks = decode_chunk(weights, ck, cv, tok,
                                             prompt.shape[1], n_steps)
             else:
-                ck = pad_cache_lanes(ck5.reshape(N, B, S, D), Dp)
-                cv = pad_cache_lanes(cv5.reshape(N, B, S, D), Dp)
+                ck = pad_cache_lanes(self._kv_flat(ck5), Dp)
+                cv = pad_cache_lanes(self._kv_flat(cv5), Dp)
                 ck, cv, toks = decode_chunk_batched(weights, ck, cv, tok,
                                                     prompt.shape[1], n_steps)
             return jnp.concatenate([tok[None], toks], axis=0)
 
         return decode_chunk, prefill_decode, decode_chunk_batched
 
+    def _kv_flat(self, c5):
+        """(N, B, S, Hkv, hd) XLA cache -> (N, [B,] S, D) fused-kernel
+        layout.  Under GQA each KV head is repeated to its query-head group
+        first: the whole-token kernel keeps the full-width MHA cache layout
+        (correctness-first; the expanded-KV bandwidth cost is small next to
+        the weight stream at these scales — see _fused_weights)."""
+        N, B, S = c5.shape[0], c5.shape[1], c5.shape[2]
+        g = self.n_heads // self.n_kv_heads
+        if g > 1:
+            c5 = jnp.repeat(c5, g, axis=3)
+        c = c5.reshape(N, B, S, self.embed_dim)
+        return c[:, 0] if B == 1 else c
+
     def _empty_caches(self, B, dtype):
-        shape = (self.n_layers, B, self.max_seq_len, self.n_heads,
+        shape = (self.n_layers, B, self.max_seq_len, self.n_kv_heads,
                  self.head_dim)
         return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
 
@@ -680,12 +727,12 @@ class Llama(nn.Module):
             N = self.n_layers
             S, D = self.max_seq_len, self.embed_dim
             if B == 1:
-                ck = pad_cache_lanes(ck.reshape(N, S, D), lane_pad_dim(D))
-                cv = pad_cache_lanes(cv.reshape(N, S, D), lane_pad_dim(D))
+                ck = pad_cache_lanes(self._kv_flat(ck), lane_pad_dim(D))
+                cv = pad_cache_lanes(self._kv_flat(cv), lane_pad_dim(D))
                 decode_chunk = self._fused_chunk_fn[0]
             else:
-                ck = pad_cache_lanes(ck.reshape(N, B, S, D), lane_pad_dim(D))
-                cv = pad_cache_lanes(cv.reshape(N, B, S, D), lane_pad_dim(D))
+                ck = pad_cache_lanes(self._kv_flat(ck), lane_pad_dim(D))
+                cv = pad_cache_lanes(self._kv_flat(cv), lane_pad_dim(D))
                 decode_chunk = self._fused_chunk_fn[2]
 
         pos = L

@@ -435,3 +435,107 @@ def test_weights_cache_cleared_on_move():
     model.to("cpu")  # same device: no-op, cache may stay
     model.move(pdn.Device("cpu"))  # explicit move clears
     assert not model._weights_cache
+
+
+GQA_CFG = dict(vocab_size=97, embed_dim=24, n_heads=4, n_kv_heads=2,
+               ffn_dim=40, max_seq_len=32, max_batch_size=1, n_layers=2,
+               dtype=np.float32)
+
+
+def test_gqa_generate_scan_matches_eager_module_path():
+    """GQA (n_kv_heads < n_heads): the compiled scan decode must be
+    token-identical to the eager module path (KV-head repeat in both)."""
+    np.random.seed(11)
+    model = Llama(**GQA_CFG)
+    model.eval()
+    ids = np.array([[1, 5, 9]])
+    with pdn.no_grad():
+        fast = [int(t.numpy()[0, 0])
+                for t in model.generate(ids, 20, chunk=4)]
+    np.random.seed(11)
+    model2 = Llama(**GQA_CFG)
+    model2.eval()
+    slow = eager_generate(model2, ids, 20)
+    assert fast == slow, f"{fast} != {slow}"
+
+
+def test_gqa_forward_matches_numpy_reference():
+    """One GQA attention layer vs a direct NumPy GQA implementation."""
+    np.random.seed(3)
+    from pydynet_tpu.models.llama.model import Attention, compute_cos_sin_cache
+
+    D, H, Hkv, S = 24, 4, 2, 8
+    hd = D // H
+    att = Attention(D, H, S, 1, np.float32, n_kv_heads=Hkv)
+    att.eval()
+    x = np.random.randn(1, 5, D).astype(np.float32)
+    cos, sin = compute_cos_sin_cache(hd, S, dtype=np.float32)
+    with pdn.no_grad():
+        got = att(pdn.Tensor(x), 0, None, pdn.Tensor(cos.numpy()[:5]),
+                  pdn.Tensor(sin.numpy()[:5])).numpy()
+
+    def rope(v, c, s_):
+        vr, vi = v[..., 0::2], v[..., 1::2]
+        c, s_ = c[:, None, :], s_[:, None, :]
+        out = np.stack([vr * c - vi * s_, vr * s_ + vi * c], axis=-1)
+        return out.reshape(v.shape)
+
+    Wq = att.Q.weight.numpy(); Wk = att.K.weight.numpy()
+    Wv = att.V.weight.numpy(); Wo = att.O.weight.numpy()
+    q = (x @ Wq).reshape(1, 5, H, hd)
+    k = (x @ Wk).reshape(1, 5, Hkv, hd)
+    v = (x @ Wv).reshape(1, 5, Hkv, hd)
+    cn, sn = cos.numpy()[:5], sin.numpy()[:5]
+    q, k = rope(q, cn, sn), rope(k, cn, sn)
+    k = np.repeat(k, H // Hkv, axis=2)
+    v = np.repeat(v, H // Hkv, axis=2)
+    sc = np.einsum("blhd,bmhd->bhlm", q, k) / np.sqrt(hd)
+    p = np.exp(sc - sc.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    want = np.einsum("bhlm,bmhd->blhd", p, v).reshape(1, 5, D) @ Wo
+    assert np.allclose(got, want, atol=1e-5), np.abs(got - want).max()
+
+
+def test_gqa_fused_kernel_matches_xla_path():
+    """The whole-token Pallas kernel (interpret mode) decodes the same
+    greedy tokens as the XLA scan path on a GQA model — validating the
+    KV-weight-column expansion in _fused_weights and the cache expansion in
+    _kv_flat."""
+    import jax.numpy as jnp
+    from pydynet_tpu.ops.decode_step import (fused_decode_token,
+                                             lane_pad_dim, pick_sb, pick_vt)
+
+    np.random.seed(21)
+    cfg = dict(GQA_CFG, vocab_size=256)  # 128-multiple vocab tiling
+    model = Llama(**cfg)
+    model.eval()
+    assert model._fused_decode_supported()
+    prefill, decode_chunk = model._make_decode_fns()
+    w = model._fused_weights(None)
+    ids = np.array([[1, 5, 9]])
+    ck, cv = model._empty_caches(1, w["tok"].dtype)
+    tok, ck, cv = prefill(w, ck, cv, jnp.asarray(ids, jnp.int32), 0)
+
+    # fused-layout caches BEFORE decode_chunk donates (deletes) ck/cv
+    from pydynet_tpu.ops.decode_step import pad_cache_lanes
+    D = cfg["embed_dim"]
+    Dp = lane_pad_dim(D)
+    fk = pad_cache_lanes(model._kv_flat(ck), Dp)
+    fv = pad_cache_lanes(model._kv_flat(cv), Dp)
+
+    # XLA truth for 4 more tokens
+    ck_x, cv_x, toks = decode_chunk(w, ck, cv, tok, 3, 4)
+    want = [int(tok[0])] + [int(t) for t in np.asarray(toks)[:, 0]]
+    vt, sb = pick_vt(cfg["vocab_size"]), pick_sb(cfg["max_seq_len"])
+    got = [int(tok[0])]
+    cur = jnp.asarray([want[0]], jnp.int32)
+    for i in range(4):
+        nxt, fk, fv = fused_decode_token(
+            3 + i, cur, w["tok"], w["cosD"], w["sinD"], w["rot"],
+            w["hmask_pad"], w["norm2"], w["wq"], w["wk"], w["wv"], w["wo"],
+            w["gate_w"], w["up_w"], w["down"], w["in_norm2"],
+            w["post_norm2"], w["head_w"], w["head_b2"], fk, fv,
+            vt=vt, sb=sb, interpret=True)
+        got.append(int(nxt[0]))
+        cur = jnp.asarray([want[i + 1]], jnp.int32)  # teacher-forced
+    assert got == want, (got, want)
