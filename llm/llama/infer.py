@@ -32,11 +32,16 @@ FFN_DIM = 768
 
 def build_model(args):
     datatype = np.float32
-    model = Llama(VOCAB_SIZE, DIM, N_HEADS, FFN_DIM, MAX_SEQ_LEN, MAX_BATCH,
-                  N_LAYERS, dtype=datatype)
     if os.path.exists(args.weights) and not args.random_init:
-        model = load_model(model, args.weights)
+        # architecture from the checkpoint's shapes: any converted HF-named
+        # npz (stories15M/110M, GQA models) runs without editing constants
+        from .io import infer_config
+
+        cfg = infer_config(args.weights, MAX_SEQ_LEN, MAX_BATCH)
+        model = load_model(Llama(dtype=datatype, **cfg), args.weights)
     else:
+        model = Llama(VOCAB_SIZE, DIM, N_HEADS, FFN_DIM, MAX_SEQ_LEN,
+                      MAX_BATCH, N_LAYERS, dtype=datatype)
         print(f"[infer] checkpoint {args.weights!r} not found -> "
               "random-initialized weights (throughput benchmark mode)")
     if args.finetuned is not None:

@@ -13,6 +13,42 @@ import pydynet_tpu as pdn
 from .model import Llama
 
 
+def infer_config(model_path: str, max_seq_len: int = 1024,
+                 max_batch_size: int = 1) -> dict:
+    """Infer the Llama architecture from an HF-named npz's array shapes —
+    kwargs for ``Llama(**infer_config(p))``, so any converted checkpoint
+    (stories15M, stories110M, TinyLlama-style GQA, ...) loads without
+    hand-copied constants.
+
+    Head counts: n_heads and head_dim cannot both be recovered from fused
+    q_proj shapes alone, so head_dim is taken as dim//n_heads with n_heads
+    from the GQA ratio when k_proj is narrower, else the stories convention
+    dim/48 — override ``n_heads`` afterwards for exotic models.
+    """
+    w = np.load(model_path)
+    vocab, dim = w["model.embed_tokens.weight"].shape
+    n_layers = 0
+    while f"model.layers.{n_layers}.self_attn.q_proj.weight" in w.files:
+        n_layers += 1
+    ffn_dim = w["model.layers.0.mlp.gate_proj.weight"].shape[0]
+    kv_rows = w["model.layers.0.self_attn.k_proj.weight"].shape[0]
+    # stories checkpoints use head_dim 48 (288/6) / 64 (768/12); prefer the
+    # conventional sizes that divide both the q and kv widths, falling back
+    # to their gcd for exotic dims
+    import math as _math
+
+    for head_dim in (48, 64, 128) if dim < 512 else (64, 128, 48):
+        if dim % head_dim == 0 and kv_rows % head_dim == 0:
+            break
+    else:
+        head_dim = _math.gcd(dim, kv_rows)
+    n_heads = dim // head_dim
+    n_kv_heads = kv_rows // head_dim
+    return dict(vocab_size=vocab, embed_dim=dim, n_heads=n_heads,
+                n_kv_heads=n_kv_heads, ffn_dim=ffn_dim, n_layers=n_layers,
+                max_seq_len=max_seq_len, max_batch_size=max_batch_size)
+
+
 @pdn.no_grad()
 def load_model(llama: Llama, model_path: str) -> Llama:
     weight = np.load(model_path)

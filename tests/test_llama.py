@@ -539,3 +539,43 @@ def test_gqa_fused_kernel_matches_xla_path():
         got.append(int(nxt[0]))
         cur = jnp.asarray([want[i + 1]], jnp.int32)  # teacher-forced
     assert got == want, (got, want)
+
+
+def test_infer_config_from_checkpoint_shapes(tmp_path):
+    """io.infer_config recovers the architecture (incl. GQA kv heads) from
+    an HF-named npz, so the CLI runs any converted checkpoint without
+    hand-copied constants."""
+    rng = np.random.default_rng(5)
+    D, V, F, NL, hd = 288, 500, 96, 3, 48
+    H, Hkv = D // hd, 2
+    ckpt = {
+        "model.embed_tokens.weight": rng.standard_normal((V, D)),
+        "lm_head.weight": rng.standard_normal((V, D)),
+        "model.norm.weight": rng.standard_normal(D),
+    }
+    for i in range(NL):
+        p = f"model.layers.{i}."
+        ckpt[p + "self_attn.q_proj.weight"] = rng.standard_normal((D, D))
+        ckpt[p + "self_attn.k_proj.weight"] = rng.standard_normal(
+            (Hkv * hd, D))
+        ckpt[p + "self_attn.v_proj.weight"] = rng.standard_normal(
+            (Hkv * hd, D))
+        ckpt[p + "self_attn.o_proj.weight"] = rng.standard_normal((D, D))
+        ckpt[p + "mlp.up_proj.weight"] = rng.standard_normal((F, D))
+        ckpt[p + "mlp.gate_proj.weight"] = rng.standard_normal((F, D))
+        ckpt[p + "mlp.down_proj.weight"] = rng.standard_normal((D, F))
+        ckpt[p + "input_layernorm.weight"] = rng.standard_normal(D)
+        ckpt[p + "post_attention_layernorm.weight"] = rng.standard_normal(D)
+    path = str(tmp_path / "gqa.npz")
+    np.savez(path, **ckpt)
+
+    cfg = llama_io.infer_config(path, max_seq_len=32)
+    assert cfg == dict(vocab_size=V, embed_dim=D, n_heads=H, n_kv_heads=Hkv,
+                       ffn_dim=F, n_layers=NL, max_seq_len=32,
+                       max_batch_size=1)
+    model = llama_io.load_model(Llama(dtype=np.float32, **cfg), path)
+    model.eval()
+    with pdn.no_grad():
+        toks = [int(t.numpy()[0, 0])
+                for t in model.generate(np.array([[1, 5]]), 6)]
+    assert len(toks) == 4
