@@ -71,6 +71,13 @@ def main(argv=None):
                         help="decode compute dtype (bfloat16 ~2x faster)")
     parser.add_argument("--chunk", type=int, default=None,
                         help="decode tokens per device dispatch")
+    parser.add_argument("--temperature", type=float, default=0.0,
+                        help="0 = greedy (reference parity); >0 samples "
+                        "on-device (XLA path)")
+    parser.add_argument("--top-k", type=int, default=None)
+    parser.add_argument("--top-p", type=float, default=None)
+    parser.add_argument("--seed", type=int, default=0,
+                        help="Sampling PRNG seed")
     parser.add_argument("--quant", choices=["int8-head", "int8"],
                         default=None,
                         help="weight-only int8 for the fused decode path "
@@ -102,6 +109,9 @@ def main(argv=None):
             gen_kwargs["chunk"] = args.chunk
         if args.quant:
             gen_kwargs["quant"] = args.quant
+        if args.temperature and args.temperature > 0:
+            gen_kwargs.update(temperature=args.temperature, seed=args.seed,
+                              top_k=args.top_k, top_p=args.top_p)
         if not args.no_warmup and model.device.kind == "accel":
             # compile outside the timed region (the reference's NumPy loop
             # has no compile step; tok/s should measure decode, not XLA)

@@ -83,6 +83,39 @@ def apply_rotary_emb(xq: Tensor, xk: Tensor, freqs_cos, freqs_sin):
 # ===================================================================== #
 #                         module-tree model                              #
 # ===================================================================== #
+def sample_logits(logits, key, temperature, top_k=None, top_p=None):
+    """Sample next-token ids from (B, V) f32 logits (pure jnp, trace-safe).
+
+    The reference decodes greedily only (model.py:258-269); this is the
+    serving-side extension: temperature scaling, then optional top-k and/or
+    nucleus (top-p) filtering, then a Gumbel draw via
+    ``jax.random.categorical``.  ``top_k``/``top_p`` are trace-time
+    constants; the always-kept best token makes top_p=0 equal greedy.
+    """
+    logits = logits / jnp.maximum(temperature, 1e-6)
+    if top_k is not None:
+        # lax.top_k, NOT a full-vocab sort: this runs inside the decode
+        # scan, and a 32k sort per step dominated both compile and runtime
+        kth = jax.lax.top_k(logits, int(top_k))[0][:, -1:]
+        logits = jnp.where(logits < kth, -jnp.inf, logits)
+    if top_p is not None:
+        V = logits.shape[-1]
+        cap = V if V <= 2048 else 2048  # nucleus candidates considered;
+        # exact whenever the top_p mass fits in the top-2048 (it always
+        # does in practice), else truncates there
+        vals = jax.lax.top_k(logits, cap)[0]  # descending
+        # probabilities under the FULL distribution (lse over all logits),
+        # so the cumulative mass is exact, not renormalized over the cap
+        lse = jax.scipy.special.logsumexp(logits, axis=-1, keepdims=True)
+        probs = jnp.exp(vals - lse)
+        cum = jnp.cumsum(probs, axis=-1)
+        keep = cum - probs < top_p  # mass BEFORE the token; keeps top-1
+        cutoff = jnp.min(jnp.where(keep, vals, jnp.inf), axis=-1,
+                         keepdims=True)
+        logits = jnp.where(logits < cutoff, -jnp.inf, logits)
+    return jax.random.categorical(key, logits, axis=-1)
+
+
 class FeedForward(nn.Module):
     """SwiGLU feed-forward (reference model.py:49-58)."""
 
@@ -228,6 +261,7 @@ class Llama(nn.Module):
         self._ft_step = None
         self._ft_key = None
         self._decode_fns = None
+        self._sample_fns = None
         self._fused_chunk_fn = None
         self._weights_cache = {}  # (dtype, fused) -> stacked decode weights
 
@@ -373,9 +407,10 @@ class Llama(nn.Module):
                                              keepdims=True) + 1e-6)
             return (n * w).astype(x.dtype)
 
-        def forward_tokens(weights, ck, cv, tokens, pos):
-            """tokens (B, L) at absolute pos; ck/cv (layers, B, S, H, hd).
-            One transformer forward as a scan over the layer axis."""
+        def forward_logits_one(weights, ck, cv, tokens, pos):
+            """tokens (B, L) at absolute pos; ck/cv (layers, B, S, Hkv, hd).
+            One transformer forward as a scan over the layer axis; returns
+            (last-position logits (B, V) f32, ck, cv)."""
             B, L = tokens.shape
             h = weights["tok"][tokens]
             cos = jax.lax.dynamic_slice_in_dim(weights["cos"], pos, L)
@@ -425,8 +460,13 @@ class Llama(nn.Module):
             h = rms(h, weights["norm"])
             logits = (h[:, -1] @ weights["head_w"]).astype(jnp.float32) \
                 + weights["head_b"].astype(jnp.float32)
+            return logits, ck, cv
+
+        def forward_tokens(weights, ck, cv, tokens, pos):
+            logits, ck, cv = forward_logits_one(weights, ck, cv, tokens, pos)
             return jnp.argmax(logits, axis=-1).astype(tokens.dtype), ck, cv
 
+        self._xla_forward_logits = forward_logits_one
         self._xla_forward_tokens = forward_tokens
 
         @jax.jit
@@ -449,6 +489,43 @@ class Llama(nn.Module):
             return ck, cv, toks  # toks: (n_steps, B)
 
         return prefill, decode_chunk
+
+    def _make_sample_fns(self):
+        """Compiled sampling decode pair (XLA path: full logits needed).
+        Returns (prefill_sample, decode_chunk_sample); ``temperature`` is
+        traced (no recompiles when it changes), top_k/top_p are static."""
+        if self._decode_fns is None:
+            self._decode_fns = self._make_decode_fns()
+        fwd = self._xla_forward_logits
+
+        @partial(jax.jit, static_argnames=("top_k", "top_p"))
+        def prefill_sample(weights, ck, cv, tokens, pos, key, temperature,
+                           top_k, top_p):
+            logits, ck, cv = fwd(weights, ck, cv, tokens, pos)
+            key, sub = jax.random.split(key)
+            nxt = sample_logits(logits, sub, temperature, top_k, top_p)
+            return nxt.astype(tokens.dtype), ck, cv, key
+
+        @partial(jax.jit,
+                 static_argnames=("n_steps", "top_k", "top_p"),
+                 donate_argnames=("ck", "cv"))
+        def decode_chunk_sample(weights, ck, cv, last_tok, pos, key,
+                                temperature, n_steps, top_k, top_p):
+            def step(carry, _):
+                ck, cv, tok, p, key = carry
+                logits, ck, cv = fwd(weights, ck, cv, tok[:, None], p)
+                key, sub = jax.random.split(key)
+                nxt = sample_logits(logits, sub, temperature, top_k,
+                                    top_p).astype(tok.dtype)
+                return (ck, cv, nxt, p + 1, key), nxt
+
+            pos = jnp.asarray(pos, jnp.int32)
+            (ck, cv, tok, p, key), toks = jax.lax.scan(
+                step, (ck, cv, last_tok, pos, key), None, length=n_steps,
+                unroll=8)
+            return ck, cv, toks, key
+
+        return prefill_sample, decode_chunk_sample
 
     # ---------------- Pallas fused decode (B=1 fast path) ---------------- #
     def _fused_weights(self, dtype=None, quant=None):
@@ -655,7 +732,8 @@ class Llama(nn.Module):
 
     def generate(self, input_ids, max_new_tokens: int,
                  chunk: int = DECODE_CHUNK, dtype=None, fused=None,
-                 quant=None):
+                 quant=None, temperature: float = 0.0, top_k: int = None,
+                 top_p: float = None, seed: int = 0):
         """Greedy generation; yields (B,1) id tensors one token at a time
         like the reference (model.py:258-269), while computing CHUNK tokens
         per compiled on-device scan, with the next chunk dispatched before
@@ -667,13 +745,26 @@ class Llama(nn.Module):
         weights as int8 with per-channel scales — halves decode HBM traffic.
         Deliberate fix vs the reference: its decode feeds token L at
         start_pos L+1, leaving cache slot L zeroed (model.py:259-265); we
-        decode at the correct positions."""
+        decode at the correct positions.
+
+        ``temperature > 0`` switches from greedy argmax to on-device
+        sampling (``sample_logits``: temperature, optional top_k / nucleus
+        top_p, deterministic under ``seed``) on the XLA decode path — the
+        fused kernel bakes the argmax in, so sampling + fused=True raises.
+        temperature=0 (default) is exact reference-greedy."""
         if self._decode_fns is None:
             self._decode_fns = self._make_decode_fns()
         prefill, decode_chunk = self._decode_fns
 
         input_ids = np.asarray(input_ids)
         B, L = input_ids.shape
+        sampling = temperature is not None and temperature > 0
+        if sampling:
+            if fused:
+                raise ValueError(
+                    "sampling (temperature>0) runs on the XLA decode path "
+                    "(the fused kernel bakes the argmax in); drop fused=True")
+            fused = False
         if fused is None:
             fused = self.device.kind == "accel" \
                 and self._fused_decode_supported()
@@ -717,9 +808,21 @@ class Llama(nn.Module):
                 yield Tensor._wrap(row[:, None], cpu, False)
             return
 
+        if sampling:
+            if self._sample_fns is None:
+                self._sample_fns = self._make_sample_fns()
+            prefill_s, decode_s = self._sample_fns
+            rkey = jax.random.PRNGKey(seed)
+            tvec = jnp.float32(temperature)
+
         ck, cv = self._empty_caches(B, weights["tok"].dtype)
-        tok, ck, cv = prefill(weights, ck, cv,
-                              jnp.asarray(input_ids, jnp.int32), 0)
+        if sampling:
+            tok, ck, cv, rkey = prefill_s(
+                weights, ck, cv, jnp.asarray(input_ids, jnp.int32), 0,
+                rkey, tvec, top_k, top_p)
+        else:
+            tok, ck, cv = prefill(weights, ck, cv,
+                                  jnp.asarray(input_ids, jnp.int32), 0)
         if fused:
             # fused kernel uses flat lane-padded (N, S, Dp) caches
             # ((N, B, S, Dp) batched)
@@ -742,7 +845,12 @@ class Llama(nn.Module):
             # fixed-size scan every time -> exactly one compiled executable;
             # surplus tokens past `total` are discarded on the host
             need = total - pos - 1
-            ck, cv, toks = decode_chunk(weights, ck, cv, tok, pos, chunk)
+            if sampling:
+                ck, cv, toks, rkey = decode_s(weights, ck, cv, tok, pos,
+                                              rkey, tvec, chunk, top_k,
+                                              top_p)
+            else:
+                ck, cv, toks = decode_chunk(weights, ck, cv, tok, pos, chunk)
             keep = min(chunk, need)
             tok = toks[chunk - 1]
             pos += keep

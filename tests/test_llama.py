@@ -579,3 +579,58 @@ def test_infer_config_from_checkpoint_shapes(tmp_path):
         toks = [int(t.numpy()[0, 0])
                 for t in model.generate(np.array([[1, 5]]), 6)]
     assert len(toks) == 4
+
+
+def test_generate_sampling_modes():
+    """Sampling extension: top_k=1 == greedy exactly; tiny temperature ~==
+    greedy; fixed seed is deterministic; different seeds diverge; fused +
+    sampling raises."""
+    model = tiny_model()
+    model.eval()
+    ids = np.array([[1, 5, 9]])
+    with pdn.no_grad():
+        greedy = [int(t.numpy()[0, 0]) for t in model.generate(ids, 20)]
+        k1 = [int(t.numpy()[0, 0])
+              for t in model.generate(ids, 20, temperature=5.0, top_k=1)]
+        assert k1 == greedy  # top-1 filtering is greedy at ANY temperature
+
+        cold = [int(t.numpy()[0, 0])
+                for t in model.generate(ids, 20, temperature=1e-4)]
+        assert cold == greedy  # temperature -> 0 limit
+
+        a = [int(t.numpy()[0, 0])
+             for t in model.generate(ids, 20, temperature=1.0, seed=7)]
+        b = [int(t.numpy()[0, 0])
+             for t in model.generate(ids, 20, temperature=1.0, seed=7)]
+        c = [int(t.numpy()[0, 0])
+             for t in model.generate(ids, 20, temperature=1.0, seed=8)]
+        assert a == b           # deterministic under a fixed seed
+        assert a != c           # and seed-sensitive (tiny random model)
+        assert all(0 <= t < CFG["vocab_size"] for t in a)
+
+        # nucleus filtering at top_p ~ 0 degenerates to greedy
+        p0 = [int(t.numpy()[0, 0])
+              for t in model.generate(ids, 20, temperature=2.0, top_p=1e-9)]
+        assert p0 == greedy
+
+    with pytest.raises(ValueError, match="fused"):
+        list(model.generate(ids, 8, temperature=1.0, fused=True))
+
+
+def test_sample_logits_distribution():
+    """sample_logits respects top-k/top-p support sets."""
+    import jax
+    import jax.numpy as jnp
+    from pydynet_tpu.models.llama.model import sample_logits
+
+    logits = jnp.asarray(np.log(np.array([[0.5, 0.3, 0.15, 0.05]],
+                                         np.float32)))
+    draws = [int(sample_logits(logits, jax.random.PRNGKey(i), 1.0,
+                               top_k=2)[0]) for i in range(64)]
+    assert set(draws) <= {0, 1}  # top-2 support only
+    # top_p=0.75 keeps tokens while the mass BEFORE them is < 0.75:
+    # {0 (0<0.75), 1 (0.5<0.75), 2 (0.8 !< 0.75 -> dropped)}
+    draws = [int(sample_logits(logits, jax.random.PRNGKey(i), 1.0,
+                               top_p=0.75)[0]) for i in range(64)]
+    assert set(draws) <= {0, 1}
+    assert len(set(draws)) == 2  # both actually drawn at these odds
