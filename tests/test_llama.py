@@ -634,3 +634,22 @@ def test_sample_logits_distribution():
                                top_p=0.75)[0]) for i in range(64)]
     assert set(draws) <= {0, 1}
     assert len(set(draws)) == 2  # both actually drawn at these odds
+
+
+def test_gqa_batched_generate_matches_per_row():
+    """GQA + B>1: batched XLA decode must equal B independent runs."""
+    np.random.seed(13)
+    cfg = dict(GQA_CFG, max_batch_size=3)
+    model = Llama(**cfg)
+    model.eval()
+    prompts = np.array([[1, 5, 9], [2, 6, 10], [3, 7, 11]])
+    with pdn.no_grad():
+        rows = np.stack([
+            np.array([int(t.numpy()[0, 0])
+                      for t in model.generate(prompts[i:i + 1], 16)])
+            for i in range(3)
+        ])
+        batched = np.stack([
+            t.numpy()[:, 0] for t in model.generate(prompts, 16)
+        ]).T
+    assert np.array_equal(batched, rows), (batched, rows)
