@@ -185,33 +185,60 @@ def main(argv=None):
                       vocab_size=vocab_size, max_length=X.shape[1]).to(device)
     optimizer = Adam(net.parameters(), lr=args.lr)
 
-    def train_step(bx, by, mask):
-        score = pdn.tanh(net(bx, mask)).reshape(-1)
+    def train_step(bx, by):
+        # the padding mask is built in-trace: one compiled program per
+        # batch instead of several eager mask dispatches
+        score = pdn.tanh(net(bx, construct_mask(bx))).reshape(-1)
         loss = pdn.mean(pdn.square(score - by))
         optimizer.zero_grad()
         loss.backward()
         optimizer.step()
         return loss
 
-    def eval_step(bx, mask):
-        return pdn.tanh(net(bx, mask)).reshape(-1)
+    def eval_step(bx):
+        return pdn.tanh(net(bx, construct_mask(bx))).reshape(-1)
 
     jtrain = pdn.jit(train_step, state=(net, optimizer))
     jeval = pdn.jit(eval_step, state=(net,))
 
-    loader = data_loader(train_X, train_y, args.batch_size, shuffle=True)
+    # accelerator: keep the EPOCH data device-resident — upload the train
+    # split once, reshuffle with one on-device permutation gather per
+    # epoch, and feed contiguous slices.  The per-batch host->device
+    # uploads otherwise dominate the epoch time through the remote tunnel
+    # (1.14 s/epoch measured vs the compute below).
+    on_device = dev.kind == "accel"
+    B = args.batch_size
+    if on_device:
+        with pdn.no_grad():
+            Xd = pdn.Tensor(train_X, device=dev)
+            yd = pdn.Tensor(train_y.astype(DTYPE), device=dev)
+        n_full = (len(train_X) // B) * B
+
+    loader = data_loader(train_X, train_y, B, shuffle=True)
     for epoch in range(args.epochs):
         t_epoch = time.time()
         net.train()
-        for bx, by in loader:
-            tbx = pdn.Tensor(bx, device=dev)
-            mask = construct_mask(tbx)
-            loss = jtrain(tbx, pdn.Tensor(by.astype(DTYPE), device=dev),
-                          mask)
+        if on_device:
+            with pdn.no_grad():
+                perm = pdn.Tensor(np.random.permutation(len(train_X)),
+                                  device=dev)
+                Xp, yp = Xd[perm], yd[perm]
+                Xb = Xp[:n_full].reshape(n_full // B, B, -1)
+                yb = yp[:n_full].reshape(n_full // B, B)
+            # the whole epoch is ONE dispatch: lax.scan over the compiled
+            # step (state updates included) — per-batch dispatch latency
+            # through the remote tunnel disappears
+            losses = jtrain.foreach(Xb, yb)
+            loss = losses[-1]
+            if n_full < len(train_X):  # trailing partial batch
+                loss = jtrain(Xp[n_full:], yp[n_full:])
+        else:
+            for bx, by in loader:
+                loss = jtrain(pdn.Tensor(bx, device=dev),
+                              pdn.Tensor(by.astype(DTYPE), device=dev))
         net.eval()
         with pdn.no_grad():
-            tb = pdn.Tensor(test_X, device=dev)
-            score = jeval(tb, construct_mask(tb)).numpy()
+            score = jeval(pdn.Tensor(test_X, device=dev)).numpy()
         acc = float((np.sign(score) == test_y).mean())
         print(f"epoch {epoch:2d}: loss={loss.item():.4f} test_acc={acc:.4f} "
               f"({time.time() - t_epoch:.3f}s)")

@@ -137,6 +137,16 @@ class _JitFunction:
         donate = (0,) if donate_state else ()
         self._compiled = jax.jit(self._pure, static_argnums=(2, 3),
                                  donate_argnums=donate)
+
+        def _pure_scan(state_vals, batched_dyn, dyn_mask, packed_static):
+            def body(state, dyn):
+                return self._pure(list(state), list(dyn), dyn_mask,
+                                  packed_static)
+
+            return jax.lax.scan(body, state_vals, tuple(batched_dyn))
+
+        self._scan_compiled = jax.jit(_pure_scan, static_argnums=(2, 3),
+                                      donate_argnums=donate)
         functools.update_wrapper(self, fn, updated=())
 
     def _resolve_shard_rules(self, mesh, rules):
@@ -303,6 +313,113 @@ class _JitFunction:
             for v, is_t, dev in zip(raw_out, tensor_mask, devices)
         ]
         return jax.tree.unflatten(out_tree, wrapped)
+
+
+def _foreach(self, *args, **kwargs):
+    """Run the step over leading-axis slices of the args in ONE compiled
+    program (``lax.scan`` over the traced step):
+
+        losses = jstep.foreach(Xb, Yb)   # Xb (n, B, ...), Yb (n, B, ...)
+
+    is equivalent to ``[jstep(Xb[i], Yb[i]) for i in range(n)]`` — same
+    state updates (optimizer steps included), same per-call outputs
+    (stacked on a new leading axis) — but the whole sweep is a single XLA
+    dispatch.  This is the TPU-idiomatic epoch: per-batch dispatch latency
+    (which dominates small-step training through a remote tunnel)
+    disappears, and XLA pipelines the scan body.  Every tensor/array
+    argument must carry the same-length leading axis; Python scalars and
+    other static args are not supported here (bake them into the step).
+    """
+    if self._mesh is not None:
+        raise NotImplementedError("foreach does not compose with mesh= yet")
+    sts = self._state_tensors
+    state_vals = [t._data for t in sts]
+    target = None
+    for t, flex in zip(sts, self._state_flexible):
+        if not flex:
+            target = t.device.jax_device
+            break
+    if target is not None:
+        for i, v in enumerate(state_vals):
+            if isinstance(v, jax.Array) and v.committed \
+                    and v.devices() != {target}:
+                state_vals[i] = jax.device_put(v, target)
+    from .device import Device as _Device
+    target_dev = _Device(target) if target is not None else None
+
+    leaves, treedef = jax.tree.flatten(
+        (args, kwargs), is_leaf=lambda x: isinstance(x, Tensor))
+    dyn_leaves, dyn_mask, static_leaves = [], [], []
+    lengths = set()
+    for pos, leaf in enumerate(leaves):
+        if not _is_dynamic_leaf(leaf):
+            raise TypeError(
+                f"foreach arguments must all be tensors/arrays with a "
+                f"leading steps axis; got {type(leaf).__name__}")
+        if isinstance(leaf, _DataRef):
+            leaf = leaf._t
+        if isinstance(leaf, Tensor):
+            val = leaf._data
+            if target is not None and isinstance(val, jax.Array) \
+                    and val.committed and val.devices() != {target}:
+                val = jax.device_put(val, target)
+            dyn_leaves.append(val)
+            dyn_mask.append((pos, True, target_dev or leaf.device))
+        else:
+            dyn_leaves.append(leaf)
+            dyn_mask.append((pos, False, None))
+        shape = np.shape(dyn_leaves[-1])
+        if not shape:
+            raise ValueError("foreach arguments need a leading steps axis")
+        lengths.add(shape[0])
+        static_leaves.append(None)
+    if len(lengths) != 1:
+        raise ValueError(
+            f"foreach arguments disagree on the leading steps axis: "
+            f"{sorted(lengths)}")
+    packed_static = (treedef, tuple(static_leaves), None)
+    dyn_mask = tuple(dyn_mask)
+    trace_key = ("foreach",
+                 tuple(_aval_key(v) for v in state_vals),
+                 tuple(_aval_key(v) for v in dyn_leaves),
+                 dyn_mask, packed_static)
+    self._trace_key = trace_key
+
+    tape_len = Graph.size()
+    try:
+        new_state, raw_out = self._scan_compiled(
+            state_vals, dyn_leaves, dyn_mask, packed_static)
+    except Exception:
+        for t, v in zip(sts, state_vals):
+            if isinstance(t._data, jax.core.Tracer):
+                t._data = v
+            t._grad = None
+        raise
+    finally:
+        if Graph.size() > tape_len:
+            for node in Graph.node_list[tape_len:]:
+                node._inputs = ()
+                node._backward_fn = None
+            del Graph.node_list[tape_len:]
+
+    for t, v in zip(sts, new_state):
+        t._data = v
+        t._grad = None
+
+    template = self._out_templates.get(trace_key)
+    if template is None:
+        raise RuntimeError(
+            "pdn.jit internal error: no output template recorded for this "
+            "foreach signature.")
+    out_tree, tensor_mask, devices = template
+    wrapped = [
+        Tensor._wrap(v, dev, False) if is_t else v
+        for v, is_t, dev in zip(raw_out, tensor_mask, devices)
+    ]
+    return jax.tree.unflatten(out_tree, wrapped)
+
+
+_JitFunction.foreach = _foreach
 
 
 def jit(fn=None, *, state: Any = (), donate_state: bool = True, mesh=None,

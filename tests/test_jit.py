@@ -1,6 +1,7 @@
 """The imperative->XLA jit bridge: state capture, grad updates, RNG threading,
 and tape hygiene across compiled calls."""
 import numpy as np
+import pytest
 
 import pydynet_tpu as pdn
 from pydynet_tpu.core.tensor import Graph
@@ -205,3 +206,46 @@ def test_output_template_same_shape_different_tree():
     assert isinstance(a, list) and isinstance(b, dict)
     assert isinstance(a2, list)
     assert float(a[0].item()) == float(b["v"].item()) == 6.0
+
+
+def test_foreach_matches_per_call_loop():
+    """jstep.foreach(Xb, Yb) (one lax.scan program per epoch) must produce
+    the SAME losses and final state as calling the step per batch."""
+    import numpy as np
+    import pydynet_tpu as pdn
+    from pydynet_tpu import nn, optim
+
+    Xb = np.random.randn(5, 8, 4)
+    Yb = np.random.randn(5, 8, 2)
+
+    def build():
+        np.random.seed(3)
+        net = nn.Sequential(nn.Linear(4, 8), nn.Tanh(), nn.Linear(8, 2))
+        opt = optim.Adam(net.parameters(), lr=1e-2)
+
+        def step(x, y):
+            opt.zero_grad()
+            loss = pdn.nn.functional.mse_loss(net(x), y)
+            loss.backward()
+            opt.step()
+            return loss
+
+        return net, pdn.jit(step, state=(net, opt))
+
+    net1, js1 = build()
+    loop = [float(js1(pdn.Tensor(Xb[i]), pdn.Tensor(Yb[i])).item())
+            for i in range(5)]
+    net2, js2 = build()
+    fused = js2.foreach(pdn.Tensor(Xb), pdn.Tensor(Yb)).numpy().reshape(-1)
+    assert np.allclose(loop, fused, rtol=1e-6), (loop, fused)
+    for (n, p1), (_, p2) in zip(net1._parameters.items(),
+                                net2._parameters.items()):
+        assert np.allclose(p1.numpy(), p2.numpy(), atol=1e-6), n
+    # interleaving normal calls and foreach shares the live state
+    l_call = float(js2(pdn.Tensor(Xb[0]), pdn.Tensor(Yb[0])).item())
+    l_loop = float(js1(pdn.Tensor(Xb[0]), pdn.Tensor(Yb[0])).item())
+    assert l_call == pytest.approx(l_loop, rel=1e-6)
+
+    # mismatched leading axes must raise
+    with pytest.raises(ValueError, match="steps axis"):
+        js2.foreach(pdn.Tensor(Xb), pdn.Tensor(Yb[:3]))
