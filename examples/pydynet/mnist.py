@@ -164,14 +164,39 @@ def main(argv=None):
     jeval = pdn.jit(eval_step, state=(net,))
 
     dev = pdn.Device(device)
+    # accelerator: keep the epoch data device-resident and fuse the whole
+    # sweep into ONE lax.scan program (jstep.foreach) — per-batch uploads
+    # and dispatches through the remote tunnel otherwise dominate
+    on_device = dev.kind == "accel"
+    B = args.batch_size
+    if on_device:
+        with pdn.no_grad():
+            Xd = pdn.Tensor(train_x, device=dev)
+            yd = pdn.Tensor(train_y, device=dev)
+        n_full = (len(train_x) // B) * B
     for epoch in range(args.epochs):
         net.train()
         t0 = time.time()
-        n_steps = 0
-        for batch_x, batch_y in train_loader:
-            loss = jtrain(pdn.Tensor(batch_x, device=dev),
-                          pdn.Tensor(batch_y, device=dev))
-            n_steps += 1
+        if on_device:
+            with pdn.no_grad():
+                perm = pdn.Tensor(np.random.permutation(len(train_x)),
+                                  device=dev)
+                Xp, yp = Xd[perm], yd[perm]
+                Xb = Xp[:n_full].reshape((n_full // B, B) + train_x.shape[1:])
+                yb = yp[:n_full].reshape(n_full // B, B)
+            losses = jtrain.foreach(Xb, yb)
+            loss = losses[-1]
+            n_steps = n_full // B
+            if n_full < len(train_x):
+                loss = jtrain(Xp[n_full:], yp[n_full:])
+                n_steps += 1
+            loss.item()  # sync: the epoch really finished
+        else:
+            n_steps = 0
+            for batch_x, batch_y in train_loader:
+                loss = jtrain(pdn.Tensor(batch_x, device=dev),
+                              pdn.Tensor(batch_y, device=dev))
+                n_steps += 1
         train_time = time.time() - t0
 
         net.eval()
