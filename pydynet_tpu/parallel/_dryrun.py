@@ -60,7 +60,8 @@ def run(n_devices: int) -> None:
     mesh = make_mesh({"dp": dp, "tp": tp}, devices=devices)
 
     cfg = llama_spmd.config(vocab_size=128, dim=32, n_heads=2, ffn_dim=64,
-                            n_layers=2, max_seq_len=16)
+                            n_layers=2, max_seq_len=16,
+                            n_kv_heads=1)  # GQA exercised in SPMD too
     rng = np.random.RandomState(0)
     params = llama_spmd.init_params(rng, cfg)
     params = llama_spmd.shard_params(params, mesh)

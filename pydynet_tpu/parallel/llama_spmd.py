@@ -24,15 +24,22 @@ from .mesh import Mesh, named_sharding, P
 
 
 def config(vocab_size=32000, dim=288, n_heads=6, ffn_dim=768, n_layers=6,
-           max_seq_len=1024):
+           max_seq_len=1024, n_kv_heads=None):
     return dict(vocab_size=vocab_size, dim=dim, n_heads=n_heads,
-                ffn_dim=ffn_dim, n_layers=n_layers, max_seq_len=max_seq_len)
+                ffn_dim=ffn_dim, n_layers=n_layers, max_seq_len=max_seq_len,
+                n_kv_heads=n_kv_heads or n_heads)
+
+
+def _kv_dim(cfg):
+    return cfg.get("n_kv_heads", cfg["n_heads"]) * \
+        (cfg["dim"] // cfg["n_heads"])
 
 
 def init_params(rng: np.random.RandomState, cfg, dtype=jnp.float32):
     """Layer-stacked parameter pytree (matches the decode-path layout)."""
     V, D, F, N = (cfg["vocab_size"], cfg["dim"], cfg["ffn_dim"],
                   cfg["n_layers"])
+    Dkv = _kv_dim(cfg)
     s = 0.02
 
     def w(*shape):
@@ -48,7 +55,7 @@ def init_params(rng: np.random.RandomState, cfg, dtype=jnp.float32):
         "norm": jnp.ones((D,), dtype),
         "head_w": w(D, V),
         "head_b": jnp.zeros((V,), dtype),
-        "wqkv": w(N, D, 3 * D),
+        "wqkv": w(N, D, D + 2 * Dkv),  # q | k | v (k/v narrower under GQA)
         "wo": w(N, D, D),
         "wgu": w(N, D, 2 * F),
         "down": w(N, F, D),
@@ -97,16 +104,23 @@ def layer_dense(h, W, cos, sin, mask, cfg):
     """One pre-norm transformer layer over fused-layout weights ``W``
     (wqkv/wo/wgu/down/in_norm/post_norm).  Shared by the GSPMD training
     forward below and the pipeline-parallel stage body
-    (``pipeline._layer_body``) so the two paths cannot drift."""
+    (``pipeline._layer_body``) so the two paths cannot drift.  Supports
+    GQA (cfg["n_kv_heads"] < n_heads): narrower k/v segments in the fused
+    qkv matmul, KV heads repeated to their query groups."""
     B, L, D = h.shape
     H = cfg["n_heads"]
     hd = D // H
+    Hkv = cfg.get("n_kv_heads", H)
+    Dkv = Hkv * hd
+    g = H // Hkv
     hn = _rms(h, W["in_norm"])
     qkv = hn @ W["wqkv"]
     q = qkv[..., :D].reshape(B, L, H, hd)
-    k = qkv[..., D:2 * D].reshape(B, L, H, hd)
-    v = qkv[..., 2 * D:].reshape(B, L, H, hd)
+    k = qkv[..., D:D + Dkv].reshape(B, L, Hkv, hd)
+    v = qkv[..., D + Dkv:].reshape(B, L, Hkv, hd)
     q, k = _rope(q, cos, sin), _rope(k, cos, sin)
+    if g > 1:
+        k, v = jnp.repeat(k, g, axis=2), jnp.repeat(v, g, axis=2)
     s = jnp.einsum("blhd,bmhd->bhlm", q, k) / math.sqrt(hd)
     p = jax.nn.softmax(s + mask, axis=-1)
     att = jnp.einsum("bhlm,bmhd->blhd", p, v).reshape(B, L, D)
@@ -143,9 +157,16 @@ def loss_fn(params, tokens, targets, cfg):
     return jnp.mean(nll)
 
 
-def cache_shardings(mesh: Mesh):
-    """KV caches (N, B, S, H, hd): batch sharded over dp, heads over tp."""
-    return named_sharding(mesh, None, "dp", None, "tp", None)
+def cache_shardings(mesh: Mesh, cfg=None):
+    """KV caches (N, B, S, Hkv, hd): batch sharded over dp, heads over tp.
+    When GQA leaves fewer KV heads than tp ranks (Hkv % tp != 0 —
+    NamedSharding placement requires exact divisibility), the head axis is
+    replicated instead; attention stays correct, GSPMD reshards as
+    needed."""
+    tp = mesh.shape.get("tp", 1)
+    hkv = (cfg or {}).get("n_kv_heads")
+    head = "tp" if (hkv is None or tp <= 1 or hkv % tp == 0) else None
+    return named_sharding(mesh, None, "dp", None, head, None)
 
 
 def forward_tokens(params, ck, cv, tokens, pos, cfg):
@@ -161,6 +182,9 @@ def forward_tokens(params, ck, cv, tokens, pos, cfg):
     B, L = tokens.shape
     H, D, S = cfg["n_heads"], cfg["dim"], cfg["max_seq_len"]
     hd = D // H
+    Hkv = cfg.get("n_kv_heads", H)
+    Dkv = Hkv * hd
+    g = H // Hkv
     h = params["tok"][tokens]
     cos = jax.lax.dynamic_slice_in_dim(params["cos"], pos, L)
     sin = jax.lax.dynamic_slice_in_dim(params["sin"], pos, L)
@@ -175,17 +199,19 @@ def forward_tokens(params, ck, cv, tokens, pos, cfg):
         hn = _rms(h, W["in_norm"])
         qkv = hn @ W["wqkv"]
         q = qkv[..., :D].reshape(B, L, H, hd)
-        k = qkv[..., D:2 * D].reshape(B, L, H, hd)
-        v = qkv[..., 2 * D:].reshape(B, L, H, hd)
+        k = qkv[..., D:D + Dkv].reshape(B, L, Hkv, hd)
+        v = qkv[..., D + Dkv:].reshape(B, L, Hkv, hd)
         q, k = _rope(q, cos, sin), _rope(k, cos, sin)
         ck_i = jax.lax.dynamic_update_slice(ck_i, k, (zero, pos32, zero,
                                                       zero))
         cv_i = jax.lax.dynamic_update_slice(cv_i, v, (zero, pos32, zero,
                                                       zero))
-        s = jnp.einsum("blhd,bmhd->bhlm", q, ck_i,
+        kk = ck_i if g == 1 else jnp.repeat(ck_i, g, axis=2)
+        vv = cv_i if g == 1 else jnp.repeat(cv_i, g, axis=2)
+        s = jnp.einsum("blhd,bmhd->bhlm", q, kk,
                        preferred_element_type=jnp.float32) / math.sqrt(hd)
         p = jax.nn.softmax(s + mask, axis=-1).astype(h.dtype)
-        att = jnp.einsum("bhlm,bmhd->blhd", p, cv_i).reshape(B, L, D)
+        att = jnp.einsum("bhlm,bmhd->blhd", p, vv).reshape(B, L, D)
         z = h + att @ W["wo"]
         zn = _rms(z, W["post_norm"])
         gu = zn @ W["wgu"]
@@ -204,7 +230,7 @@ def forward_tokens(params, ck, cv, tokens, pos, cfg):
 def make_decode_fns(mesh: Mesh, cfg):
     """Compiled SPMD (prefill, decode) pair over a dp x tp mesh."""
     p_sh = param_shardings(mesh)
-    c_sh = cache_shardings(mesh)
+    c_sh = cache_shardings(mesh, cfg)
     tok_sh = named_sharding(mesh, "dp", None)
 
     @partial(jax.jit,
@@ -240,10 +266,11 @@ def generate(params, prompt, max_new_tokens: int, mesh: Mesh, cfg,
     N, S, H, D = (cfg["n_layers"], cfg["max_seq_len"], cfg["n_heads"],
                   cfg["dim"])
     hd = D // H
+    Hkv = cfg.get("n_kv_heads", H)
     B, L = prompt.shape
-    c_sh = cache_shardings(mesh)
-    ck = jax.device_put(jnp.zeros((N, B, S, H, hd), dtype), c_sh)
-    cv = jax.device_put(jnp.zeros((N, B, S, H, hd), dtype), c_sh)
+    c_sh = cache_shardings(mesh, cfg)
+    ck = jax.device_put(jnp.zeros((N, B, S, Hkv, hd), dtype), c_sh)
+    cv = jax.device_put(jnp.zeros((N, B, S, Hkv, hd), dtype), c_sh)
     prompt = jax.device_put(jnp.asarray(prompt, jnp.int32),
                             named_sharding(mesh, "dp", None))
 

@@ -105,6 +105,9 @@ def split_tp_layer_params(params):
     are contiguous heads, so sharding the last axis over ``tp`` is exactly
     Megatron column parallelism."""
     D = params["wqkv"].shape[1]
+    assert params["wqkv"].shape[2] == 3 * D, \
+        "tp head-splitting supports MHA layouts only (GQA: use the GSPMD " \
+        "llama_spmd path or pp without tp)"
     F = params["wgu"].shape[2] // 2
     out = {k: v for k, v in params.items() if k not in ("wqkv", "wgu")}
     out["wq"] = params["wqkv"][..., :D]

@@ -435,3 +435,31 @@ def test_ring_attention_under_jit_and_grad():
     g = jax.jit(jax.grad(loss))(q, q, q)
     assert np.isfinite(np.asarray(g)).all()
     assert np.abs(np.asarray(g)).max() > 0
+
+
+@pytest.mark.parametrize("dp,tp", [(1, 2), (2, 2)])
+def test_llama_spmd_gqa_generate_and_train(dp, tp):
+    """GQA config through the GSPMD paths: sharded decode token-identical
+    to the unsharded forward, and the train step decreases a finite loss."""
+    cfg = llama_spmd.config(vocab_size=64, dim=16, n_heads=4, n_kv_heads=2,
+                            ffn_dim=32, n_layers=2, max_seq_len=32)
+    rng = np.random.RandomState(5)
+    params = llama_spmd.init_params(rng, cfg)
+    prompt = rng.randint(0, 64, (2 * dp, 5)).astype(np.int32)
+
+    ref_mesh = make_mesh({"dp": 1, "tp": 1})
+    want = llama_spmd.generate(llama_spmd.shard_params(params, ref_mesh),
+                               prompt, 9, ref_mesh, cfg)
+    mesh = make_mesh({"dp": dp, "tp": tp})
+    got = llama_spmd.generate(llama_spmd.shard_params(params, mesh),
+                              prompt, 9, mesh, cfg)
+    assert np.array_equal(got, want), (got, want)
+
+    sp = llama_spmd.shard_params(llama_spmd.init_params(rng, cfg), mesh)
+    step = llama_spmd.make_train_step(mesh, cfg, lr=1e-2)
+    tokens = jax.numpy.asarray(rng.randint(0, 64, (4 * dp, 8)), jax.numpy.int32)
+    losses = []
+    for _ in range(3):
+        sp, loss = step(sp, tokens, tokens)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all() and losses[-1] < losses[0]
