@@ -163,7 +163,9 @@ def main():
 
     with pdn.no_grad():
         best, best_quant = 0.0, None
-        fid_checked, fid_ok = 0, True
+        # fail-closed defaults: the XLA fallback verifies nothing, and the
+        # JSON must not read as a passing check there
+        fid_checked, fid_ok = 0, False
         if formats:  # fused race: each surviving format, whole-seq dispatch
             for quant, checked, ok in formats:
                 try:

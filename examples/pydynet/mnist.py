@@ -184,8 +184,10 @@ def main(argv=None):
                 Xp, yp = Xd[perm], yd[perm]
                 Xb = Xp[:n_full].reshape((n_full // B, B) + train_x.shape[1:])
                 yb = yp[:n_full].reshape(n_full // B, B)
-            losses = jtrain.foreach(Xb, yb)
-            loss = losses[-1]
+            if n_full:
+                losses = jtrain.foreach(Xb, yb)
+                loss = losses[-1]
+
             n_steps = n_full // B
             if n_full < len(train_x):
                 loss = jtrain(Xp[n_full:], yp[n_full:])

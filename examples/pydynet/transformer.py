@@ -228,8 +228,10 @@ def main(argv=None):
             # the whole epoch is ONE dispatch: lax.scan over the compiled
             # step (state updates included) — per-batch dispatch latency
             # through the remote tunnel disappears
-            losses = jtrain.foreach(Xb, yb)
-            loss = losses[-1]
+            if n_full:
+                losses = jtrain.foreach(Xb, yb)
+                loss = losses[-1]
+
             if n_full < len(train_X):  # trailing partial batch
                 loss = jtrain(Xp[n_full:], yp[n_full:])
         else:

@@ -937,9 +937,14 @@ def transpose(x, axes=None) -> "Tensor":
     if axes is None:
         inv = None
     else:
-        # normalize negatives BEFORE argsort: argsort((0, -1, -2)) is not
-        # the inverse permutation of (0, 2, 1) and silently scrambles grads
-        axes = tuple(a % xd.ndim for a in axes)
+        # normalize negatives BEFORE argsort (argsort((0, -1, -2)) is not
+        # the inverse permutation of (0, 2, 1) and silently scrambles
+        # grads) — single +ndim shift like numpy, NOT modulo, so
+        # out-of-range axes raise instead of wrapping
+        axes = tuple(a + xd.ndim if a < 0 else a for a in axes)
+        for a in axes:
+            if not 0 <= a < xd.ndim:
+                raise np.exceptions.AxisError(a, xd.ndim)
         inv = tuple(np.argsort(axes))
     return _node(jnp.transpose(xd, axes), (x,),
                  lambda g, needs: (jnp.transpose(g, inv),))

@@ -44,15 +44,20 @@ def _collect_state(state):
     re-place to match the step's device; ``names`` carries the dotted
     parameter name for Module-owned tensors (None otherwise), used by
     mesh ``shard_rules``."""
-    seen, out, flexible, names = set(), [], [], []
+    seen, out, flexible, names = {}, [], [], []
     opt_objs = []
 
     def add(t, flex, name):
         if id(t) not in seen:
-            seen.add(id(t))
+            seen[id(t)] = len(out)
             out.append(t)
             flexible.append(flex)
             names.append(name)
+        elif name is not None and names[seen[id(t)]] is None:
+            # state=(optimizer, module): the optimizer visit collected the
+            # parameters UNNAMED first; the module visit must still attach
+            # their dotted names or shard_rules silently never match
+            names[seen[id(t)]] = name
 
     def visit(obj, flex=False):
         if obj is None:
@@ -437,7 +442,7 @@ def jit(fn=None, *, state: Any = (), donate_state: bool = True, mesh=None,
     — for Megatron-style tensor parallelism over a ``tp`` mesh axis
     (canned Llama rules: ``pydynet_tpu.parallel.LLAMA_TP_RULES``).
     Optimizer moment buffers inherit the sharding of the parameter they
-    mirror (matched by shape+dtype).
+    mirror (paired by identity against ``optimizer.params``).
     """
     kwargs = dict(state=state, donate_state=donate_state, mesh=mesh,
                   batch_axis=batch_axis, shard_rules=shard_rules)

@@ -109,7 +109,10 @@ def sample_logits(logits, key, temperature, top_k=None, top_p=None):
         lse = jax.scipy.special.logsumexp(logits, axis=-1, keepdims=True)
         probs = jnp.exp(vals - lse)
         cum = jnp.cumsum(probs, axis=-1)
-        keep = cum - probs < top_p  # mass BEFORE the token; keeps top-1
+        # keep tokens whose PRECEDING mass is <= top_p ('<=' so top_p=0
+        # keeps exactly the best token = greedy; strict '<' kept nothing
+        # and categorical over all--inf degenerated to token 0)
+        keep = cum - probs <= top_p
         cutoff = jnp.min(jnp.where(keep, vals, jnp.inf), axis=-1,
                          keepdims=True)
         logits = jnp.where(logits < cutoff, -jnp.inf, logits)
@@ -829,14 +832,9 @@ class Llama(nn.Module):
             from ...ops.decode_step import lane_pad_dim, pad_cache_lanes
             N = self.n_layers
             S, D = self.max_seq_len, self.embed_dim
-            if B == 1:
-                ck = pad_cache_lanes(self._kv_flat(ck), lane_pad_dim(D))
-                cv = pad_cache_lanes(self._kv_flat(cv), lane_pad_dim(D))
-                decode_chunk = self._fused_chunk_fn[0]
-            else:
-                ck = pad_cache_lanes(self._kv_flat(ck), lane_pad_dim(D))
-                cv = pad_cache_lanes(self._kv_flat(cv), lane_pad_dim(D))
-                decode_chunk = self._fused_chunk_fn[2]
+            ck = pad_cache_lanes(self._kv_flat(ck), lane_pad_dim(D))
+            cv = pad_cache_lanes(self._kv_flat(cv), lane_pad_dim(D))
+            decode_chunk = self._fused_chunk_fn[0 if B == 1 else 2]
 
         pos = L
         first_tok = tok  # prefill result: synced after the first decode

@@ -98,5 +98,12 @@ def load_checkpoint(path: str, module, optimizer=None, strict: bool = True):
                                 "built over a different parameter set?")
                         b.data = value
         if hasattr(optimizer, "_t_tensor") and "opt.t" in blob.files:
-            optimizer._t_tensor.data = blob["opt.t"]
+            # bypass the data setter: it would COMMIT the scalar to the
+            # tensor's construction device (CPU), resurrecting the
+            # 'incompatible devices' eager-TPU-step crash the uncommitted
+            # optimizer scalars exist to avoid
+            import jax.numpy as jnp
+
+            optimizer._t_tensor._data = jnp.asarray(
+                np.float32(blob["opt.t"]))
     return int(blob["step"]) if "step" in blob.files else None

@@ -608,10 +608,13 @@ def test_generate_sampling_modes():
         assert a != c           # and seed-sensitive (tiny random model)
         assert all(0 <= t < CFG["vocab_size"] for t in a)
 
-        # nucleus filtering at top_p ~ 0 degenerates to greedy
-        p0 = [int(t.numpy()[0, 0])
-              for t in model.generate(ids, 20, temperature=2.0, top_p=1e-9)]
-        assert p0 == greedy
+        # nucleus filtering at top_p ~ 0 (and EXACTLY 0 — regression:
+        # strict '<' kept nothing and degenerated to token id 0) == greedy
+        for tp in (1e-9, 0.0):
+            p0 = [int(t.numpy()[0, 0])
+                  for t in model.generate(ids, 20, temperature=2.0,
+                                          top_p=tp)]
+            assert p0 == greedy, tp
 
     with pytest.raises(ValueError, match="fused"):
         list(model.generate(ids, 8, temperature=1.0, fused=True))

@@ -185,3 +185,5 @@ def test_out_of_range_axes_raise():
         pdn.unsqueeze(x2, -10)
     with pytest.raises(np.exceptions.AxisError):
         pdn.split(x2, 2, axis=-5)
+    with pytest.raises(np.exceptions.AxisError):
+        pdn.transpose(pdn.Tensor(np.random.randn(2, 3, 4)), (0, 1, -10))

@@ -162,6 +162,24 @@ def test_module_tp_rules_match_single_device():
     assert o_p._data.sharding.spec == jax.sharding.PartitionSpec("tp", None)
 
 
+def test_shard_rules_survive_optimizer_first_state_order():
+    """Regression: state=(opt, net) collected the params UNNAMED through
+    the optimizer first, and the later module visit was deduped — so
+    shard_rules silently never matched and everything replicated."""
+    from pydynet_tpu.parallel import LLAMA_TP_RULES
+
+    mesh = make_mesh({"dp": 2, "tp": 2})
+    net, opt, step = _llama_module_step()
+    js = pdn.jit(step, state=(opt, net), mesh=mesh,  # optimizer FIRST
+                 shard_rules=LLAMA_TP_RULES)
+    rng = np.random.RandomState(0)
+    inp = rng.randint(0, 64, (4, 8)).astype(np.int64)
+    tgt = rng.randint(0, 64, (4 * 8,)).astype(np.int64)
+    js(pdn.Tensor(inp), pdn.Tensor(tgt))
+    q = net._parameters["layers.0.attention.Q.weight"]._data
+    assert q.sharding.spec == jax.sharding.PartitionSpec(None, "tp"),         q.sharding
+
+
 @pytest.mark.parametrize("dp,tp", [(1, 2), (2, 2), (1, 1)])
 def test_llama_spmd_generate_matches_single_device(dp, tp):
     """tp/dp-sharded greedy decode is token-identical to the unsharded run."""

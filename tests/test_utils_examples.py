@@ -173,6 +173,21 @@ def test_prefetch_iter_unblocks_on_early_exit():
     assert not thread.is_alive()
 
 
+def test_checkpoint_restore_keeps_scalars_uncommitted(tmp_path):
+    """Regression: restoring opt.t through the data setter re-COMMITTED the
+    scalar to CPU, resurrecting the eager-TPU 'incompatible devices'
+    crash."""
+    net = nn.Linear(3, 3)
+    opt = optim.Adam(net.parameters(), lr=1e-3)
+    path = str(tmp_path / "ck.npz")
+    utils.save_checkpoint(path, net, opt, step=1)
+    net2 = nn.Linear(3, 3)
+    opt2 = optim.Adam(net2.parameters(), lr=1e-3)
+    utils.load_checkpoint(path, net2, opt2)
+    assert not opt2._t_tensor._data.committed
+    assert not opt2._lr_tensor._data.committed
+
+
 def test_optimizer_scalar_state_uncommitted():
     """Regression: CPU-committed lr/t scalars crash eager steps on
     TPU-resident params ('incompatible devices'); they must stay
