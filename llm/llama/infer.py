@@ -78,6 +78,9 @@ def main(argv=None):
     parser.add_argument("--top-p", type=float, default=None)
     parser.add_argument("--seed", type=int, default=0,
                         help="Sampling PRNG seed")
+    parser.add_argument("--beams", type=int, default=1,
+                        help=">1 switches to beam-search decoding "
+                        "(prints the best sequence at the end)")
     parser.add_argument("--quant", choices=["int8-head", "int8"],
                         default=None,
                         help="weight-only int8 for the fused decode path "
@@ -101,6 +104,21 @@ def main(argv=None):
         input_ids = np.array([tokenizer.encode(args.prompt)])
 
         _, L = input_ids.shape
+        if args.beams > 1:
+            if not args.no_warmup and model.device.kind == "accel":
+                model.generate_beam(input_ids, args.max_new_tokens,
+                                    num_beams=args.beams,
+                                    eos_id=tokenizer.eos_id)
+            start = time.time()
+            toks = model.generate_beam(input_ids, args.max_new_tokens,
+                                       num_beams=args.beams,
+                                       eos_id=tokenizer.eos_id)
+            elapsed = time.time() - start
+            print(tokenizer.decode(toks))
+            n = L + len(toks)
+            print(f"\nToken count: {n}, elapsed: {elapsed:.2f}s, "
+                  f"{round(n / elapsed)} tokens/s (beam={args.beams})")
+            return n / elapsed
         gen_kwargs = {}
         if args.dtype == "bfloat16":
             import jax.numpy as jnp

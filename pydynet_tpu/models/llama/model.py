@@ -530,6 +530,88 @@ class Llama(nn.Module):
 
         return prefill_sample, decode_chunk_sample
 
+    def generate_beam(self, input_ids, max_new_tokens: int,
+                      num_beams: int = 4, length_penalty: float = 1.0,
+                      eos_id: int = 2, dtype=None):
+        """Beam-search decode for a single prompt (B=1): returns the
+        highest-scoring token list (Python ints, truncated at ``eos_id``).
+
+        Serving extension beyond the reference's greedy loop: W beams run
+        as batch rows on the XLA decode path inside ONE compiled scan;
+        finished beams are frozen (they may only extend with ``eos_id`` at
+        zero cost) and the winner maximizes total logprob / len**penalty.
+        ``max_new_tokens`` bounds the TOTAL sequence length like
+        ``generate``."""
+        if self._decode_fns is None:
+            self._decode_fns = self._make_decode_fns()
+        fwd = self._xla_forward_logits
+
+        input_ids = np.asarray(input_ids)
+        B, L = input_ids.shape
+        assert B == 1, "generate_beam decodes one prompt at a time"
+        total = min(max_new_tokens, self.max_seq_len)
+        n_new = total - L
+        if n_new <= 0:
+            return []
+        W = int(num_beams)
+
+        key = ("beam", np.dtype(dtype).name if dtype else "native")
+        weights = self._weights_cache.get(key)
+        if weights is None:
+            weights = self._weights(dtype)
+            self._weights_cache[key] = weights
+
+        @partial(jax.jit, static_argnames=("n_steps",))
+        def beam_decode(weights, prompt, n_steps):
+            # prefill once at B=1, then replicate the cache across beams
+            ck1, cv1 = self._empty_caches(1, weights["tok"].dtype)
+            logits, ck1, cv1 = fwd(weights, ck1, cv1, prompt, 0)
+            logp0 = jax.nn.log_softmax(logits[0].astype(jnp.float32))
+            scores, toks0 = jax.lax.top_k(logp0, W)      # (W,), (W,)
+            ck = jnp.repeat(ck1, W, axis=1)              # (N, W, S, Hkv, hd)
+            cv = jnp.repeat(cv1, W, axis=1)
+            V = logp0.shape[-1]
+            seqs0 = jnp.zeros((W, n_steps), jnp.int32)
+            seqs0 = seqs0.at[:, 0].set(toks0)
+            fin0 = toks0 == eos_id
+            len0 = jnp.ones((W,), jnp.float32)
+            eos_row = jnp.full((V,), -jnp.inf).at[eos_id].set(0.0)
+
+            def step(carry, i):
+                ck, cv, tok, scores, fin, lens, seqs = carry
+                logits, ck, cv = fwd(weights, ck, cv, tok[:, None], L + i)
+                logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+                # frozen beams only extend with eos at zero added cost
+                cont = jnp.where(fin[:, None], eos_row[None], logp)
+                flat = (scores[:, None] + cont).reshape(-1)      # (W*V,)
+                scores, idx = jax.lax.top_k(flat, W)
+                parent = idx // V
+                tok = (idx % V).astype(jnp.int32)
+                # reorder every per-beam carry by the parent beam
+                ck = jnp.take(ck, parent, axis=1)
+                cv = jnp.take(cv, parent, axis=1)
+                fin = jnp.take(fin, parent, axis=0)
+                lens = jnp.take(lens, parent, axis=0)
+                seqs = jnp.take(seqs, parent, axis=0).at[:, i + 1].set(tok)
+                lens = jnp.where(fin, lens, lens + 1.0)
+                fin = fin | (tok == eos_id)
+                return (ck, cv, tok, scores, fin, lens, seqs), None
+
+            carry = (ck, cv, toks0.astype(jnp.int32), scores, fin0, len0,
+                     seqs0)
+            if n_steps > 1:
+                carry, _ = jax.lax.scan(step, carry,
+                                        jnp.arange(n_steps - 1,
+                                                   dtype=jnp.int32))
+            _, _, _, scores, fin, lens, seqs = carry
+            best = jnp.argmax(scores / jnp.power(lens, length_penalty))
+            return seqs[best], lens[best]
+
+        seq, n = beam_decode(weights, jnp.asarray(input_ids, jnp.int32),
+                             n_new)
+        out = [int(t) for t in np.asarray(seq)[:int(np.asarray(n))]]
+        return out[:out.index(eos_id)] if eos_id in out else out
+
     # ---------------- Pallas fused decode (B=1 fast path) ---------------- #
     def _fused_weights(self, dtype=None, quant=None):
         """Weight pytree for the fused Pallas decode step: unfused per-layer

@@ -656,3 +656,35 @@ def test_gqa_batched_generate_matches_per_row():
             t.numpy()[:, 0] for t in model.generate(prompts, 16)
         ]).T
     assert np.array_equal(batched, rows), (batched, rows)
+
+
+def test_generate_beam_modes():
+    """Beam search: num_beams=1 equals the greedy stream, and a wider beam
+    never scores worse (total logprob, fixed length, no EOS in range)."""
+    model = tiny_model()
+    model.eval()
+    ids = np.array([[1, 5, 9]])
+    total = 16
+    with pdn.no_grad():
+        greedy = [int(t.numpy()[0, 0]) for t in model.generate(ids, total)]
+        b1 = model.generate_beam(ids, total, num_beams=1, eos_id=96)
+        assert b1 == greedy, (b1, greedy)
+        b4 = model.generate_beam(ids, total, num_beams=4, eos_id=96,
+                                 length_penalty=0.0)
+        assert len(b4) == len(greedy)
+        assert all(0 <= t < CFG["vocab_size"] for t in b4)
+
+        def seq_logprob(toks):
+            import jax
+
+            lp = 0.0
+            seq = ids.copy()
+            for t in toks:
+                logits = model(pdn.Tensor(seq), 0).numpy()[0, -1]
+                logp = logits - np.log(np.exp(logits - logits.max()).sum()) \
+                    - logits.max()
+                lp += float(logp[t])
+                seq = np.concatenate([seq, [[t]]], axis=1)
+            return lp
+
+        assert seq_logprob(b4) >= seq_logprob(greedy) - 1e-4
