@@ -688,3 +688,25 @@ def test_generate_beam_modes():
             return lp
 
         assert seq_logprob(b4) >= seq_logprob(greedy) - 1e-4
+
+
+def test_generate_sampling_batched():
+    """Sampling with B>1: per-row independent streams, deterministic under
+    a fixed seed, valid token range."""
+    np.random.seed(2)
+    cfg = dict(CFG, max_batch_size=3)
+    model = Llama(**cfg)
+    model.eval()
+    prompts = np.array([[1, 5, 9], [2, 6, 10], [3, 7, 11]])
+    with pdn.no_grad():
+        a = np.stack([t.numpy()[:, 0]
+                      for t in model.generate(prompts, 16, temperature=1.0,
+                                              seed=4)])
+        b = np.stack([t.numpy()[:, 0]
+                      for t in model.generate(prompts, 16, temperature=1.0,
+                                              seed=4)])
+    assert np.array_equal(a, b)
+    assert a.shape == (13, 3)
+    assert ((0 <= a) & (a < cfg["vocab_size"])).all()
+    # rows are not trivially identical (different prompts)
+    assert not np.array_equal(a[:, 0], a[:, 1])
