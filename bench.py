@@ -87,6 +87,10 @@ def fidelity_gate(model, prompt_ids, truth, margins, quant):
     ck = pad_cache_lanes(ck5.reshape(N, S, D), Dp)
     cv = pad_cache_lanes(cv5.reshape(N, S, D), Dp)
     qhead = "head_s" in w
+    qlayers = "s_attn" in w  # int8 layer weights live under "_q" keys
+
+    def W(weights, name):
+        return weights[name + "_q"] if qlayers else weights[name]
 
     @functools.partial(jax.jit, donate_argnums=(1, 2))
     def tf_chunk(weights, ck, cv, toks_in, pos0):
@@ -95,8 +99,10 @@ def fidelity_gate(model, prompt_ids, truth, margins, quant):
             nxt, ck, cv = fused_decode_token(
                 p, tin, weights["tok"], weights["cosD"], weights["sinD"],
                 weights["rot"], weights["hmask_pad"], weights["norm2"],
-                weights["wq"], weights["wk"], weights["wv"], weights["wo"],
-                weights["gate_w"], weights["up_w"], weights["down"],
+                W(weights, "wq"), W(weights, "wk"), W(weights, "wv"),
+                W(weights, "wo"),
+                W(weights, "gate_w"), W(weights, "up_w"),
+                W(weights, "down"),
                 weights["in_norm2"], weights["post_norm2"],
                 weights["head_wq"] if qhead else weights["head_w"],
                 weights["head_b2"], ck, cv, vt=vt, sb=sb,

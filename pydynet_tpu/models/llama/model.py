@@ -670,7 +670,10 @@ class Llama(nn.Module):
             if quant == "int8":  # layer matmuls too, not just the head
                 def q(name):  # (N, K, M) stacked weight, contraction axis 1
                     arr, s = quantize_int8(fused[name], axis=1)
-                    fused[name] = arr
+                    # SEPARATE "<name>_q" keys: "wo"/"down" are shared with
+                    # the XLA prefill layout — overwriting them in place fed
+                    # the prompt forward raw unscaled int8 weights
+                    fused[name + "_q"] = arr
                     return s  # (N, 1, M) f32
 
                 sq, sk, sv = q("wq"), q("wk"), q("wv")
@@ -718,15 +721,20 @@ class Llama(nn.Module):
             """B=1; caches (N, S, Dp) lane-padded (pad_cache_lanes).  If the
             weight pytree carries int8 scales (_fused_weights(quant=...)),
             the kernel runs the weight-only-int8 path for those weights."""
-            qhead = "head_s" in weights  # static at trace time
+            qhead = "head_s" in weights    # static at trace time
+            qlayers = "s_attn" in weights  # int8 layer weights: "_q" keys
+
+            def W(name):
+                return weights[name + "_q"] if qlayers else weights[name]
+
             def step(carry, _):
                 ck, cv, tok, p = carry
                 nxt, ck, cv = fused_decode_token(
                     p, tok, weights["tok"], weights["cosD"], weights["sinD"],
                     weights["rot"], weights["hmask_pad"], weights["norm2"],
-                    weights["wq"], weights["wk"], weights["wv"],
-                    weights["wo"], weights["gate_w"], weights["up_w"],
-                    weights["down"], weights["in_norm2"],
+                    W("wq"), W("wk"), W("wv"),
+                    W("wo"), W("gate_w"), W("up_w"),
+                    W("down"), weights["in_norm2"],
                     weights["post_norm2"],
                     weights["head_wq"] if qhead else weights["head_w"],
                     weights["head_b2"], ck, cv, vt=vt, sb=sb,

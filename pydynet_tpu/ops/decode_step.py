@@ -89,7 +89,7 @@ def lm_head_argmax(h, w, b, vt: int = 3200, interpret=False):
     h (1, D); w (D, V); b (1, V); V must be a multiple of ``vt`` (itself a
     multiple of 128).  Returns int32 (1, 1)."""
     D, V = w.shape
-    assert V % vt == 0, (V, vt)
+    assert V % vt == 0 and vt % 128 == 0, (V, vt)  # (D, vt) lane alignment
     n_tiles = V // vt
     return pl.pallas_call(
         functools.partial(_lm_head_kernel, vt=vt, n_tiles=n_tiles),
@@ -401,7 +401,10 @@ def _token_kernel_batched(idx_ref,  # scalar prefetch: (1,) i32 = [pos]
     single strided (B, sb, Dp) block DMAs.  The previous-token embedding
     gather happens OUTSIDE (a (B,) gather is one tiny XLA kernel; the
     scalar-prefetch block trick only fetches one row block), so a batched
-    decode step is 2 launches.  Attention math is per-row (static unroll)."""
+    decode step is 2 launches.  Attention scores are ONE un-unrolled
+    (B*sb, Dp) x (Dp, B*H) matmul with static diagonal-block extraction
+    (see ``diag_blocks`` — the B^2 cross-sample waste buys O(1)-in-B op
+    count and Mosaic compile time)."""
     l = pl.program_id(0)
     pos = idx_ref[0]
     B = batch
@@ -1012,6 +1015,10 @@ def fused_decode_step(pos, h0, cosd, sind, rot, hmask, final_norm,
     N, S, D = ck.shape
     H = hmask.shape[1]
     F = gate_w.shape[2]
+    # same contract as the whole-token wrappers: the 16-row cache-tile RMW
+    # must stay inside the (S, D) block
+    assert S % 16 == 0, S
+    assert D % 8 == 0 and F % 8 == 0, (D, F)
 
     z = np.int32(0)  # int32 literals: Mosaic can't legalize i64 indices (x64)
 

@@ -367,6 +367,24 @@ def test_generate_int8_quant_plumbing():
     assert len(a) == 16 - 3 and all(0 <= t < 256 for t in a)
     assert a[0] == base[0]  # prefill stays full precision
 
+    # regression: full-layer int8 once overwrote the SHARED "wo"/"down"
+    # keys in place, feeding the XLA prefill raw unscaled int8 weights —
+    # quantized copies must live under separate "_q" keys and the prefill
+    # logits must be BITWISE identical to the unquantized path
+    import jax.numpy as jnp
+
+    wq8 = model._fused_weights(None, "int8")
+    assert wq8["wo"].dtype != jnp.int8 and wq8["down"].dtype != jnp.int8
+    assert wq8["wo_q"].dtype == jnp.int8 and wq8["down_q"].dtype == jnp.int8
+    w0 = model._fused_weights(None, None)
+    prefill, _ = model._make_decode_fns()
+    fwd = model._xla_forward_logits
+    ck, cv = model._empty_caches(1, w0["tok"].dtype)
+    lg0, _, _ = fwd(w0, ck, cv, jnp.asarray(ids, jnp.int32), 0)
+    ck, cv = model._empty_caches(1, w0["tok"].dtype)
+    lg8, _, _ = fwd(wq8, ck, cv, jnp.asarray(ids, jnp.int32), 0)
+    np.testing.assert_array_equal(np.asarray(lg0), np.asarray(lg8))
+
     with pytest.raises(ValueError):
         next(iter(model.generate(np.array([[1, 2], [3, 4]]), 8,
                                  fused=True, quant="int8")))
