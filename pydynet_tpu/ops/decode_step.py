@@ -38,6 +38,12 @@ from jax.experimental.pallas import tpu as pltpu
 _Z = np.int32(0)  # int32 index-map literal (x64 would inject i64)
 
 
+def _rms(x, w):
+    """f32 RMSNorm used identically by all three kernels (eps pinned here
+    so the kernels cannot drift numerically)."""
+    return (x / jnp.sqrt(jnp.mean(x * x, -1, keepdims=True) + 1e-6)) * w
+
+
 def rope_pair_swap_matrix(dim: int, dtype=jnp.float32):
     """R such that (x @ R)[2i] = -x[2i+1], (x @ R)[2i+1] = x[2i]."""
     R = np.zeros((dim, dim), np.float32)
@@ -169,8 +175,7 @@ def _token_kernel(idx_ref,  # scalar prefetch: (2,) i32 = [pos, tok]
     cdtype = kbuf.dtype
     pad = dpad - dim
 
-    def rms(x, w):
-        return (x / jnp.sqrt(jnp.mean(x * x, -1, keepdims=True) + 1e-6)) * w
+    rms = _rms
 
     def qvec(x32):
         """Quantize a (1, K) f32 activation vector to int8 + scale."""
@@ -412,8 +417,7 @@ def _token_kernel_batched(idx_ref,  # scalar prefetch: (1,) i32 = [pos]
     cdtype = kbuf.dtype
     pad = dpad - dim
 
-    def rms(x, w):
-        return (x / jnp.sqrt(jnp.mean(x * x, -1, keepdims=True) + 1e-6)) * w
+    rms = _rms
 
     @pl.when(l == 0)
     def _():
@@ -935,9 +939,7 @@ def _kernel(pos_ref,  # scalar prefetch (SMEM)
     h = h_state[:]  # (1, D) f32
     cdtype = ck.dtype
 
-    def rms(x, w):
-        return (x / jnp.sqrt(
-            jnp.mean(x * x, -1, keepdims=True) + 1e-6)) * w
+    rms = _rms
 
     hn = rms(h, in_norm[0].astype(jnp.float32)).astype(cdtype)
 
