@@ -249,3 +249,43 @@ def test_foreach_matches_per_call_loop():
     # mismatched leading axes must raise
     with pytest.raises(ValueError, match="steps axis"):
         js2.foreach(pdn.Tensor(Xb), pdn.Tensor(Yb[:3]))
+
+
+def test_foreach_threads_prng_like_per_call_loop():
+    """Dropout inside a foreach sweep must consume the global PRNG stream
+    exactly like the equivalent per-call loop (the generator state rides
+    the scan carry)."""
+    import numpy as np
+    import pydynet_tpu as pdn
+    from pydynet_tpu import nn, optim
+
+    Xb = np.random.randn(4, 16, 6)
+    Yb = np.random.randn(4, 16, 2)
+
+    def build():
+        np.random.seed(11)
+        pdn.manual_seed(11)
+        net = nn.Sequential(nn.Linear(6, 32), nn.Dropout(0.5),
+                            nn.Linear(32, 2))
+        net.train()
+        opt = optim.SGD(net.parameters(), lr=0.05, momentum=0.0,
+                        nesterov=False)
+
+        def step(x, y):
+            opt.zero_grad()
+            loss = pdn.nn.functional.mse_loss(net(x), y)
+            loss.backward()
+            opt.step()
+            return loss
+
+        return net, pdn.jit(step, state=(net, opt))
+
+    net1, js1 = build()
+    loop = [float(js1(pdn.Tensor(Xb[i]), pdn.Tensor(Yb[i])).item())
+            for i in range(4)]
+    net2, js2 = build()
+    fused = js2.foreach(pdn.Tensor(Xb), pdn.Tensor(Yb)).numpy().reshape(-1)
+    assert np.allclose(loop, fused, rtol=1e-6), (loop, list(fused))
+    for (n, p1), (_, p2) in zip(net1._parameters.items(),
+                                net2._parameters.items()):
+        assert np.allclose(p1.numpy(), p2.numpy(), atol=1e-6), n
