@@ -78,6 +78,9 @@ def main(argv=None):
     parser.add_argument("--top-p", type=float, default=None)
     parser.add_argument("--seed", type=int, default=0,
                         help="Sampling PRNG seed")
+    parser.add_argument("--repetition-penalty", type=float, default=None,
+                        help="HF-style penalty (>1) on already-seen tokens "
+                        "(sampling mode only)")
     parser.add_argument("--beams", type=int, default=1,
                         help=">1 switches to beam-search decoding "
                         "(prints the best sequence at the end)")
@@ -129,7 +132,8 @@ def main(argv=None):
             gen_kwargs["quant"] = args.quant
         if args.temperature and args.temperature > 0:
             gen_kwargs.update(temperature=args.temperature, seed=args.seed,
-                              top_k=args.top_k, top_p=args.top_p)
+                              top_k=args.top_k, top_p=args.top_p,
+                              repetition_penalty=args.repetition_penalty)
         if not args.no_warmup and model.device.kind == "accel":
             # compile outside the timed region (the reference's NumPy loop
             # has no compile step; tok/s should measure decode, not XLA)

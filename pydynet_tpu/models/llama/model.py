@@ -83,15 +83,22 @@ def apply_rotary_emb(xq: Tensor, xk: Tensor, freqs_cos, freqs_sin):
 # ===================================================================== #
 #                         module-tree model                              #
 # ===================================================================== #
-def sample_logits(logits, key, temperature, top_k=None, top_p=None):
+def sample_logits(logits, key, temperature, top_k=None, top_p=None,
+                  seen=None, repetition_penalty=None):
     """Sample next-token ids from (B, V) f32 logits (pure jnp, trace-safe).
 
     The reference decodes greedily only (model.py:258-269); this is the
-    serving-side extension: temperature scaling, then optional top-k and/or
-    nucleus (top-p) filtering, then a Gumbel draw via
-    ``jax.random.categorical``.  ``top_k``/``top_p`` are trace-time
+    serving-side extension: optional repetition penalty over already-seen
+    tokens (``seen`` (B, V) bool, HF convention: positive logits divided
+    by the penalty, negative multiplied), temperature scaling, then
+    optional top-k and/or nucleus (top-p) filtering, then a Gumbel draw
+    via ``jax.random.categorical``.  ``top_k``/``top_p`` are trace-time
     constants; the always-kept best token makes top_p=0 equal greedy.
     """
+    if repetition_penalty is not None and seen is not None:
+        pen = jnp.where(logits > 0, logits / repetition_penalty,
+                        logits * repetition_penalty)
+        logits = jnp.where(seen, pen, logits)
     logits = logits / jnp.maximum(temperature, 1e-6)
     if top_k is not None:
         # lax.top_k, NOT a full-vocab sort: this runs inside the decode
@@ -501,32 +508,44 @@ class Llama(nn.Module):
             self._decode_fns = self._make_decode_fns()
         fwd = self._xla_forward_logits
 
-        @partial(jax.jit, static_argnames=("top_k", "top_p"))
+        V = self.vocab_size
+
+        def mark(seen, toks):  # (B, V) bool |= one-hot of toks (B,)
+            return seen.at[jnp.arange(seen.shape[0]), toks].set(True)
+
+        @partial(jax.jit, static_argnames=("top_k", "top_p", "rep"))
         def prefill_sample(weights, ck, cv, tokens, pos, key, temperature,
-                           top_k, top_p):
+                           top_k, top_p, rep):
             logits, ck, cv = fwd(weights, ck, cv, tokens, pos)
+            B = tokens.shape[0]
+            seen = jnp.zeros((B, V), bool)
+            if rep is not None:  # prompt tokens count as seen
+                seen = seen.at[jnp.arange(B)[:, None], tokens].set(True)
             key, sub = jax.random.split(key)
-            nxt = sample_logits(logits, sub, temperature, top_k, top_p)
-            return nxt.astype(tokens.dtype), ck, cv, key
+            nxt = sample_logits(logits, sub, temperature, top_k, top_p,
+                                seen, rep)
+            return (nxt.astype(tokens.dtype), ck, cv, key,
+                    mark(seen, nxt))
 
         @partial(jax.jit,
-                 static_argnames=("n_steps", "top_k", "top_p"),
+                 static_argnames=("n_steps", "top_k", "top_p", "rep"),
                  donate_argnames=("ck", "cv"))
         def decode_chunk_sample(weights, ck, cv, last_tok, pos, key,
-                                temperature, n_steps, top_k, top_p):
+                                temperature, n_steps, top_k, top_p, rep,
+                                seen):
             def step(carry, _):
-                ck, cv, tok, p, key = carry
+                ck, cv, tok, p, key, seen = carry
                 logits, ck, cv = fwd(weights, ck, cv, tok[:, None], p)
                 key, sub = jax.random.split(key)
                 nxt = sample_logits(logits, sub, temperature, top_k,
-                                    top_p).astype(tok.dtype)
-                return (ck, cv, nxt, p + 1, key), nxt
+                                    top_p, seen, rep).astype(tok.dtype)
+                return (ck, cv, nxt, p + 1, key, mark(seen, nxt)), nxt
 
             pos = jnp.asarray(pos, jnp.int32)
-            (ck, cv, tok, p, key), toks = jax.lax.scan(
-                step, (ck, cv, last_tok, pos, key), None, length=n_steps,
-                unroll=8)
-            return ck, cv, toks, key
+            (ck, cv, tok, p, key, seen), toks = jax.lax.scan(
+                step, (ck, cv, last_tok, pos, key, seen), None,
+                length=n_steps, unroll=8)
+            return ck, cv, toks, key, seen
 
         return prefill_sample, decode_chunk_sample
 
@@ -826,7 +845,8 @@ class Llama(nn.Module):
     def generate(self, input_ids, max_new_tokens: int,
                  chunk: int = DECODE_CHUNK, dtype=None, fused=None,
                  quant=None, temperature: float = 0.0, top_k: int = None,
-                 top_p: float = None, seed: int = 0):
+                 top_p: float = None, seed: int = 0,
+                 repetition_penalty: float = None):
         """Greedy generation; yields (B,1) id tensors one token at a time
         like the reference (model.py:258-269), while computing CHUNK tokens
         per compiled on-device scan, with the next chunk dispatched before
@@ -842,7 +862,8 @@ class Llama(nn.Module):
 
         ``temperature > 0`` switches from greedy argmax to on-device
         sampling (``sample_logits``: temperature, optional top_k / nucleus
-        top_p, deterministic under ``seed``) on the XLA decode path — the
+        top_p and HF-style ``repetition_penalty`` over prompt+generated
+        tokens, deterministic under ``seed``) on the XLA decode path — the
         fused kernel bakes the argmax in, so sampling + fused=True raises.
         temperature=0 (default) is exact reference-greedy."""
         if self._decode_fns is None:
@@ -910,9 +931,11 @@ class Llama(nn.Module):
 
         ck, cv = self._empty_caches(B, weights["tok"].dtype)
         if sampling:
-            tok, ck, cv, rkey = prefill_s(
+            rep = (float(repetition_penalty)
+                   if repetition_penalty is not None else None)
+            tok, ck, cv, rkey, seen = prefill_s(
                 weights, ck, cv, jnp.asarray(input_ids, jnp.int32), 0,
-                rkey, tvec, top_k, top_p)
+                rkey, tvec, top_k, top_p, rep)
         else:
             tok, ck, cv = prefill(weights, ck, cv,
                                   jnp.asarray(input_ids, jnp.int32), 0)
@@ -934,9 +957,10 @@ class Llama(nn.Module):
             # surplus tokens past `total` are discarded on the host
             need = total - pos - 1
             if sampling:
-                ck, cv, toks, rkey = decode_s(weights, ck, cv, tok, pos,
-                                              rkey, tvec, chunk, top_k,
-                                              top_p)
+                ck, cv, toks, rkey, seen = decode_s(weights, ck, cv, tok,
+                                                    pos, rkey, tvec, chunk,
+                                                    top_k, top_p, rep,
+                                                    seen)
             else:
                 ck, cv, toks = decode_chunk(weights, ck, cv, tok, pos, chunk)
             keep = min(chunk, need)

@@ -728,3 +728,22 @@ def test_generate_sampling_batched():
     assert ((0 <= a) & (a < cfg["vocab_size"])).all()
     # rows are not trivially identical (different prompts)
     assert not np.array_equal(a[:, 0], a[:, 1])
+
+
+def test_generate_repetition_penalty():
+    """HF-style repetition penalty: with a huge penalty and greedy-like
+    sampling (top_k=1) the stream must not repeat any token (or the
+    prompt) within the vocab budget; without it, defaults are unchanged."""
+    model = tiny_model()
+    model.eval()
+    ids = np.array([[1, 5, 9]])
+    with pdn.no_grad():
+        greedy = [int(t.numpy()[0, 0]) for t in model.generate(ids, 20)]
+        base = [int(t.numpy()[0, 0])
+                for t in model.generate(ids, 20, temperature=1e-4)]
+        assert base == greedy  # rep=None default changes nothing
+        pen = [int(t.numpy()[0, 0])
+               for t in model.generate(ids, 20, temperature=1e-4, top_k=1,
+                                       repetition_penalty=1e9)]
+    stream = [1, 5, 9] + pen
+    assert len(set(stream)) == len(stream), stream  # no repeats at all
