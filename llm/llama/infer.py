@@ -37,7 +37,8 @@ def build_model(args):
         # npz (stories15M/110M, GQA models) runs without editing constants
         from .io import infer_config
 
-        cfg = infer_config(args.weights, MAX_SEQ_LEN, MAX_BATCH)
+        cfg = infer_config(args.weights, MAX_SEQ_LEN, MAX_BATCH,
+                           n_heads=args.n_heads)
         model = load_model(Llama(dtype=datatype, **cfg), args.weights)
     else:
         model = Llama(VOCAB_SIZE, DIM, N_HEADS, FFN_DIM, MAX_SEQ_LEN,
@@ -66,6 +67,10 @@ def main(argv=None):
                         default="llm/llama/data/tokenizer.model.np")
     parser.add_argument("--max-new-tokens", type=int, default=1024)
     parser.add_argument("--random-init", action="store_true")
+    parser.add_argument("--n-heads", type=int, default=None,
+                        help="override the head count inferred from the "
+                        "checkpoint shapes (head_dim is ambiguous when "
+                        "several conventional sizes divide the widths)")
     parser.add_argument("--dtype", choices=["float32", "bfloat16"],
                         default="float32",
                         help="decode compute dtype (bfloat16 ~2x faster)")

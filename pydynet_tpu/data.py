@@ -1,13 +1,27 @@
-"""Data pipeline (parity with /root/reference/pydynet/data.py:4-123).
+"""Data pipeline (API parity with /root/reference/pydynet/data.py:4-123).
 
-PyTorch-shaped Dataset / Sampler / BatchSampler / DataLoader, all host-side
-NumPy; batches are fancy-indexed in one shot (data.py:79-81).  On TPU the
-device transfer happens per-batch at the ``.to(device)`` / jit boundary.
+Same PyTorch-shaped surface — ``Dataset`` / ``Sampler`` /
+``SequentialSampler`` / ``RandomSampler`` / ``BatchSampler`` /
+``DataLoader`` / ``data_loader`` — with the same observable behavior: index
+batches are plain Python int lists, a batch is fetched with ONE fancy index
+into the dataset (reference data.py:79-81), and shuffle order comes from the
+global ``np.random`` stream so seed parity holds.  Everything is host-side
+NumPy; the device transfer happens per batch at the ``.to(device)`` / jit
+boundary.  TPU extension: ``DataLoader(prefetch=n)`` assembles batches on a
+background thread (NumPy fancy-indexing releases the GIL) so host batch
+assembly overlaps the accelerator step.
 """
-from numpy.random import permutation
+import itertools
+import queue
+import threading
+
+import numpy as np
 
 
 class Dataset:
+    """Map-style dataset.  ``__getitem__`` must accept a LIST of indices
+    (fancy index): that is how ``DataLoader`` fetches whole batches in one
+    shot instead of per-sample gathers."""
 
     def __getitem__(self, index):
         raise NotImplementedError
@@ -17,6 +31,7 @@ class Dataset:
 
 
 class Sampler:
+    """Abstract stream of dataset indices."""
 
     def __init__(self, dataset: Dataset) -> None:
         pass
@@ -31,25 +46,30 @@ class SequentialSampler(Sampler):
         self.dataset = dataset
 
     def __iter__(self):
-        return iter(range(len(self.dataset)))
+        return iter(range(len(self)))
 
     def __len__(self) -> int:
         return len(self.dataset)
 
 
 class RandomSampler(Sampler):
+    """A fresh permutation per epoch, drawn from the global ``np.random``
+    stream (seed parity: ``np.random.seed(s)`` fixes the epoch order exactly
+    as in the reference)."""
 
     def __init__(self, dataset: Dataset) -> None:
         self.dataset = dataset
 
     def __iter__(self):
-        yield from permutation(len(self.dataset)).tolist()
+        return iter(np.random.permutation(len(self)).tolist())
 
-    def __len__(self):
+    def __len__(self) -> int:
         return len(self.dataset)
 
 
 class BatchSampler(Sampler):
+    """Chunks a sampler's index stream into ``batch_size``-long lists; a
+    trailing partial batch is dropped iff ``drop_last``."""
 
     def __init__(self, sampler: Sampler, batch_size: int,
                  drop_last: bool) -> None:
@@ -58,55 +78,45 @@ class BatchSampler(Sampler):
         self.drop_last = drop_last
 
     def __iter__(self):
-        batch = []
-        for idx in self.sampler:
-            batch.append(idx)
-            if len(batch) == self.batch_size:
+        stream = iter(self.sampler)
+        while batch := list(itertools.islice(stream, self.batch_size)):
+            if len(batch) == self.batch_size or not self.drop_last:
                 yield batch
-                batch = []
-        if len(batch) > 0 and not self.drop_last:
-            yield batch
 
-    def __len__(self):
-        if self.drop_last:
-            return len(self.sampler) // self.batch_size
-        return (len(self.sampler) + self.batch_size - 1) // self.batch_size
+    def __len__(self) -> int:
+        n = len(self.sampler)
+        return n // self.batch_size if self.drop_last \
+            else -(-n // self.batch_size)
 
 
-class _DataLoaderIter:
-
-    def __init__(self, loader) -> None:
-        self.loader = loader
-        self.sample_iter = iter(self.loader.batch_sampler)
-
-    def __next__(self):
-        index = next(self.sample_iter)
-        return self.loader.dataset[index]
-
-    def __iter__(self):
-        return self
+def _batches(loader):
+    """Synchronous batch stream: one dataset fancy-index per index batch."""
+    for index in loader.batch_sampler:
+        yield loader.dataset[index]
 
 
 class _PrefetchIter:
-    """Background-thread prefetch: batch assembly (NumPy fancy-indexing,
-    which releases the GIL) overlaps the accelerator step."""
+    """Background-thread prefetch with shutdown-safe handoff.
+
+    The worker fills a bounded queue; its ``put`` polls the stop flag so a
+    consumer that abandons iteration (break / exception / GC) cannot leave
+    the thread blocked on a full queue forever, pinning ``depth`` assembled
+    batches and the dataset.  Symmetrically, the consumer's ``get`` polls
+    worker liveness: after ``close()`` the worker's end-of-stream sentinel
+    may never have been enqueued (its stop-aware put returns False), so a
+    blocking ``get`` would deadlock — instead a dead/stopped worker with an
+    empty queue ends iteration.
+    """
 
     _DONE = object()
 
     def __init__(self, loader, depth: int) -> None:
-        import queue
-        import threading
-
         self._q = queue.Queue(maxsize=depth)
         self._error = None
         self._stop = threading.Event()
-        inner = _DataLoaderIter(loader)
+        source = _batches(loader)
 
-        def put(item) -> bool:
-            # bounded put that notices shutdown: a consumer that stops
-            # iterating early (break / exception / GC) would otherwise leave
-            # this thread blocked on a full queue forever, pinning `depth`
-            # assembled batches and the dataset
+        def offer(item) -> bool:
             while not self._stop.is_set():
                 try:
                     self._q.put(item, timeout=0.1)
@@ -115,17 +125,17 @@ class _PrefetchIter:
                     continue
             return False
 
-        def worker():
+        def work():
             try:
-                for batch in inner:
-                    if not put(batch):
+                for batch in source:
+                    if not offer(batch):
                         return
-            except BaseException as e:  # surface in the consumer thread
+            except BaseException as e:  # re-raised in the consumer thread
                 self._error = e
             finally:
-                put(self._DONE)
+                offer(self._DONE)
 
-        self._thread = threading.Thread(target=worker, daemon=True)
+        self._thread = threading.Thread(target=work, daemon=True)
         self._thread.start()
 
     def close(self):
@@ -133,12 +143,27 @@ class _PrefetchIter:
 
     __del__ = close
 
+    def _finish(self):
+        if self._error is not None:
+            raise self._error
+        raise StopIteration
+
     def __next__(self):
-        item = self._q.get()
+        while True:
+            try:
+                item = self._q.get(timeout=0.1)
+                break
+            except queue.Empty:
+                if self._stop.is_set() or not self._thread.is_alive():
+                    # the sentinel may be racing in — drain once more before
+                    # declaring the stream over
+                    try:
+                        item = self._q.get_nowait()
+                        break
+                    except queue.Empty:
+                        self._finish()
         if item is self._DONE:
-            if self._error is not None:
-                raise self._error
-            raise StopIteration
+            self._finish()
         return item
 
     def __iter__(self):
@@ -162,13 +187,14 @@ class DataLoader:
     def __iter__(self):
         if self.prefetch > 0:
             return _PrefetchIter(self, self.prefetch)
-        return _DataLoaderIter(self)
+        return _batches(self)
 
     def __len__(self):
         return len(self.batch_sampler)
 
 
 def data_loader(X, y, batch_size: int, shuffle: bool = False) -> DataLoader:
+    """Convenience (X, y) loader (reference data.py:108-123)."""
 
     class TrainSet(Dataset):
 

@@ -14,16 +14,21 @@ from .model import Llama
 
 
 def infer_config(model_path: str, max_seq_len: int = 1024,
-                 max_batch_size: int = 1) -> dict:
+                 max_batch_size: int = 1, n_heads: int = None) -> dict:
     """Infer the Llama architecture from an HF-named npz's array shapes —
     kwargs for ``Llama(**infer_config(p))``, so any converted checkpoint
     (stories15M, stories110M, TinyLlama-style GQA, ...) loads without
     hand-copied constants.
 
-    Head counts: n_heads and head_dim cannot both be recovered from fused
-    q_proj shapes alone, so head_dim is taken as dim//n_heads with n_heads
-    from the GQA ratio when k_proj is narrower, else the stories convention
-    dim/48 — override ``n_heads`` afterwards for exotic models.
+    Head counts: n_heads and head_dim cannot both be recovered from the
+    projection shapes alone (weights carry no per-head structure), so the
+    npz is first probed for explicit metadata (``config.n_heads`` /
+    ``config.n_kv_heads`` scalar entries, written by converters that keep
+    them), then ``n_heads`` (if given, e.g. from the CLI ``--n-heads``
+    flag) decides, and only then conventional head_dim candidates are
+    tried.  When several candidates divide both the q and kv widths (e.g.
+    an MHA checkpoint with dim 4096 fits head_dim 64 AND 128) the choice
+    is ambiguous and a ``UserWarning`` names the alternatives.
     """
     w = np.load(model_path)
     vocab, dim = w["model.embed_tokens.weight"].shape
@@ -32,16 +37,30 @@ def infer_config(model_path: str, max_seq_len: int = 1024,
         n_layers += 1
     ffn_dim = w["model.layers.0.mlp.gate_proj.weight"].shape[0]
     kv_rows = w["model.layers.0.self_attn.k_proj.weight"].shape[0]
-    # stories checkpoints use head_dim 48 (288/6) / 64 (768/12); prefer the
-    # conventional sizes that divide both the q and kv widths, falling back
-    # to their gcd for exotic dims
     import math as _math
+    import warnings
 
-    for head_dim in (48, 64, 128) if dim < 512 else (64, 128, 48):
-        if dim % head_dim == 0 and kv_rows % head_dim == 0:
-            break
+    if n_heads is None and "config.n_heads" in w.files:
+        n_heads = int(w["config.n_heads"])
+    if n_heads is not None:
+        assert dim % n_heads == 0, (dim, n_heads)
+        head_dim = dim // n_heads
+        assert kv_rows % head_dim == 0, (kv_rows, head_dim)
     else:
-        head_dim = _math.gcd(dim, kv_rows)
+        # stories checkpoints use head_dim 48 (288/6) / 64 (768/12); prefer
+        # the conventional sizes that divide both the q and kv widths,
+        # falling back to their gcd for exotic dims
+        order = (48, 64, 128) if dim < 512 else (64, 128, 48)
+        fits = [hd for hd in order
+                if dim % hd == 0 and kv_rows % hd == 0]
+        head_dim = fits[0] if fits else _math.gcd(dim, kv_rows)
+        if len(fits) > 1:
+            warnings.warn(
+                f"head_dim is ambiguous for dim={dim}, kv_rows={kv_rows}: "
+                f"candidates {fits} all fit; assuming head_dim={head_dim} "
+                f"(n_heads={dim // head_dim}).  Pass n_heads= (CLI: "
+                "--n-heads) if the checkpoint uses another layout — e.g. "
+                "Llama-2-7B-class MHA models use head_dim 128.")
     n_heads = dim // head_dim
     n_kv_heads = kv_rows // head_dim
     return dict(vocab_size=vocab, embed_dim=dim, n_heads=n_heads,

@@ -67,9 +67,15 @@ def save_checkpoint(path: str, module, optimizer=None, step: int = None,
 
 
 def load_checkpoint(path: str, module, optimizer=None, strict: bool = True):
-    """Restore a ``save_checkpoint`` blob.  ``strict`` (default) errors on
-    parameters absent from the checkpoint — resuming from a half-matching
-    checkpoint silently mixes fresh-init and restored weights otherwise."""
+    """Restore a ``save_checkpoint`` blob.
+
+    .. warning:: ``strict=True`` is the DEFAULT here, unlike reference-style
+       loaders (and this module pre-round-2) that silently loaded the
+       intersection: resuming a module whose parameter set grew since the
+       save (new modules, changed architecture) raises ``KeyError``, because
+       silently mixing fresh-init and restored weights is the failure mode
+       that hurts most.  Pass ``strict=False`` explicitly to load legacy /
+       partial checkpoints over a superset model."""
     if not os.path.exists(path) and os.path.exists(path + ".npz"):
         path += ".npz"  # checkpoints written by np.savez's auto-suffix
     blob = np.load(path)

@@ -173,6 +173,31 @@ def test_prefetch_iter_unblocks_on_early_exit():
     assert not thread.is_alive()
 
 
+def test_prefetch_next_after_close_terminates():
+    """Regression (round-2 advisor): after close() the worker's stop-aware
+    put could drop the end-of-stream sentinel, so a subsequent __next__()
+    blocked forever on the queue.  Now a stopped/dead worker with a drained
+    queue ends iteration."""
+    from pydynet_tpu.data import DataLoader, Dataset
+
+    class DS(Dataset):
+        def __len__(self):
+            return 64
+
+        def __getitem__(self, idx):
+            return np.asarray(idx)
+
+    it = iter(DataLoader(DS(), batch_size=2, prefetch=1))
+    next(it)
+    it.close()
+    it._thread.join(timeout=5.0)
+    # drain whatever landed before the stop, then expect a prompt end
+    import pytest as _pytest
+    with _pytest.raises(StopIteration):
+        for _ in range(8):  # queue depth 1 (+ sentinel race): few items max
+            next(it)
+
+
 def test_checkpoint_restore_keeps_scalars_uncommitted(tmp_path):
     """Regression: restoring opt.t through the data setter re-COMMITTED the
     scalar to CPU, resurrecting the eager-TPU 'incompatible devices'
