@@ -109,7 +109,7 @@ def sample_logits(logits, key, temperature, top_k=None, top_p=None,
         V = logits.shape[-1]
         cap = V if V <= 2048 else 2048  # nucleus candidates considered;
         # exact whenever the top_p mass fits in the top-2048 (it always
-        # does in practice), else truncates there
+        # does in practice); see the wide-nucleus fallback below otherwise
         vals = jax.lax.top_k(logits, cap)[0]  # descending
         # probabilities under the FULL distribution (lse over all logits),
         # so the cumulative mass is exact, not renormalized over the cap
@@ -122,8 +122,19 @@ def sample_logits(logits, key, temperature, top_k=None, top_p=None,
         keep = cum - probs <= top_p
         cutoff = jnp.min(jnp.where(keep, vals, jnp.inf), axis=-1,
                          keepdims=True)
+        # wide-nucleus fallback: if even the full top-`cap` mass is below
+        # top_p the true nucleus extends past the candidates — keep ALL
+        # remaining tokens rather than silently zeroing valid tail mass
+        # (reachable only at high temperature with top_p near 1)
+        cutoff = jnp.where(cum[..., -1:] < top_p, -jnp.inf, cutoff)
         logits = jnp.where(logits < cutoff, -jnp.inf, logits)
     return jax.random.categorical(key, logits, axis=-1)
+
+
+def _mark_seen(seen, toks):
+    """(B, V) bool |= one-hot of toks (B,) — repetition-penalty bookkeeping
+    shared by the XLA and fused sampling decode scans."""
+    return seen.at[jnp.arange(seen.shape[0]), toks].set(True)
 
 
 class FeedForward(nn.Module):
@@ -509,9 +520,7 @@ class Llama(nn.Module):
         fwd = self._xla_forward_logits
 
         V = self.vocab_size
-
-        def mark(seen, toks):  # (B, V) bool |= one-hot of toks (B,)
-            return seen.at[jnp.arange(seen.shape[0]), toks].set(True)
+        mark = _mark_seen
 
         @partial(jax.jit, static_argnames=("top_k", "top_p", "rep"))
         def prefill_sample(weights, ck, cv, tokens, pos, key, temperature,
@@ -671,6 +680,7 @@ class Llama(nn.Module):
             "wq": base["wqkv"][..., :D],
             "wk": kv_expand(base["wqkv"][..., D:D + Dkv]),
             "wv": kv_expand(base["wqkv"][..., D + Dkv:]),
+            # narrow-KV GQA entries appended below when g > 1
             "gate_w": base["wgu"][..., :self.ffn_dim],
             "up_w": base["wgu"][..., self.ffn_dim:],
             "in_norm2": base["in_norm"][:, None, :],
@@ -683,6 +693,30 @@ class Llama(nn.Module):
             "cosD": expand(cos).astype(wdt),  # (S, D)
             "sinD": expand(sin).astype(wdt),
         })
+        if g > 1:
+            # true-GQA narrow-KV entries: the kernels store/stream
+            # (S, Dkp)-wide cache rows (Dkp = lane_pad_dim(Hkv*hd)) and
+            # expand per query-head group in-kernel via ``egqa``
+            # (gqa_expand_matrix) — realizing GQA's KV-bandwidth saving
+            # instead of caching each KV head ``g`` times.  The RoPE
+            # row pattern repeats per head, so the narrow tables are the
+            # first Dkv columns of the full ones.  quant="int8" keeps the
+            # expanded-cache layout (scale blocks are D-wide).
+            Dkp = dsk.lane_pad_dim(Dkv)
+            padc = Dkp - Dkv
+
+            def padw(w):  # zero-pad the last axis to Dkp
+                return jnp.pad(w, ((0, 0),) * (w.ndim - 1) + ((0, padc),))
+
+            rotk = dsk.rope_pair_swap_matrix(Dkv, wdt)
+            fused.update({
+                "wk_n": padw(base["wqkv"][..., D:D + Dkv]),  # (N, D, Dkp)
+                "wv_n": padw(base["wqkv"][..., D + Dkv:]),
+                "cosDk": padw(fused["cosD"][:, :Dkv]),       # (S, Dkp)
+                "sinDk": padw(fused["sinD"][:, :Dkv]),
+                "rotk": jnp.pad(rotk, ((0, padc), (0, padc))),
+                "egqa": dsk.gqa_expand_matrix(D, H, Hkv, Dp, Dkp, wdt),
+            })
         if quant in ("int8", "int8-head"):
             from ...ops.quant import quantize_int8
 
@@ -734,16 +768,30 @@ class Llama(nn.Module):
         vt = pick_vt(self.vocab_size)
         sb = pick_sb(self.max_seq_len)
 
+        def _narrow_kw(weights):
+            """True-GQA narrow-cache kwargs (static by dict keys at trace
+            time): active when the weights carry narrow entries and the
+            layers are not int8-quantized (int8 scale blocks are D-wide,
+            so full-layer quant keeps the expanded-cache layout)."""
+            if "egqa" in weights and "s_attn" not in weights:
+                return dict(cosk=weights["cosDk"], sink=weights["sinDk"],
+                            rotk=weights["rotk"], egqa=weights["egqa"])
+            return {}
+
         @partial(jax.jit, static_argnames=("n_steps",),
                  donate_argnames=("ck", "cv"))
         def decode_chunk(weights, ck, cv, last_tok, pos, n_steps):
-            """B=1; caches (N, S, Dp) lane-padded (pad_cache_lanes).  If the
-            weight pytree carries int8 scales (_fused_weights(quant=...)),
-            the kernel runs the weight-only-int8 path for those weights."""
+            """B=1; caches (N, S, Dp) lane-padded (pad_cache_lanes) —
+            (N, S, Dkp) narrow under GQA.  If the weight pytree carries
+            int8 scales (_fused_weights(quant=...)), the kernel runs the
+            weight-only-int8 path for those weights."""
             qhead = "head_s" in weights    # static at trace time
             qlayers = "s_attn" in weights  # int8 layer weights: "_q" keys
+            nkw = _narrow_kw(weights)
 
             def W(name):
+                if nkw and name in ("wk", "wv"):
+                    return weights[name + "_n"]  # narrow (N, D, Dkp)
                 return weights[name + "_q"] if qlayers else weights[name]
 
             def step(carry, _):
@@ -759,7 +807,7 @@ class Llama(nn.Module):
                     weights["head_b2"], ck, cv, vt=vt, sb=sb,
                     s_attn=weights.get("s_attn"),
                     s_ffn=weights.get("s_ffn"),
-                    head_s=weights.get("head_s"))
+                    head_s=weights.get("head_s"), **nkw)
                 return (ck, cv, nxt.astype(tok.dtype), p + 1), nxt
 
             pos = jnp.asarray(pos, jnp.int32)
@@ -770,11 +818,16 @@ class Llama(nn.Module):
         @partial(jax.jit, static_argnames=("n_steps",),
                  donate_argnames=("ck", "cv"))
         def decode_chunk_batched(weights, ck, cv, last_tok, pos, n_steps):
-            """B>1 variant: caches (N, B, S, Dp) lane-padded; the batched
-            whole-token kernel streams each weight matrix ONCE per token for
-            the whole batch (ops/decode_step.fused_decode_token_batched).
-            Two launches per token: the (B,) embedding gather + the kernel."""
+            """B>1 variant: caches (N, B, S, Dp) lane-padded ((N, B, S, Dkp)
+            narrow under GQA); the batched whole-token kernel streams each
+            weight matrix ONCE per token for the whole batch
+            (ops/decode_step.fused_decode_token_batched).  Two launches per
+            token: the (B,) embedding gather + the kernel."""
             from ...ops.decode_step import fused_decode_token_batched
+
+            nkw = _narrow_kw(weights)
+            wk_ = weights["wk_n"] if nkw else weights["wk"]
+            wv_ = weights["wv_n"] if nkw else weights["wv"]
 
             def step(carry, _):
                 ck, cv, tok, p = carry
@@ -782,11 +835,11 @@ class Llama(nn.Module):
                 nxt, ck, cv = fused_decode_token_batched(
                     p, h0, weights["cosD"], weights["sinD"], weights["rot"],
                     weights["hmask_pad"], weights["norm2"], weights["wq"],
-                    weights["wk"], weights["wv"], weights["wo"],
+                    wk_, wv_, weights["wo"],
                     weights["gate_w"], weights["up_w"], weights["down"],
                     weights["in_norm2"], weights["post_norm2"],
                     weights["head_w"], weights["head_b2"], ck, cv,
-                    vt=vt, sb=sb)
+                    vt=vt, sb=sb, **nkw)
                 return (ck, cv, nxt.astype(tok.dtype), p + 1), nxt
 
             pos = jnp.asarray(pos, jnp.int32)
@@ -794,11 +847,95 @@ class Llama(nn.Module):
                 step, (ck, cv, last_tok, pos), None, length=n_steps)
             return ck, cv, toks
 
+        @partial(jax.jit,
+                 static_argnames=("n_steps", "top_k", "top_p", "rep"),
+                 donate_argnames=("ck", "cv"))
+        def decode_chunk_sample(weights, ck, cv, last_tok, pos, key,
+                                temperature, n_steps, top_k, top_p, rep,
+                                seen):
+            """Sampled decode at fused-kernel speed (B=1): the whole-token
+            kernel emits the full (1, V) logits row (``emit_logits``) in
+            ONE launch, then ``sample_logits`` — the same function and key
+            sequence as the XLA sampling path — picks the token in XLA
+            inside the same scan step.  Signature mirrors
+            ``_make_sample_fns``'s decode_chunk_sample so ``generate``
+            routes either interchangeably."""
+            qhead = "head_s" in weights
+            qlayers = "s_attn" in weights
+            nkw = _narrow_kw(weights)
+
+            def W(name):
+                if nkw and name in ("wk", "wv"):
+                    return weights[name + "_n"]
+                return weights[name + "_q"] if qlayers else weights[name]
+
+            def step(carry, _):
+                ck, cv, tok, p, key, seen = carry
+                logits, ck, cv = fused_decode_token(
+                    p, tok, weights["tok"], weights["cosD"], weights["sinD"],
+                    weights["rot"], weights["hmask_pad"], weights["norm2"],
+                    W("wq"), W("wk"), W("wv"),
+                    W("wo"), W("gate_w"), W("up_w"),
+                    W("down"), weights["in_norm2"],
+                    weights["post_norm2"],
+                    weights["head_wq"] if qhead else weights["head_w"],
+                    weights["head_b2"], ck, cv, vt=vt, sb=sb,
+                    s_attn=weights.get("s_attn"),
+                    s_ffn=weights.get("s_ffn"),
+                    head_s=weights.get("head_s"), emit_logits=True, **nkw)
+                key, sub = jax.random.split(key)
+                nxt = sample_logits(logits, sub, temperature, top_k, top_p,
+                                    seen, rep).astype(tok.dtype)
+                return (ck, cv, nxt, p + 1, key, _mark_seen(seen, nxt)), nxt
+
+            pos = jnp.asarray(pos, jnp.int32)
+            (ck, cv, tok, p, key, seen), toks = jax.lax.scan(
+                step, (ck, cv, last_tok, pos, key, seen), None,
+                length=n_steps)
+            return ck, cv, toks, key, seen
+
+        @partial(jax.jit,
+                 static_argnames=("n_steps", "top_k", "top_p", "rep"),
+                 donate_argnames=("ck", "cv"))
+        def decode_chunk_sample_batched(weights, ck, cv, last_tok, pos, key,
+                                        temperature, n_steps, top_k, top_p,
+                                        rep, seen):
+            """B>1 sampled decode on the batched whole-token kernel
+            (``emit_logits`` -> (B, V) logits -> ``sample_logits``)."""
+            from ...ops.decode_step import fused_decode_token_batched
+
+            nkw = _narrow_kw(weights)
+            wk_ = weights["wk_n"] if nkw else weights["wk"]
+            wv_ = weights["wv_n"] if nkw else weights["wv"]
+
+            def step(carry, _):
+                ck, cv, tok, p, key, seen = carry
+                h0 = weights["tok"][tok].astype(jnp.float32)  # (B, D)
+                logits, ck, cv = fused_decode_token_batched(
+                    p, h0, weights["cosD"], weights["sinD"], weights["rot"],
+                    weights["hmask_pad"], weights["norm2"], weights["wq"],
+                    wk_, wv_, weights["wo"],
+                    weights["gate_w"], weights["up_w"], weights["down"],
+                    weights["in_norm2"], weights["post_norm2"],
+                    weights["head_w"], weights["head_b2"], ck, cv,
+                    vt=vt, sb=sb, emit_logits=True, **nkw)
+                key, sub = jax.random.split(key)
+                nxt = sample_logits(logits, sub, temperature, top_k, top_p,
+                                    seen, rep).astype(tok.dtype)
+                return (ck, cv, nxt, p + 1, key, _mark_seen(seen, nxt)), nxt
+
+            pos = jnp.asarray(pos, jnp.int32)
+            (ck, cv, tok, p, key, seen), toks = jax.lax.scan(
+                step, (ck, cv, last_tok, pos, key, seen), None,
+                length=n_steps)
+            return ck, cv, toks, key, seen
+
         forward_tokens = self._xla_forward_tokens
         from ...ops.decode_step import lane_pad_dim, pad_cache_lanes
         N, S = self.n_layers, self.max_seq_len
         Hkv, hd, D = self.n_kv_heads, self.head_dim, self.embed_dim
         Dp = lane_pad_dim(D)
+        Dkp = lane_pad_dim(Hkv * hd)  # narrow-KV cache width (GQA)
 
         @partial(jax.jit, static_argnames=("n_steps",))
         def prefill_decode(weights, prompt, n_steps):
@@ -807,34 +944,36 @@ class Llama(nn.Module):
             (1+n_steps, B) tokens including the prefill token."""
             B = prompt.shape[0]
             dt = weights["tok"].dtype
+            narrow = bool(_narrow_kw(weights))
+            width = Dkp if narrow else Dp
             ck5 = jnp.zeros((N, B, S, Hkv, hd), dt)  # XLA-path KV layout
             cv5 = jnp.zeros((N, B, S, Hkv, hd), dt)
             tok, ck5, cv5 = forward_tokens(weights, ck5, cv5, prompt, 0)
+            ck = pad_cache_lanes(self._kv_flat(ck5, narrow), width)
+            cv = pad_cache_lanes(self._kv_flat(cv5, narrow), width)
             if B == 1:
-                ck = pad_cache_lanes(self._kv_flat(ck5), Dp)
-                cv = pad_cache_lanes(self._kv_flat(cv5), Dp)
                 ck, cv, toks = decode_chunk(weights, ck, cv, tok,
                                             prompt.shape[1], n_steps)
             else:
-                ck = pad_cache_lanes(self._kv_flat(ck5), Dp)
-                cv = pad_cache_lanes(self._kv_flat(cv5), Dp)
                 ck, cv, toks = decode_chunk_batched(weights, ck, cv, tok,
                                                     prompt.shape[1], n_steps)
             return jnp.concatenate([tok[None], toks], axis=0)
 
-        return decode_chunk, prefill_decode, decode_chunk_batched
+        return (decode_chunk, prefill_decode, decode_chunk_batched,
+                decode_chunk_sample, decode_chunk_sample_batched)
 
-    def _kv_flat(self, c5):
-        """(N, B, S, Hkv, hd) XLA cache -> (N, [B,] S, D) fused-kernel
-        layout.  Under GQA each KV head is repeated to its query-head group
-        first: the whole-token kernel keeps the full-width MHA cache layout
-        (correctness-first; the expanded-KV bandwidth cost is small next to
-        the weight stream at these scales — see _fused_weights)."""
+    def _kv_flat(self, c5, narrow: bool = False):
+        """(N, B, S, Hkv, hd) XLA cache -> (N, [B,] S, W) fused-kernel
+        layout.  ``narrow`` (the GQA default since round 3) keeps the true
+        Hkv*hd width — the kernels expand per query-head group on the MXU
+        (``egqa``), so cache bandwidth scales with Hkv, not H.  Without it
+        (MHA, or GQA under full-layer int8) each KV head is repeated to its
+        query-head group for the full-width MHA layout."""
         N, B, S = c5.shape[0], c5.shape[1], c5.shape[2]
         g = self.n_heads // self.n_kv_heads
-        if g > 1:
+        if g > 1 and not narrow:
             c5 = jnp.repeat(c5, g, axis=3)
-        c = c5.reshape(N, B, S, self.embed_dim)
+        c = c5.reshape(N, B, S, -1)
         return c[:, 0] if B == 1 else c
 
     def _empty_caches(self, B, dtype):
@@ -863,8 +1002,12 @@ class Llama(nn.Module):
         ``temperature > 0`` switches from greedy argmax to on-device
         sampling (``sample_logits``: temperature, optional top_k / nucleus
         top_p and HF-style ``repetition_penalty`` over prompt+generated
-        tokens, deterministic under ``seed``) on the XLA decode path — the
-        fused kernel bakes the argmax in, so sampling + fused=True raises.
+        tokens, deterministic under ``seed``).  Sampling runs at
+        fused-kernel speed too: the whole-token kernel emits the full
+        logits row (``emit_logits``) and the very same ``sample_logits`` /
+        key sequence as the XLA path picks the token — so fused and XLA
+        sampled streams agree token-for-token (up to bf16 residual-stream
+        rounding at near-ties, exactly like greedy).
         temperature=0 (default) is exact reference-greedy."""
         if self._decode_fns is None:
             self._decode_fns = self._make_decode_fns()
@@ -873,12 +1016,6 @@ class Llama(nn.Module):
         input_ids = np.asarray(input_ids)
         B, L = input_ids.shape
         sampling = temperature is not None and temperature > 0
-        if sampling:
-            if fused:
-                raise ValueError(
-                    "sampling (temperature>0) runs on the XLA decode path "
-                    "(the fused kernel bakes the argmax in); drop fused=True")
-            fused = False
         if fused is None:
             fused = self.device.kind == "accel" \
                 and self._fused_decode_supported()
@@ -911,9 +1048,10 @@ class Llama(nn.Module):
         need_total = max(total - L - 1, 1)
         chunk = min(chunk, 1 << (need_total - 1).bit_length())
 
-        if fused and 0 < total - L - 1 <= chunk:
+        if fused and not sampling and 0 < total - L - 1 <= chunk:
             # whole request in ONE device dispatch: cache alloc + prefill +
-            # fused decode scan, one readback at the end
+            # fused decode scan, one readback at the end (greedy only; the
+            # sampled path threads key/seen state through regular chunks)
             prefill_decode = self._fused_chunk_fn[1]
             toks = prefill_decode(weights,
                                   jnp.asarray(input_ids, jnp.int32),
@@ -940,14 +1078,21 @@ class Llama(nn.Module):
             tok, ck, cv = prefill(weights, ck, cv,
                                   jnp.asarray(input_ids, jnp.int32), 0)
         if fused:
-            # fused kernel uses flat lane-padded (N, S, Dp) caches
-            # ((N, B, S, Dp) batched)
+            # fused kernel uses flat lane-padded (N, S, W) caches
+            # ((N, B, S, W) batched); W is the narrow Hkv*hd width under
+            # GQA (except full-layer int8, which keeps the expanded layout)
             from ...ops.decode_step import lane_pad_dim, pad_cache_lanes
             N = self.n_layers
             S, D = self.max_seq_len, self.embed_dim
-            ck = pad_cache_lanes(self._kv_flat(ck), lane_pad_dim(D))
-            cv = pad_cache_lanes(self._kv_flat(cv), lane_pad_dim(D))
-            decode_chunk = self._fused_chunk_fn[0 if B == 1 else 2]
+            narrow = "egqa" in weights and "s_attn" not in weights
+            width = lane_pad_dim(self.n_kv_heads * self.head_dim
+                                 if narrow else D)
+            ck = pad_cache_lanes(self._kv_flat(ck, narrow), width)
+            cv = pad_cache_lanes(self._kv_flat(cv, narrow), width)
+            if sampling:
+                decode_s = self._fused_chunk_fn[3 if B == 1 else 4]
+            else:
+                decode_chunk = self._fused_chunk_fn[0 if B == 1 else 2]
 
         pos = L
         first_tok = tok  # prefill result: synced after the first decode

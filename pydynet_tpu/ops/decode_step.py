@@ -62,6 +62,27 @@ def head_mask_matrix(dim: int, n_heads: int, dtype=jnp.float32):
     return jnp.asarray(M, dtype)
 
 
+def gqa_expand_matrix(dim: int, n_heads: int, n_kv_heads: int,
+                      dpad: int, dkpad: int, dtype=jnp.float32):
+    """E[dk, d] = 1 iff query feature d (head h, offset j) reads kv feature
+    dk = (h // group)*hd + j of the NARROW (Hkv*hd)-wide KV rows.
+
+    Used by the whole-token kernels' true-GQA mode: with a narrow cache,
+    per-query-head scores come from ``K_narrow @ (E @ qM_full)`` and the
+    per-query-head value expansion is ``V_narrow @ E`` — two small MXU
+    matmuls instead of storing (and re-streaming every token) each KV head
+    ``group`` times.  Padding rows/cols beyond the real dims are zero, so
+    lane padding cannot leak into attention."""
+    hd = dim // n_heads
+    group = n_heads // n_kv_heads
+    E = np.zeros((dkpad, dpad), np.float32)
+    for h in range(n_heads):
+        kv = h // group
+        for j in range(hd):
+            E[kv * hd + j, h * hd + j] = 1.0
+    return jnp.asarray(E, dtype)
+
+
 def _lm_head_kernel(h_ref, w_ref, b_ref, out_ref, best_ref, idx_ref, *,
                     vt: int, n_tiles: int):
     """Greedy sampling head: vocab-tiled (1,D)@(D,VT) matmul with a running
@@ -128,7 +149,8 @@ def _token_kernel(idx_ref,  # scalar prefetch: (2,) i32 = [pos, tok]
                   *rest,
                   n_layers: int, n_heads: int, dim: int, dpad: int,
                   vt: int, n_tiles: int, sb: int, qlayers: bool,
-                  qhead: bool):
+                  qhead: bool, emit_logits: bool = False,
+                  dkp: int = None, narrow: bool = False):
     """One grid step per layer, then one per lm_head vocab tile.
 
     The hidden state lives in VMEM scratch across stages.  KV caches stay in
@@ -157,6 +179,15 @@ def _token_kernel(idx_ref,  # scalar prefetch: (2,) i32 = [pos, tok]
     more than the DMA they save — hence the split switches.
     """
     rest = list(rest)
+    cosk_blk = sink_blk = rotk = egqa = None
+    cosk_row = sink_row = None
+    if narrow:
+        # true-GQA mode: narrow (Hkv*hd -> dkp lane-padded) KV rows with
+        # dedicated narrow RoPE tables and the expansion matrix E
+        # (``gqa_expand_matrix``); MHA keeps dkp == dpad and no extras
+        assert not qlayers, "narrow KV + full-layer int8 unsupported"
+        cosk_blk, sink_blk, rotk, egqa = rest[0:4]
+        del rest[0:4]
     s_attn = s_ffn = head_s = hq8 = hsx = None
     if qlayers:
         s_attn, s_ffn = rest[0], rest[1]
@@ -164,7 +195,15 @@ def _token_kernel(idx_ref,  # scalar prefetch: (2,) i32 = [pos, tok]
     if qhead:
         head_s = rest.pop(0)
         hq8, hsx = rest.pop(-2), rest.pop(-1)
-    (ck_in, cv_in, tok_out, ck, cv,
+    if narrow:
+        # scratch order: [ck_in, cv_in, out0, ck, cv, h_state, cos_row,
+        # sin_row, cosk_row, sink_row, ktile, ...]
+        cosk_row, sink_row = rest[8], rest[9]
+        del rest[8:10]
+    # out0 is the (1,1) SMEM token in argmax mode, or the current (1, vt)
+    # VMEM logits tile in emit_logits mode (each head grid step writes its
+    # tile; the pipeline flushes it to the (1, V) HBM output)
+    (ck_in, cv_in, out0, ck, cv,
      h_state, cos_row, sin_row, ktile, vtile, kbuf, vbuf,
      best, bidx, rsem, wsem) = rest
 
@@ -174,6 +213,7 @@ def _token_kernel(idx_ref,  # scalar prefetch: (2,) i32 = [pos, tok]
     scale = 1.0 / math.sqrt(dim // n_heads)
     cdtype = kbuf.dtype
     pad = dpad - dim
+    cw = dkp if narrow else dpad  # KV-cache row width
 
     rms = _rms
 
@@ -195,17 +235,19 @@ def _token_kernel(idx_ref,  # scalar prefetch: (2,) i32 = [pos, tok]
 
     @pl.when(l == 0)
     def _():
-        rsel = jax.lax.broadcasted_iota(jnp.int32, (8, dim), 0)
-
         def pick(blk, row):
+            sel = jax.lax.broadcasted_iota(jnp.int32, blk.shape, 0)
             return jnp.sum(
-                jnp.where(rsel == row, blk[:].astype(jnp.float32), 0.0),
+                jnp.where(sel == row, blk[:].astype(jnp.float32), 0.0),
                 axis=0, keepdims=True)
 
         h_state[:] = pick(emb_blk, jax.lax.rem(tok, np.int32(8)))
         prow = jax.lax.rem(pos, np.int32(8))
         cos_row[:] = pick(cos_blk, prow)
         sin_row[:] = pick(sin_blk, prow)
+        if narrow:
+            cosk_row[:] = pick(cosk_blk, prow)
+            sink_row[:] = pick(sink_blk, prow)
         best[0, 0] = jnp.float32(-jnp.inf)
         bidx[0, 0] = jnp.int32(0)
 
@@ -239,18 +281,27 @@ def _token_kernel(idx_ref,  # scalar prefetch: (2,) i32 = [pos, tok]
         rot32 = rot[:].astype(jnp.float32)
         q = q * cos + jnp.dot(q, rot32,
                               preferred_element_type=jnp.float32) * sin
-        k = k * cos + jnp.dot(k, rot32,
-                              preferred_element_type=jnp.float32) * sin
-
-        kp = lane_pad(k.astype(cdtype))  # (1, dpad)
-        vp = lane_pad(v.astype(cdtype))
+        if narrow:
+            # k/v are already narrow (1, dkp) with zero pad lanes (the
+            # weight columns are zero-padded); narrow RoPE tables rotate
+            # only the real Hkv*hd features
+            rotk32 = rotk[:].astype(jnp.float32)
+            k = k * cosk_row[:] + jnp.dot(
+                k, rotk32, preferred_element_type=jnp.float32) * sink_row[:]
+            kp = k.astype(cdtype)  # (1, dkp)
+            vp = v.astype(cdtype)
+        else:
+            k = k * cos + jnp.dot(k, rot32,
+                                  preferred_element_type=jnp.float32) * sin
+            kp = lane_pad(k.astype(cdtype))  # (1, dpad)
+            vp = lane_pad(v.astype(cdtype))
 
         # merge the new row into the tiles and write them back
         rk_dma.wait(); rv_dma.wait()
-        rows16 = jax.lax.broadcasted_iota(jnp.int32, (16, dpad), 0) + apos
+        rows16 = jax.lax.broadcasted_iota(jnp.int32, (16, cw), 0) + apos
         hit = rows16 == pos
-        ktile[:] = jnp.where(hit, jnp.broadcast_to(kp, (16, dpad)), ktile[:])
-        vtile[:] = jnp.where(hit, jnp.broadcast_to(vp, (16, dpad)), vtile[:])
+        ktile[:] = jnp.where(hit, jnp.broadcast_to(kp, (16, cw)), ktile[:])
+        vtile[:] = jnp.where(hit, jnp.broadcast_to(vp, (16, cw)), vtile[:])
         wk_dma = pltpu.make_async_copy(ktile, ck.at[l, pl.ds(apos, 16), :],
                                        wsem.at[np.int32(2)])
         wv_dma = pltpu.make_async_copy(vtile, cv.at[l, pl.ds(apos, 16), :],
@@ -262,8 +313,15 @@ def _token_kernel(idx_ref,  # scalar prefetch: (2,) i32 = [pos, tok]
         # row pos (the one just computed) contributes in-register.  hmask is
         # lane-padded with zero rows, so padded K/V lanes cannot leak in.
         qp32 = lane_pad(q)  # f32: reshape-to-column only legalizes in 32-bit
-        qM = (qp32.reshape(dpad, 1)
-              * hmask[:].astype(jnp.float32)).astype(cdtype)  # (dpad, H)
+        qM_full = qp32.reshape(dpad, 1) * hmask[:].astype(jnp.float32)
+        if narrow:
+            # fold the query-head -> kv-feature map in: scores become
+            # K_narrow(sb, dkp) @ qM(dkp, H)
+            egqa_c = egqa[:].astype(cdtype)
+            qM = jnp.dot(egqa[:].astype(jnp.float32), qM_full,
+                         preferred_element_type=jnp.float32).astype(cdtype)
+        else:
+            qM = qM_full.astype(cdtype)  # (dpad, H)
         hmt = hmask[:].T.astype(cdtype)                        # (H, dpad)
 
         def get_k(slot, b):
@@ -288,7 +346,9 @@ def _token_kernel(idx_ref,  # scalar prefetch: (2,) i32 = [pos, tok]
                          preferred_element_type=jnp.float32) * scale  # (1,H)
         m0 = s_self
         l0 = jnp.ones_like(s_self)
-        acc0 = vp.astype(jnp.float32)  # (1, dpad)
+        # (1, dpad): narrow V rows expand per query-head group via E
+        acc0 = (jnp.dot(vp, egqa_c, preferred_element_type=jnp.float32)
+                if narrow else vp.astype(jnp.float32))
 
         def body(b, carry):
             m, lsum, acc = carry
@@ -316,8 +376,10 @@ def _token_kernel(idx_ref,  # scalar prefetch: (2,) i32 = [pos, tok]
                          preferred_element_type=jnp.float32)  # (sb, dpad)
             corrD = jnp.dot(corr.astype(cdtype), hmt,
                             preferred_element_type=jnp.float32)  # (1, dpad)
-            acc = acc * corrD + jnp.sum(
-                pD * vbuf[slot].astype(jnp.float32), axis=0, keepdims=True)
+            vex = (jnp.dot(vbuf[slot], egqa_c,
+                           preferred_element_type=jnp.float32)
+                   if narrow else vbuf[slot].astype(jnp.float32))
+            acc = acc * corrD + jnp.sum(pD * vex, axis=0, keepdims=True)
             return m_new, lsum, acc
 
         m, lsum, acc = jax.lax.fori_loop(np.int32(0), nblk, body,
@@ -372,17 +434,23 @@ def _token_kernel(idx_ref,  # scalar prefetch: (2,) i32 = [pos, tok]
             logits = jnp.dot(hb, head_w[:],
                              preferred_element_type=jnp.float32)
         logits = logits + head_b[:].astype(jnp.float32)  # (1, VT)
-        mx = jnp.max(logits)
-        am = jax.lax.argmax(logits, 1, jnp.int32)[_Z]
+        if emit_logits:
+            # sampling mode: ship the full logits row instead of baking the
+            # argmax in — the caller samples (temperature/top-k/top-p) in
+            # XLA right after, still one kernel launch per token
+            out0[:] = logits
+        else:
+            mx = jnp.max(logits)
+            am = jax.lax.argmax(logits, 1, jnp.int32)[_Z]
 
-        @pl.when(mx > best[0, 0])
-        def _():
-            best[0, 0] = mx
-            bidx[0, 0] = am + t * np.int32(vt)
+            @pl.when(mx > best[0, 0])
+            def _():
+                best[0, 0] = mx
+                bidx[0, 0] = am + t * np.int32(vt)
 
-        @pl.when(l == n_layers + n_tiles - 1)
-        def _():
-            tok_out[0, 0] = bidx[0, 0]
+            @pl.when(l == n_layers + n_tiles - 1)
+            def _():
+                out0[0, 0] = bidx[0, 0]
 
 
 # ===================================================================== #
@@ -392,12 +460,11 @@ def _token_kernel_batched(idx_ref,  # scalar prefetch: (1,) i32 = [pos]
                           h0, cos_blk, sin_blk, rot, hmask, final_norm,
                           wq, wk, wv, wo, gate_w, up_w, down_w,
                           in_norm, post_norm, head_w, head_b,
-                          ck_in, cv_in, tok_out, ck, cv,
-                          h_state, cos_row, sin_row, ktile, vtile,
-                          kbuf, vbuf, best, bidx, rsem, wsem,
-                          *, n_layers: int, n_heads: int, dim: int,
+                          *rest,
+                          n_layers: int, n_heads: int, dim: int,
                           dpad: int, vt: int, n_tiles: int, sb: int,
-                          batch: int):
+                          batch: int, emit_logits: bool = False,
+                          dkp: int = None, narrow: bool = False):
     """Batched variant of ``_token_kernel``: the hidden state is (B, D), so
     every weight matrix streams from HBM ONCE per token for the whole batch
     (the vmapped fallback re-streams weights per row), and the qkv/ffn/head
@@ -409,29 +476,49 @@ def _token_kernel_batched(idx_ref,  # scalar prefetch: (1,) i32 = [pos]
     decode step is 2 launches.  Attention scores are ONE un-unrolled
     (B*sb, Dp) x (Dp, B*H) matmul with static diagonal-block extraction
     (see ``diag_blocks`` — the B^2 cross-sample waste buys O(1)-in-B op
-    count and Mosaic compile time)."""
+    count and Mosaic compile time).
+
+    ``narrow`` (true-GQA): same contract as ``_token_kernel`` — narrow
+    (dkp-wide) KV rows with dedicated RoPE tables and the ``egqa``
+    expansion matrix; caches are (N, B, S, dkp)."""
+    rest = list(rest)
+    cosk_blk = sink_blk = rotk = egqa = None
+    cosk_row = sink_row = None
+    if narrow:
+        cosk_blk, sink_blk, rotk, egqa = rest[0:4]
+        del rest[0:4]
+        cosk_row, sink_row = rest[8], rest[9]
+        del rest[8:10]
+    (ck_in, cv_in, out0, ck, cv,
+     h_state, cos_row, sin_row, ktile, vtile, kbuf, vbuf,
+     best, bidx, rsem, wsem) = rest
+
     l = pl.program_id(0)
     pos = idx_ref[0]
     B = batch
     scale = 1.0 / math.sqrt(dim // n_heads)
     cdtype = kbuf.dtype
     pad = dpad - dim
+    cw = dkp if narrow else dpad  # KV-cache row width
 
     rms = _rms
 
     @pl.when(l == 0)
     def _():
-        rsel = jax.lax.broadcasted_iota(jnp.int32, (8, dim), 0)
         prow = jax.lax.rem(pos, np.int32(8))
 
         def pick(blk):
+            sel = jax.lax.broadcasted_iota(jnp.int32, blk.shape, 0)
             return jnp.sum(
-                jnp.where(rsel == prow, blk[:].astype(jnp.float32), 0.0),
+                jnp.where(sel == prow, blk[:].astype(jnp.float32), 0.0),
                 axis=0, keepdims=True)
 
         h_state[:] = h0[:].astype(jnp.float32)
         cos_row[:] = pick(cos_blk)
         sin_row[:] = pick(sin_blk)
+        if narrow:
+            cosk_row[:] = pick(cosk_blk)
+            sink_row[:] = pick(sink_blk)
         best[:] = jnp.full((B, 1), -jnp.inf, jnp.float32)
         bidx[:] = jnp.zeros((B, 1), jnp.int32)
 
@@ -455,15 +542,21 @@ def _token_kernel_batched(idx_ref,  # scalar prefetch: (1,) i32 = [pos]
         rot32 = rot[:].astype(jnp.float32)
         q = q * cos + jnp.dot(q, rot32,
                               preferred_element_type=jnp.float32) * sin
-        k = k * cos + jnp.dot(k, rot32,
-                              preferred_element_type=jnp.float32) * sin
-
-        kp = jnp.pad(k, ((0, 0), (0, pad))).astype(cdtype)  # (B, dpad)
-        vp = jnp.pad(v, ((0, 0), (0, pad))).astype(cdtype)
+        if narrow:
+            rotk32 = rotk[:].astype(jnp.float32)
+            k = k * cosk_row[:] + jnp.dot(
+                k, rotk32, preferred_element_type=jnp.float32) * sink_row[:]
+            kp = k.astype(cdtype)  # (B, dkp), zero pad lanes from weights
+            vp = v.astype(cdtype)
+        else:
+            k = k * cos + jnp.dot(k, rot32,
+                                  preferred_element_type=jnp.float32) * sin
+            kp = jnp.pad(k, ((0, 0), (0, pad))).astype(cdtype)  # (B, dpad)
+            vp = jnp.pad(v, ((0, 0), (0, pad))).astype(cdtype)
 
         rk_dma.wait(); rv_dma.wait()
-        hit = (jax.lax.broadcasted_iota(jnp.int32, (16, dpad), 0)
-               + apos == pos)[None]  # (1, 16, dpad)
+        hit = (jax.lax.broadcasted_iota(jnp.int32, (16, cw), 0)
+               + apos == pos)[None]  # (1, 16, cw)
         ktile[:] = jnp.where(hit, kp[:, None, :], ktile[:])
         vtile[:] = jnp.where(hit, vp[:, None, :], vtile[:])
         wk_dma = pltpu.make_async_copy(
@@ -472,11 +565,17 @@ def _token_kernel_batched(idx_ref,  # scalar prefetch: (1,) i32 = [pos]
             vtile, cv.at[l, :, pl.ds(apos, 16), :], wsem.at[np.int32(3)])
         wk_dma.start(); wv_dma.start()
 
-        # per-row head-blocked attention, (dpad, B*H) stacked query masks
+        # per-row head-blocked attention, (cw, B*H) stacked query masks
         qp32 = jnp.pad(q, ((0, 0), (0, pad)))  # (B, dpad) f32
-        qM = jnp.concatenate(
+        qM_full = jnp.concatenate(
             [qp32[b].reshape(dpad, 1) * hmask[:].astype(jnp.float32)
-             for b in range(B)], axis=1).astype(cdtype)  # (dpad, B*H)
+             for b in range(B)], axis=1)  # (dpad, B*H)
+        if narrow:
+            egqa_c = egqa[:].astype(cdtype)
+            qM = jnp.dot(egqa[:].astype(jnp.float32), qM_full,
+                         preferred_element_type=jnp.float32).astype(cdtype)
+        else:
+            qM = qM_full.astype(cdtype)  # (dpad, B*H)
         hmt = hmask[:].T.astype(cdtype)  # (H, dpad)
 
         def get_k(slot, blk):
@@ -513,7 +612,9 @@ def _token_kernel_batched(idx_ref,  # scalar prefetch: (1,) i32 = [pos]
                          preferred_element_type=jnp.float32) * scale
         m0 = diag_blocks(s_self, 1, H)[:, 0, :]  # (B, H)
         l0 = jnp.ones_like(m0)
-        acc0 = vp.astype(jnp.float32)  # (B, dpad)
+        # (B, dpad): narrow V rows expand per query-head group via E
+        acc0 = (jnp.dot(vp, egqa_c, preferred_element_type=jnp.float32)
+                if narrow else vp.astype(jnp.float32))
 
         def body(blk, carry):
             m, lsum, acc = carry
@@ -527,7 +628,7 @@ def _token_kernel_batched(idx_ref,  # scalar prefetch: (1,) i32 = [pos]
 
             get_k(slot, blk).wait()
             get_v(slot, blk).wait()
-            kb = kbuf[slot].reshape(B * sb, dpad)
+            kb = kbuf[slot].reshape(B * sb, cw)
             s_full = jnp.dot(kb, qM,
                              preferred_element_type=jnp.float32) * scale
             s = diag_blocks(s_full, sb, H)  # (B, sb, H)
@@ -543,8 +644,11 @@ def _token_kernel_batched(idx_ref,  # scalar prefetch: (1,) i32 = [pos]
                          ).reshape(B, sb, dpad)
             corrD = jnp.dot(corr.astype(cdtype), hmt,
                             preferred_element_type=jnp.float32)  # (B, dpad)
-            acc = acc * corrD + jnp.sum(
-                pD * vbuf[slot].astype(jnp.float32), axis=1)
+            vex = (jnp.dot(vbuf[slot].reshape(B * sb, cw), egqa_c,
+                           preferred_element_type=jnp.float32
+                           ).reshape(B, sb, dpad)
+                   if narrow else vbuf[slot].astype(jnp.float32))
+            acc = acc * corrD + jnp.sum(pD * vex, axis=1)
             return m_new, lsum, acc
 
         m, lsum, acc = jax.lax.fori_loop(np.int32(0), nblk, body,
@@ -575,40 +679,59 @@ def _token_kernel_batched(idx_ref,  # scalar prefetch: (1,) i32 = [pos]
         hb = h_state[:].astype(head_w.dtype)  # (B, D)
         logits = jnp.dot(hb, head_w[:], preferred_element_type=jnp.float32) \
             + head_b[:].astype(jnp.float32)  # (B, VT)
-        mx = jnp.max(logits, axis=1, keepdims=True)      # (B, 1)
-        am = jax.lax.argmax(logits, 1, jnp.int32)[:, None]
-        better = mx > best[:]
-        best[:] = jnp.where(better, mx, best[:])
-        bidx[:] = jnp.where(better, am + t * np.int32(vt), bidx[:])
+        if emit_logits:
+            out0[:] = logits  # sampling mode: see _token_kernel
+        else:
+            mx = jnp.max(logits, axis=1, keepdims=True)      # (B, 1)
+            am = jax.lax.argmax(logits, 1, jnp.int32)[:, None]
+            better = mx > best[:]
+            best[:] = jnp.where(better, mx, best[:])
+            bidx[:] = jnp.where(better, am + t * np.int32(vt), bidx[:])
 
-        @pl.when(l == n_layers + n_tiles - 1)
-        def _():
-            tok_out[:] = bidx[:]
+            @pl.when(l == n_layers + n_tiles - 1)
+            def _():
+                out0[:] = bidx[:]
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("vt", "sb", "interpret"))
+                   static_argnames=("vt", "sb", "interpret", "emit_logits"))
 def fused_decode_token_batched(pos, h0, cosr, sinr, rot, hmask, final_norm,
                                wq, wk, wv, wo, gate_w, up_w, down_w,
                                in_norm, post_norm, head_w, head_b, ck, cv,
                                vt: int = 6400, sb: int = 256,
-                               interpret=False):
+                               interpret=False, emit_logits: bool = False,
+                               cosk=None, sink=None, rotk=None, egqa=None):
     """Batched greedy decode step: ONE Pallas launch for B rows.
 
     ``h0`` (B, D) f32 is the already-gathered previous-token embedding
     (callers do ``emb[toks]`` — one XLA gather); caches are (N, B, S, Dp)
-    lane-padded, aliased in place.  Returns (next_tok (B,) i32, ck, cv).
+    lane-padded, aliased in place.  Returns (next_tok (B,) i32, ck, cv) —
+    or ((B, V) f32 logits, ck, cv) with ``emit_logits`` (the on-device
+    sampling mode; see ``fused_decode_token``).
     Weights stream from HBM once per token for the whole batch — the
-    aggregate-throughput upgrade over vmapping the B=1 kernel."""
-    N, B, S, Dp = ck.shape
+    aggregate-throughput upgrade over vmapping the B=1 kernel.
+
+    True-GQA narrow cache (``cosk``/``sink``/``rotk``/``egqa`` + narrow
+    wk/wv and (N, B, S, CW) caches): see ``fused_decode_token``."""
+    N, B, S, CW = ck.shape
     D = wq.shape[1]
     H = hmask.shape[1]
+    Dp = hmask.shape[0]  # query-side lane-padded width
     F = gate_w.shape[2]
     V = head_w.shape[1]
+    narrow = egqa is not None
     assert h0.shape == (B, D), (h0.shape, B, D)
     assert V % vt == 0 and vt % 128 == 0, (V, vt)
     assert S % sb == 0 and sb % 16 == 0, (S, sb)
-    assert Dp % 128 == 0 and Dp >= D and hmask.shape[0] == Dp, (Dp, D)
+    assert Dp % 128 == 0 and Dp >= D, (Dp, D)
+    assert CW % 128 == 0, CW
+    if narrow:
+        assert wk.shape[2] == CW and wv.shape[2] == CW, (wk.shape, CW)
+        assert egqa.shape == (CW, Dp), (egqa.shape, CW, Dp)
+        assert cosk.shape == (S, CW) and sink.shape == (S, CW)
+        assert rotk.shape == (CW, CW)
+    else:
+        assert CW == Dp, (CW, Dp)
     assert S % 8 == 0
     n_tiles = V // vt
 
@@ -636,40 +759,55 @@ def fused_decode_token_batched(pos, h0, cosr, sinr, rot, hmask, final_norm,
             lambda l, _i: (z, jax.lax.min(jax.lax.max(_i32(l) - NL, z), NT1)),
             memory_space=pltpu.VMEM)
 
-    def row8():
+    def row8(width=None):
         return pl.BlockSpec(
-            (8, D),
+            (8, width or D),
             lambda l, i: (jax.lax.div(_i32(i[0]), np.int32(8)), z),
             memory_space=pltpu.VMEM)
 
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
 
+    in_specs = [
+        full(B, D),      # h0
+        row8(),          # cos block around pos
+        row8(),          # sin block around pos
+        full(D, D),      # rot
+        full(Dp, H),     # hmask (lane-padded)
+        full(1, D),      # final_norm
+        lspec(D, D),     # wq
+        lspec(D, CW if narrow else D),    # wk
+        lspec(D, CW if narrow else D),    # wv
+        lspec(D, D),     # wo
+        lspec(D, F),     # gate
+        lspec(D, F),     # up
+        lspec(F, D),     # down
+        lspec(1, D),     # in_norm
+        lspec(1, D),     # post_norm
+        vocab_tile(D),   # head_w
+        vocab_tile(1),   # head_b
+    ]
+    extra_ops = ()
+    if narrow:
+        in_specs += [
+            row8(CW),        # cosk block around pos (narrow table)
+            row8(CW),        # sink
+            full(CW, CW),    # rotk
+            full(CW, Dp),    # egqa expansion matrix
+        ]
+        extra_ops += (cosk, sink, rotk, egqa)
+    in_specs += [
+        any_spec,        # ck (N, B, S, CW)
+        any_spec,        # cv
+    ]
+    cache_op = 1 + len(in_specs) - 2  # operand index of ck incl. prefetch
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(N + n_tiles,),
-        in_specs=[
-            full(B, D),      # h0
-            row8(),          # cos block around pos
-            row8(),          # sin block around pos
-            full(D, D),      # rot
-            full(Dp, H),     # hmask (lane-padded)
-            full(1, D),      # final_norm
-            lspec(D, D),     # wq
-            lspec(D, D),     # wk
-            lspec(D, D),     # wv
-            lspec(D, D),     # wo
-            lspec(D, F),     # gate
-            lspec(D, F),     # up
-            lspec(F, D),     # down
-            lspec(1, D),     # in_norm
-            lspec(1, D),     # post_norm
-            vocab_tile(D),   # head_w
-            vocab_tile(1),   # head_b
-            any_spec,        # ck (N, B, S, Dp)
-            any_spec,        # cv
-        ],
+        in_specs=in_specs,
         out_specs=[
-            full(B, 1),      # tok_out (VMEM: vector argmax state)
+            # argmax state (VMEM vector) or the current (B, vt) logits tile
+            vocab_tile(B) if emit_logits else full(B, 1),
             any_spec,        # ck
             any_spec,        # cv
         ],
@@ -677,10 +815,14 @@ def fused_decode_token_batched(pos, h0, cosr, sinr, rot, hmask, final_norm,
             pltpu.VMEM((B, D), jnp.float32),       # h_state
             pltpu.VMEM((1, D), jnp.float32),       # cos_row
             pltpu.VMEM((1, D), jnp.float32),       # sin_row
-            pltpu.VMEM((B, 16, Dp), ck.dtype),     # ktile (RMW)
-            pltpu.VMEM((B, 16, Dp), cv.dtype),     # vtile (RMW)
-            pltpu.VMEM((2, B, sb, Dp), ck.dtype),  # kbuf
-            pltpu.VMEM((2, B, sb, Dp), cv.dtype),  # vbuf
+        ] + ([
+            pltpu.VMEM((1, CW), jnp.float32),      # cosk_row (narrow RoPE)
+            pltpu.VMEM((1, CW), jnp.float32),      # sink_row
+        ] if narrow else []) + [
+            pltpu.VMEM((B, 16, CW), ck.dtype),     # ktile (RMW)
+            pltpu.VMEM((B, 16, CW), cv.dtype),     # vtile (RMW)
+            pltpu.VMEM((2, B, sb, CW), ck.dtype),  # kbuf
+            pltpu.VMEM((2, B, sb, CW), cv.dtype),  # vbuf
             pltpu.VMEM((B, 1), jnp.float32),       # best
             pltpu.VMEM((B, 1), jnp.int32),         # bidx
             pltpu.SemaphoreType.DMA((4,)),         # rsem
@@ -690,27 +832,32 @@ def fused_decode_token_batched(pos, h0, cosr, sinr, rot, hmask, final_norm,
 
     kernel = functools.partial(_token_kernel_batched, n_layers=N, n_heads=H,
                                dim=D, dpad=Dp, vt=vt, n_tiles=n_tiles,
-                               sb=sb, batch=B)
+                               sb=sb, batch=B, emit_logits=emit_logits,
+                               dkp=CW, narrow=narrow)
     # clamp: surplus chunk steps past the cache end must stay in bounds
     # (see fused_decode_token)
     idx = jnp.minimum(jnp.asarray(pos, jnp.int32),
                       np.int32(S - 1)).reshape(1)
-    # operand indices include the scalar-prefetch arg: ck=18, cv=19
-    tok_out, ck_new, cv_new = pl.pallas_call(
+    out0_shape = (jax.ShapeDtypeStruct((B, V), jnp.float32) if emit_logits
+                  else jax.ShapeDtypeStruct((B, 1), jnp.int32))
+    out0, ck_new, cv_new = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            out0_shape,
             jax.ShapeDtypeStruct(ck.shape, ck.dtype),
             jax.ShapeDtypeStruct(cv.shape, cv.dtype),
         ],
-        input_output_aliases={18: 1, 19: 2},
+        input_output_aliases={cache_op: 1, cache_op + 1: 2},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(idx, h0, cosr, sinr, rot, hmask, final_norm, wq, wk, wv, wo,
-      gate_w, up_w, down_w, in_norm, post_norm, head_w, head_b, ck, cv)
-    return tok_out.reshape(B), ck_new, cv_new
+      gate_w, up_w, down_w, in_norm, post_norm, head_w, head_b,
+      *extra_ops, ck, cv)
+    if emit_logits:
+        return out0, ck_new, cv_new  # (B, V) f32
+    return out0.reshape(B), ck_new, cv_new
 
 
 def pad_cache_lanes(c, dim_pad: int):
@@ -747,19 +894,26 @@ def pick_sb(seq: int, cap: int = 256) -> int:
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("vt", "sb", "interpret"))
+                   static_argnames=("vt", "sb", "interpret", "emit_logits"))
 def fused_decode_token(pos, tok, emb, cosr, sinr, rot, hmask, final_norm,
                        wq, wk, wv, wo, gate_w, up_w, down_w,
                        in_norm, post_norm, head_w, head_b, ck, cv,
                        vt: int = 3200, sb: int = 256, interpret=False,
-                       s_attn=None, s_ffn=None, head_s=None):
+                       s_attn=None, s_ffn=None, head_s=None,
+                       emit_logits: bool = False,
+                       cosk=None, sink=None, rotk=None, egqa=None):
     """ONE Pallas launch = one full greedy decode step.
 
     pos scalar; tok (1,) i32 previous token; emb (V,D); cosr/sinr (S,D);
     rot (D,D); hmask (Dp,H) lane-padded; final_norm (1,D); per-layer weights
     (N,D,*); norms (N,1,D); head_w (D,V); head_b (1,V); caches (N,S,Dp)
     lane-padded to a 128 multiple (``pad_cache_lanes``), updated in place in
-    HBM (aliased).  Returns (next_tok (1,) i32, ck, cv).
+    HBM (aliased).  Returns (next_tok (1,) i32, ck, cv) — or, with
+    ``emit_logits``, ((1, V) f32 logits, ck, cv): the head grid steps then
+    write their logits tiles to HBM instead of tracking a running argmax,
+    so on-device sampling (temperature / top-k / top-p over the returned
+    row) runs at fused-kernel speed instead of falling back to the
+    per-op XLA decode path.
 
     Weight-only int8, split per weight group: pass layer matmul weights
     (wq..down_w) as int8 with ``s_attn`` (N,8,D: rows q,k,v,o,down) +
@@ -769,22 +923,41 @@ def fused_decode_token(pos, tok, emb, cosr, sinr, rot, hmask, final_norm,
     quantization; see the kernel docstring for why head-only is the
     default profitable mode.
 
+    True-GQA narrow cache: pass ``cosk``/``sink`` (S, CW) narrow RoPE
+    tables, ``rotk`` (CW, CW), ``egqa`` (CW, Dp) (``gqa_expand_matrix``),
+    narrow zero-padded wk/wv (N, D, CW) and (N, S, CW) caches, where
+    CW = lane_pad_dim(Hkv*head_dim): KV rows then store and stream at
+    Hkv/H of the MHA width — GQA's whole bandwidth point — with the
+    per-query-head expansion done on the MXU in-kernel.  (Matches the
+    reference KV-cache semantics llm/llama/model.py:86-110.)
+
     This replaces the reference's whole per-token Python forward
     (reference llm/llama/model.py:258-269) with a single device kernel:
     embedding gather, the layer stack with position-bounded KV streaming,
     the lm_head and the argmax never leave the chip.
     """
-    N, S, Dp = ck.shape
+    N, S, CW = ck.shape
     D = wq.shape[1]
     H = hmask.shape[1]
+    Dp = hmask.shape[0]  # query-side lane-padded width
     F = gate_w.shape[2]
     V = head_w.shape[1]
     qlayers = s_attn is not None
     qhead = head_s is not None
+    narrow = egqa is not None
     assert qlayers == (s_ffn is not None)
     assert V % vt == 0 and vt % 128 == 0, (V, vt)
     assert S % sb == 0 and sb % 16 == 0, (S, sb)
-    assert Dp % 128 == 0 and Dp >= D and hmask.shape[0] == Dp, (Dp, D)
+    assert Dp % 128 == 0 and Dp >= D, (Dp, D)
+    assert CW % 128 == 0, CW
+    if narrow:
+        assert not qlayers, "narrow KV + full-layer int8 unsupported"
+        assert wk.shape[2] == CW and wv.shape[2] == CW, (wk.shape, CW)
+        assert egqa.shape == (CW, Dp), (egqa.shape, CW, Dp)
+        assert cosk.shape == (S, CW) and sink.shape == (S, CW)
+        assert rotk.shape == (CW, CW)
+    else:
+        assert CW == Dp, (CW, Dp)
     assert emb.shape[0] % 8 == 0 and S % 8 == 0
     n_tiles = V // vt
 
@@ -816,11 +989,11 @@ def fused_decode_token(pos, tok, emb, cosr, sinr, rot, hmask, final_norm,
             lambda l, _i: (z, jax.lax.min(jax.lax.max(_i32(l) - NL, z), NT1)),
             memory_space=pltpu.VMEM)
 
-    def row8(which):
+    def row8(which, width=None):
         # 8-row block picked by a scalar-prefetch value (tok or pos); the
         # index is constant across grid steps, so it is fetched exactly once
         return pl.BlockSpec(
-            (8, D),
+            (8, width or D),
             lambda l, i: (jax.lax.div(_i32(i[which]), np.int32(8)), z),
             memory_space=pltpu.VMEM)
 
@@ -834,8 +1007,8 @@ def fused_decode_token(pos, tok, emb, cosr, sinr, rot, hmask, final_norm,
         full(Dp, H),     # hmask (lane-padded)
         full(1, D),      # final_norm
         lspec(D, D),     # wq
-        lspec(D, D),     # wk
-        lspec(D, D),     # wv
+        lspec(D, CW if narrow else D),    # wk
+        lspec(D, CW if narrow else D),    # wv
         lspec(D, D),     # wo
         lspec(D, F),     # gate
         lspec(D, F),     # up
@@ -845,29 +1018,44 @@ def fused_decode_token(pos, tok, emb, cosr, sinr, rot, hmask, final_norm,
         vocab_tile(D),   # head_w
         vocab_tile(1),   # head_b
     ]
-    quant_ops = ()
+    extra_ops = ()
+    if narrow:
+        in_specs += [
+            row8(0, CW),     # cosk block around pos (narrow table)
+            row8(0, CW),     # sink
+            full(CW, CW),    # rotk
+            full(CW, Dp),    # egqa expansion matrix
+        ]
+        extra_ops += (cosk, sink, rotk, egqa)
     if qlayers:
         in_specs += [
             lspec(8, D),     # s_attn (rows: q, k, v, o, down)
             lspec(8, F),     # s_ffn (rows: gate, up)
         ]
-        quant_ops += (s_attn, s_ffn)
+        extra_ops += (s_attn, s_ffn)
     if qhead:
         in_specs += [vocab_tile(1)]  # head_s
-        quant_ops += (head_s,)
+        extra_ops += (head_s,)
     in_specs += [
-        any_spec,        # ck (N, S, Dp)
+        any_spec,        # ck (N, S, CW)
         any_spec,        # cv
     ]
     cache_op = 1 + len(in_specs) - 2  # operand index of ck incl. prefetch arg
+
+    if emit_logits:
+        out0_spec = vocab_tile(1)                   # logits tile (1, vt)
+        out0_shape = jax.ShapeDtypeStruct((1, V), jnp.float32)
+    else:
+        out0_spec = pl.BlockSpec((1, 1), lambda l, _i: (z, z),
+                                 memory_space=pltpu.SMEM)  # tok_out
+        out0_shape = jax.ShapeDtypeStruct((1, 1), jnp.int32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(N + n_tiles,),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, 1), lambda l, _i: (z, z),
-                         memory_space=pltpu.SMEM),  # tok_out
+            out0_spec,
             any_spec,        # ck
             any_spec,        # cv
         ],
@@ -875,10 +1063,14 @@ def fused_decode_token(pos, tok, emb, cosr, sinr, rot, hmask, final_norm,
             pltpu.VMEM((1, D), jnp.float32),    # h_state
             pltpu.VMEM((1, D), jnp.float32),    # cos_row
             pltpu.VMEM((1, D), jnp.float32),    # sin_row
-            pltpu.VMEM((16, Dp), ck.dtype),     # ktile (RMW)
-            pltpu.VMEM((16, Dp), cv.dtype),     # vtile (RMW)
-            pltpu.VMEM((2, sb, Dp), ck.dtype),  # kbuf
-            pltpu.VMEM((2, sb, Dp), cv.dtype),  # vbuf
+        ] + ([
+            pltpu.VMEM((1, CW), jnp.float32),   # cosk_row (narrow RoPE)
+            pltpu.VMEM((1, CW), jnp.float32),   # sink_row
+        ] if narrow else []) + [
+            pltpu.VMEM((16, CW), ck.dtype),     # ktile (RMW)
+            pltpu.VMEM((16, CW), cv.dtype),     # vtile (RMW)
+            pltpu.VMEM((2, sb, CW), ck.dtype),  # kbuf
+            pltpu.VMEM((2, sb, CW), cv.dtype),  # vbuf
             pltpu.SMEM((1, 1), jnp.float32),    # best
             pltpu.SMEM((1, 1), jnp.int32),      # bidx
             pltpu.SemaphoreType.DMA((4,)),      # rsem (k0,k1,v0,v1)
@@ -891,7 +1083,9 @@ def fused_decode_token(pos, tok, emb, cosr, sinr, rot, hmask, final_norm,
 
     kernel = functools.partial(_token_kernel, n_layers=N, n_heads=H, dim=D,
                                dpad=Dp, vt=vt, n_tiles=n_tiles, sb=sb,
-                               qlayers=qlayers, qhead=qhead)
+                               qlayers=qlayers, qhead=qhead,
+                               emit_logits=emit_logits, dkp=CW,
+                               narrow=narrow)
     # clamp: a surplus step of a fixed-size decode chunk (model.generate
     # discards tokens past the request on the host) must not DMA the
     # pl.ds(apos, 16) cache tile past the end of the (N, S, Dp) buffer
@@ -899,11 +1093,11 @@ def fused_decode_token(pos, tok, emb, cosr, sinr, rot, hmask, final_norm,
                                  np.int32(S - 1)),
                      jnp.asarray(tok, jnp.int32).reshape(())])
     # operand indices include the scalar-prefetch arg (ck/cv at the end)
-    tok_out, ck_new, cv_new = pl.pallas_call(
+    out0, ck_new, cv_new = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            out0_shape,
             jax.ShapeDtypeStruct(ck.shape, ck.dtype),
             jax.ShapeDtypeStruct(cv.shape, cv.dtype),
         ],
@@ -916,8 +1110,10 @@ def fused_decode_token(pos, tok, emb, cosr, sinr, rot, hmask, final_norm,
         interpret=interpret,
     )(idx, emb, cosr, sinr, rot, hmask, final_norm, wq, wk, wv, wo,
       gate_w, up_w, down_w, in_norm, post_norm, head_w, head_b,
-      *quant_ops, ck, cv)
-    return tok_out.reshape(1), ck_new, cv_new
+      *extra_ops, ck, cv)
+    if emit_logits:
+        return out0, ck_new, cv_new  # (1, V) f32
+    return out0.reshape(1), ck_new, cv_new
 
 
 

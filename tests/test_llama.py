@@ -559,6 +559,86 @@ def test_gqa_fused_kernel_matches_xla_path():
     assert got == want, (got, want)
 
 
+def test_gqa_narrow_kv_generate_matches_xla():
+    """True-GQA narrow KV cache (round-3): GQA models decode through the
+    fused kernels with (S, Hkv*hd)-wide cache rows (egqa in-kernel
+    expansion) — B=1, batched, and sampled streams must all equal the XLA
+    scan path token-for-token (interpret mode)."""
+    import functools
+
+    from pydynet_tpu.ops import decode_step as dsk
+
+    np.random.seed(23)
+    # Dkv = 2*16 = 32 -> Dkp 128 < Dp 256: genuinely narrower cache rows
+    cfg = dict(vocab_size=256, embed_dim=128, n_heads=8, n_kv_heads=2,
+               ffn_dim=64, max_seq_len=32, max_batch_size=1, n_layers=2,
+               dtype=np.float32)
+    model = Llama(**cfg)
+    model.eval()
+    assert model._fused_decode_supported()
+    w = model._fused_weights(None)
+    assert w["wk_n"].shape == (2, 128, 128)  # narrow zero-padded entries
+    ids = np.array([[1, 5, 9]])
+
+    with pdn.no_grad():
+        want = [int(t.numpy()[0, 0])
+                for t in model.generate(ids, 16, chunk=5, fused=False)]
+        want_s = [int(t.numpy()[0, 0])
+                  for t in model.generate(ids, 16, chunk=5, fused=False,
+                                          temperature=1.1, top_k=20,
+                                          seed=5)]
+    orig = dsk.fused_decode_token
+    dsk.fused_decode_token = functools.partial(orig, interpret=True)
+    try:
+        model._fused_chunk_fn = None
+        with pdn.no_grad():
+            got = [int(t.numpy()[0, 0])
+                   for t in model.generate(ids, 16, chunk=5, fused=True)]
+            one = [int(t.numpy()[0, 0])   # single-dispatch prefill_decode
+                   for t in model.generate(ids, 16, chunk=32, fused=True)]
+            got_s = [int(t.numpy()[0, 0])
+                     for t in model.generate(ids, 16, chunk=5, fused=True,
+                                             temperature=1.1, top_k=20,
+                                             seed=5)]
+    finally:
+        dsk.fused_decode_token = orig
+        model._fused_chunk_fn = None
+    assert got == want, (got, want)
+    assert one == want, (one, want)
+    assert got_s == want_s, (got_s, want_s)
+
+
+def test_gqa_narrow_kv_batched_matches_xla():
+    """Narrow-KV GQA through the BATCHED whole-token kernel."""
+    import functools
+
+    from pydynet_tpu.ops import decode_step as dsk
+
+    np.random.seed(24)
+    cfg = dict(vocab_size=256, embed_dim=128, n_heads=8, n_kv_heads=2,
+               ffn_dim=64, max_seq_len=32, max_batch_size=3, n_layers=2,
+               dtype=np.float32)
+    model = Llama(**cfg)
+    model.eval()
+    ids = np.array([[1, 5, 9], [2, 7, 3], [30, 20, 10]])
+    with pdn.no_grad():
+        want = [t.numpy() for t in model.generate(ids, 14, chunk=5,
+                                                  fused=False)]
+    orig = dsk.fused_decode_token_batched
+    dsk.fused_decode_token_batched = functools.partial(orig, interpret=True)
+    try:
+        model._fused_chunk_fn = None
+        with pdn.no_grad():
+            got = [t.numpy() for t in model.generate(ids, 14, chunk=5,
+                                                     fused=True)]
+    finally:
+        dsk.fused_decode_token_batched = orig
+        model._fused_chunk_fn = None
+    assert len(got) == len(want)
+    for a, b in zip(got, want):
+        assert np.array_equal(a, b), (a, b)
+
+
 def test_infer_config_from_checkpoint_shapes(tmp_path):
     """io.infer_config recovers the architecture (incl. GQA kv heads) from
     an HF-named npz, so the CLI runs any converted checkpoint without
@@ -634,8 +714,84 @@ def test_generate_sampling_modes():
                                           top_p=tp)]
             assert p0 == greedy, tp
 
-    with pytest.raises(ValueError, match="fused"):
-        list(model.generate(ids, 8, temperature=1.0, fused=True))
+
+def test_generate_sampling_fused_matches_xla():
+    """Sampling at fused-kernel speed (round-3): the whole-token kernel
+    emits the full logits row (emit_logits) and the SAME sample_logits /
+    PRNG-key sequence as the XLA path picks the token — the two sampled
+    streams must be identical in f32 (interpret mode).  Covers
+    temperature+top_k+top_p+repetition_penalty together, and int8-head
+    quant."""
+    import functools
+
+    from pydynet_tpu.ops import decode_step as dsk
+
+    np.random.seed(7)
+    model = Llama(vocab_size=256, embed_dim=32, n_heads=2, ffn_dim=64,
+                  max_seq_len=32, max_batch_size=1, n_layers=2,
+                  dtype=np.float32)
+    model.eval()
+    assert model._fused_decode_supported()
+    ids = np.array([[1, 5, 9]])
+    kwargs = dict(temperature=1.3, top_k=17, top_p=0.95, seed=11,
+                  repetition_penalty=1.2)
+    with pdn.no_grad():
+        want = [int(t.numpy()[0, 0])
+                for t in model.generate(ids, 20, chunk=6, fused=False,
+                                        **kwargs)]
+    orig = dsk.fused_decode_token
+    dsk.fused_decode_token = functools.partial(orig, interpret=True)
+    try:
+        model._fused_chunk_fn = None
+        with pdn.no_grad():
+            got = [int(t.numpy()[0, 0])
+                   for t in model.generate(ids, 20, chunk=6, fused=True,
+                                           **kwargs)]
+            # int8-head quant composes with sampling (same stream length;
+            # tokens may differ from full precision, so only determinism)
+            q = [int(t.numpy()[0, 0])
+                 for t in model.generate(ids, 20, chunk=6, fused=True,
+                                         quant="int8-head", **kwargs)]
+            q2 = [int(t.numpy()[0, 0])
+                  for t in model.generate(ids, 20, chunk=6, fused=True,
+                                          quant="int8-head", **kwargs)]
+    finally:
+        dsk.fused_decode_token = orig
+        model._fused_chunk_fn = None
+    assert got == want, (got, want)
+    assert q == q2 and len(q) == len(want)
+
+
+def test_generate_sampling_fused_batched_matches_xla():
+    """B>1 sampled decode through the batched whole-token kernel
+    (emit_logits) must equal the XLA sampled path token-for-token."""
+    import functools
+
+    from pydynet_tpu.ops import decode_step as dsk
+
+    np.random.seed(8)
+    model = Llama(vocab_size=256, embed_dim=32, n_heads=2, ffn_dim=64,
+                  max_seq_len=32, max_batch_size=3, n_layers=2,
+                  dtype=np.float32)
+    model.eval()
+    ids = np.array([[1, 5, 9], [2, 7, 3], [30, 20, 10]])
+    kwargs = dict(temperature=0.9, top_k=40, seed=3)
+    with pdn.no_grad():
+        want = [t.numpy() for t in model.generate(ids, 14, chunk=5,
+                                                  fused=False, **kwargs)]
+    orig = dsk.fused_decode_token_batched
+    dsk.fused_decode_token_batched = functools.partial(orig, interpret=True)
+    try:
+        model._fused_chunk_fn = None
+        with pdn.no_grad():
+            got = [t.numpy() for t in model.generate(ids, 14, chunk=5,
+                                                     fused=True, **kwargs)]
+    finally:
+        dsk.fused_decode_token_batched = orig
+        model._fused_chunk_fn = None
+    assert len(got) == len(want)
+    for a, b in zip(got, want):
+        assert np.array_equal(a, b), (a, b)
 
 
 def test_sample_logits_distribution():
@@ -655,6 +811,67 @@ def test_sample_logits_distribution():
                                top_p=0.75)[0]) for i in range(64)]
     assert set(draws) <= {0, 1}
     assert len(set(draws)) == 2  # both actually drawn at these odds
+
+
+def test_sample_logits_wide_nucleus_fallback():
+    """Regression (round-2 advisor): the nucleus pass considers only the
+    top-2048 candidates; when even their total mass is below top_p (flat
+    distribution over a big vocab) it must keep ALL tokens instead of
+    silently zeroing the valid tail."""
+    import jax
+    import jax.numpy as jnp
+    from pydynet_tpu.models.llama.model import sample_logits
+
+    V = 4096  # uniform: top-2048 mass = 0.5 < top_p = 0.9
+    logits = jnp.zeros((1, V), jnp.float32)
+    draws = [int(sample_logits(logits, jax.random.PRNGKey(i), 1.0,
+                               top_p=0.9)[0]) for i in range(64)]
+    # without the fallback every draw lands in the first 2048 tie-ranked
+    # ids; with it the tail is reachable (P[miss 64x] = 2^-64)
+    assert any(d >= 2048 for d in draws), sorted(set(draws))[:8]
+
+
+def test_infer_config_ambiguous_head_dim_warns(tmp_path):
+    """Regression (round-2 advisor): an MHA checkpoint whose widths fit
+    several conventional head_dims (e.g. Llama-2-7B-class, head_dim 128)
+    was silently mis-inferred; now it warns and names the candidates, and
+    ``n_heads=`` (CLI --n-heads) resolves it."""
+    rng = np.random.default_rng(6)
+    D, V, F, NL = 512, 256, 64, 1  # 64 and 128 both divide D == kv_rows
+    ckpt = {
+        "model.embed_tokens.weight": rng.standard_normal((V, D)),
+        "lm_head.weight": rng.standard_normal((V, D)),
+        "model.norm.weight": rng.standard_normal(D),
+    }
+    p = "model.layers.0."
+    for nm, shape in [("self_attn.q_proj.weight", (D, D)),
+                      ("self_attn.k_proj.weight", (D, D)),
+                      ("self_attn.v_proj.weight", (D, D)),
+                      ("self_attn.o_proj.weight", (D, D)),
+                      ("mlp.up_proj.weight", (F, D)),
+                      ("mlp.gate_proj.weight", (F, D)),
+                      ("mlp.down_proj.weight", (D, F)),
+                      ("input_layernorm.weight", (D,)),
+                      ("post_attention_layernorm.weight", (D,))]:
+        ckpt[p + nm] = rng.standard_normal(shape)
+    path = str(tmp_path / "mha512.npz")
+    np.savez(path, **ckpt)
+
+    with pytest.warns(UserWarning, match="ambiguous"):
+        cfg = llama_io.infer_config(path)
+    assert cfg["n_heads"] == 8  # the assumed head_dim 64 default
+
+    cfg = llama_io.infer_config(path, n_heads=4)  # explicit override
+    assert cfg["n_heads"] == 4 and cfg["n_kv_heads"] == 4
+
+    # explicit metadata entries win without a warning
+    np.savez(str(tmp_path / "meta.npz"), **ckpt,
+             **{"config.n_heads": np.asarray(4)})
+    import warnings as _w
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        cfg = llama_io.infer_config(str(tmp_path / "meta.npz"))
+    assert cfg["n_heads"] == 4
 
 
 def test_gqa_batched_generate_matches_per_row():
