@@ -334,21 +334,34 @@ def _foreach(self, *args, **kwargs):
     disappears, and XLA pipelines the scan body.  Every tensor/array
     argument must carry the same-length leading axis; Python scalars and
     other static args are not supported here (bake them into the step).
+
+    Composes with ``mesh=``: state is placed per its shard rules
+    (replicated / tensor-parallel) exactly as in ``__call__``, and each
+    argument's SECOND axis — the per-step batch dim under the leading
+    steps axis — is sharded over ``batch_axis``, so a whole dp-sharded
+    epoch runs as one GSPMD program.
     """
-    if self._mesh is not None:
-        raise NotImplementedError("foreach does not compose with mesh= yet")
     sts = self._state_tensors
     state_vals = [t._data for t in sts]
     target = None
-    for t, flex in zip(sts, self._state_flexible):
-        if not flex:
-            target = t.device.jax_device
-            break
-    if target is not None:
+    if self._mesh is not None:
         for i, v in enumerate(state_vals):
-            if isinstance(v, jax.Array) and v.committed \
-                    and v.devices() != {target}:
-                state_vals[i] = jax.device_put(v, target)
+            want = self._state_shardings[i]
+            if isinstance(v, jax.Array) and v.sharding != want:
+                state_vals[i] = jax.device_put(v, want)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        step_batch_sharding = NamedSharding(
+            self._mesh, P(None, self._batch_axis))
+    else:
+        for t, flex in zip(sts, self._state_flexible):
+            if not flex:
+                target = t.device.jax_device
+                break
+        if target is not None:
+            for i, v in enumerate(state_vals):
+                if isinstance(v, jax.Array) and v.committed \
+                        and v.devices() != {target}:
+                    state_vals[i] = jax.device_put(v, target)
     from .device import Device as _Device
     target_dev = _Device(target) if target is not None else None
 
@@ -365,7 +378,10 @@ def _foreach(self, *args, **kwargs):
             leaf = leaf._t
         if isinstance(leaf, Tensor):
             val = leaf._data
-            if target is not None and isinstance(val, jax.Array) \
+            if self._mesh is not None and np.ndim(val) >= 2:
+                # (steps, batch, ...): shard the per-step batch axis
+                val = jax.device_put(val, step_batch_sharding)
+            elif target is not None and isinstance(val, jax.Array) \
                     and val.committed and val.devices() != {target}:
                 val = jax.device_put(val, target)
             dyn_leaves.append(val)

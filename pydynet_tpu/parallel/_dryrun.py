@@ -88,9 +88,10 @@ def run(n_devices: int) -> None:
     pdp = n_devices // (pp * ptp)
     pp_mesh = make_mesh({"dp": pdp, "pp": pp, "tp": ptp}, devices=devices)
     pp_cfg = llama_spmd.config(vocab_size=128, dim=32, n_heads=2, ffn_dim=64,
-                               n_layers=2 * pp, max_seq_len=16)
+                               n_layers=2 * pp, max_seq_len=16,
+                               n_kv_heads=1)  # GQA inside the tp ring too
     pp_params = pipeline.prepare_pp_params(
-        llama_spmd.init_params(rng, pp_cfg), pp_mesh, pp)
+        llama_spmd.init_params(rng, pp_cfg), pp_mesh, pp, cfg=pp_cfg)
     pp_step = pipeline.make_pp_train_step(pp_mesh, pp_cfg, lr=1e-2,
                                           microbatches=2)
     ptokens = jnp.asarray(rng.randint(0, 128, (2 * pdp, 8)), jnp.int32)
@@ -107,6 +108,28 @@ def run(n_devices: int) -> None:
                          shard(q, sp_mesh, None, "sp"),
                          shard(q, sp_mesh, None, "sp"), sp_mesh, causal=True)
     assert np.isfinite(np.asarray(att)).all()
+
+    # ---- foreach x mesh: dp-sharded whole-epoch fusion ---- #
+    import pydynet_tpu as pdn
+    from pydynet_tpu import nn, optim
+
+    np.random.seed(0)
+    net = nn.Sequential(nn.Linear(6, 8), nn.Tanh(), nn.Linear(8, 3))
+    opt = optim.SGD(net.parameters(), lr=0.1, momentum=0.0, nesterov=False)
+
+    def train_step(x, y):
+        opt.zero_grad()
+        l = pdn.nn.functional.mse_loss(net(x), y)
+        l.backward()
+        opt.step()
+        return l
+
+    dp_mesh = make_mesh({"dp": n_devices}, devices=devices)
+    js = pdn.jit(train_step, state=(net, opt), mesh=dp_mesh)
+    Xb = pdn.Tensor(rng.standard_normal((3, 2 * n_devices, 6)))
+    Yb = pdn.Tensor(rng.standard_normal((3, 2 * n_devices, 3)))
+    fe_losses = js.foreach(Xb, Yb).numpy().reshape(-1)
+    assert np.isfinite(fe_losses).all(), fe_losses
 
     # ---- ep: expert-parallel switch MoE forward + grad ---- #
     ep_mesh = make_mesh({"ep": n_devices}, devices=devices)
@@ -126,7 +149,9 @@ def run(n_devices: int) -> None:
     print(f"dryrun_multichip({n_devices}): dp={dp} tp={tp} loss={loss:.4f} "
           f"decode {toks.shape}; dp={pdp}xpp={pp}xtp={ptp} "
           f"loss={pp_loss:.4f}; "
-          f"sp={n_devices} ring-attention; ep={n_devices} moe "
+          f"sp={n_devices} ring-attention; "
+          f"foreach x dp={n_devices} epoch loss={fe_losses[-1]:.4f}; "
+          f"ep={n_devices} moe "
           f"loss={float(mloss):.4f} OK")
 
 

@@ -100,30 +100,41 @@ _TP_ROW = ("wo", "down")                     # row-parallel (psum after)
 def split_tp_layer_params(params):
     """``llama_spmd`` fused layout -> separate per-matrix keys for tp.
 
-    ``wqkv`` (N, D, 3D) -> ``wq``/``wk``/``wv`` (N, D, D); ``wgu``
-    (N, D, 2F) -> ``gate``/``up`` (N, D, F).  Column blocks of each matrix
-    are contiguous heads, so sharding the last axis over ``tp`` is exactly
-    Megatron column parallelism."""
+    ``wqkv`` (N, D, D+2*Dkv) -> ``wq`` (N, D, D) + ``wk``/``wv``
+    (N, D, Dkv) (Dkv = D for MHA, Hkv*hd for GQA); ``wgu`` (N, D, 2F) ->
+    ``gate``/``up`` (N, D, F).  Column blocks of each matrix are contiguous
+    heads, so sharding the last axis over ``tp`` is exactly Megatron column
+    parallelism."""
     D = params["wqkv"].shape[1]
-    assert params["wqkv"].shape[2] == 3 * D, \
-        "tp head-splitting supports MHA layouts only (GQA: use the GSPMD " \
-        "llama_spmd path or pp without tp)"
+    Dkv = (params["wqkv"].shape[2] - D) // 2
     F = params["wgu"].shape[2] // 2
     out = {k: v for k, v in params.items() if k not in ("wqkv", "wgu")}
     out["wq"] = params["wqkv"][..., :D]
-    out["wk"] = params["wqkv"][..., D:2 * D]
-    out["wv"] = params["wqkv"][..., 2 * D:]
+    out["wk"] = params["wqkv"][..., D:D + Dkv]
+    out["wv"] = params["wqkv"][..., D + Dkv:]
     out["gate"] = params["wgu"][..., :F]
     out["up"] = params["wgu"][..., F:]
     return out
 
 
-def _tp_stage_specs():
+def _kv_sharded(cfg, tp_size: int) -> bool:
+    """GQA kv-head placement across tp ranks: group-sharded when each rank
+    can own whole KV heads (Hkv % tp == 0 — its Hkv/tp heads then serve
+    exactly its H/tp query heads), else replicated (tp > Hkv)."""
+    hkv = cfg.get("n_kv_heads") or cfg["n_heads"]
+    return hkv % tp_size == 0
+
+
+def _tp_stage_specs(cfg=None, tp_size: int = 1):
     """shard_map in_specs for tp-split stage-stacked layer params."""
+    kv_shard = cfg is None or _kv_sharded(cfg, tp_size)
     spec = {}
     for k in TP_LAYER_KEYS:
         if k in _TP_COL:
-            spec[k] = P("pp", None, None, "tp")
+            if k in ("wk", "wv") and not kv_shard:
+                spec[k] = P("pp")  # kv heads replicated across tp
+            else:
+                spec[k] = P("pp", None, None, "tp")
         elif k in _TP_ROW:
             spec[k] = P("pp", None, "tp", None)
         else:  # norms: (P, N/P, D), replicated over tp
@@ -131,14 +142,22 @@ def _tp_stage_specs():
     return spec
 
 
-def prepare_pp_params(params, mesh: Mesh, n_stages: int):
+def prepare_pp_params(params, mesh: Mesh, n_stages: int, cfg=None):
     """One-call prep: ``llama_spmd.init_params``-layout pytree -> stage-
     stacked (and, if the mesh has a ``tp`` axis, head-split tp-sharded)
-    params placed on the mesh, ready for ``make_pp_train_step``."""
+    params placed on the mesh, ready for ``make_pp_train_step``.
+
+    ``cfg`` is required for GQA layouts under tp (kv-head placement needs
+    ``n_kv_heads``); MHA layouts may omit it."""
     if "tp" in mesh.axis_names and mesh.shape["tp"] > 1:
-        params = stack_stages(split_tp_layer_params(params), n_stages,
-                              pp_keys=TP_LAYER_KEYS)
-        specs = _tp_stage_specs()
+        tp_size = mesh.shape["tp"]
+        split = split_tp_layer_params(params)
+        if cfg is None and split["wk"].shape[-1] != split["wq"].shape[-1]:
+            raise ValueError(
+                "GQA layout detected (narrow wk): pass cfg= to "
+                "prepare_pp_params so kv heads can be placed across tp")
+        params = stack_stages(split, n_stages, pp_keys=TP_LAYER_KEYS)
+        specs = _tp_stage_specs(cfg, tp_size)
         return {k: jax.device_put(
             v, named_sharding(mesh, *specs.get(k, P())))
             for k, v in params.items()}
@@ -175,27 +194,49 @@ def _layer_body(h, W, cos, sin, mask, cfg):
     return llama_spmd.layer_dense(h, W, cos, sin, mask, cfg)
 
 
-def _layer_body_tp(h, W, cos, sin, mask, cfg, tp_axis: str):
+def _layer_body_tp(h, W, cos, sin, mask, cfg, tp_axis: str,
+                   kv_shard: bool = True):
     """Megatron-tp variant of ``_layer_body`` with MANUAL collectives,
     for use inside a shard_map region (GSPMD cannot partition there).
 
-    ``W`` holds this rank's shards: wq/wk/wv (D, D/tp) = a contiguous block
-    of heads, gate/up (D, F/tp), wo (D/tp, D) and down (F/tp, D) rows.
-    Attention runs entirely on local heads; the row-parallel output/down
-    matmuls produce partial sums that one ``psum`` each turns into the
-    replicated residual stream — the standard 2-collectives-per-block
-    Megatron schedule, here riding ICI inside the pipeline ring.
+    ``W`` holds this rank's shards: wq (D, D/tp) = a contiguous block of
+    query heads, gate/up (D, F/tp), wo (D/tp, D) and down (F/tp, D) rows.
+    GQA kv heads are either group-sharded — wk/wv (D, Dkv/tp), each rank's
+    Hkv/tp kv heads serving exactly its H/tp query heads — or, when
+    tp > Hkv, replicated (D, Dkv) with the rank gathering the groups its
+    query heads read (``axis_index``-based).  Attention runs entirely on
+    local heads; the row-parallel output/down matmuls produce partial sums
+    that one ``psum`` each turns into the replicated residual stream — the
+    standard 2-collectives-per-block Megatron schedule, here riding ICI
+    inside the pipeline ring.
     """
     from . import llama_spmd
 
     B, L, D = h.shape
     hd = D // cfg["n_heads"]
-    Hl = W["wq"].shape[1] // hd  # local heads on this tp rank
+    group = cfg["n_heads"] // (cfg.get("n_kv_heads") or cfg["n_heads"])
+    Hl = W["wq"].shape[1] // hd      # local query heads on this tp rank
+    Hkvl = W["wk"].shape[1] // hd    # local kv heads (sharded or all)
     hn = llama_spmd._rms(h, W["in_norm"])
     q = (hn @ W["wq"]).reshape(B, L, Hl, hd)
-    k = (hn @ W["wk"]).reshape(B, L, Hl, hd)
-    v = (hn @ W["wv"]).reshape(B, L, Hl, hd)
+    k = (hn @ W["wk"]).reshape(B, L, Hkvl, hd)
+    v = (hn @ W["wv"]).reshape(B, L, Hkvl, hd)
     q, k = llama_spmd._rope(q, cos, sin), llama_spmd._rope(k, cos, sin)
+    if group > 1:
+        # NOTE: branch on the EXPLICIT placement flag, not on shapes —
+        # with Hkv=2, tp=4 the replicated kv-head count coincidentally
+        # equals the local query-head count and a shape test mispairs them
+        if kv_shard:
+            # group-sharded: local kv head i//group serves local query i
+            k = jnp.repeat(k, group, axis=2)
+            v = jnp.repeat(v, group, axis=2)
+        else:
+            # replicated kv (all Hkv heads local): gather the groups this
+            # rank's contiguous query-head block [p*Hl, (p+1)*Hl) reads
+            p_idx = jax.lax.axis_index(tp_axis)
+            gidx = (p_idx * Hl + jnp.arange(Hl)) // group
+            k = jnp.take(k, gidx, axis=2)
+            v = jnp.take(v, gidx, axis=2)
     s = jnp.einsum("blhd,bmhd->bhlm", q, k) / math.sqrt(hd)
     p = jax.nn.softmax(s + mask, axis=-1)
     att = jnp.einsum("bhlm,bmhd->blhd", p, v).reshape(B, L, Hl * hd)
@@ -232,8 +273,9 @@ def pp_forward_logits(params, tokens, cfg, mesh: Mesh, microbatches: int,
         assert cfg["n_heads"] % mesh.shape["tp"] == 0, \
             (cfg["n_heads"], mesh.shape["tp"])
         layer_keys = TP_LAYER_KEYS
-        stage_in_spec = _tp_stage_specs()
-        body = partial(_layer_body_tp, tp_axis="tp")
+        stage_in_spec = _tp_stage_specs(cfg, mesh.shape["tp"])
+        body = partial(_layer_body_tp, tp_axis="tp",
+                       kv_shard=_kv_sharded(cfg, mesh.shape["tp"]))
     else:
         layer_keys = FUSED_LAYER_KEYS
         stage_in_spec = {k: P("pp") for k in layer_keys}

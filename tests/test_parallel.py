@@ -63,6 +63,76 @@ def test_data_parallel_state_actually_sharded():
     assert len(w.sharding.device_set) == 8  # replicated over the mesh
 
 
+def test_foreach_composes_with_mesh():
+    """Round-3: pdn.jit(step, mesh=...).foreach(Xb, Yb) — whole-epoch
+    fusion AND dp sharding in ONE GSPMD program — must match the per-call
+    mesh loop and the unsharded foreach."""
+    np.random.seed(4)
+    Xb = np.random.randn(5, 16, 6)
+    Yb = np.random.randn(5, 16, 3)
+
+    def run(mesh, use_foreach):
+        net, opt = _build(seed=7)
+        js = pdn.jit(_make_step(net, opt), state=(net, opt), mesh=mesh)
+        if use_foreach:
+            losses = js.foreach(pdn.Tensor(Xb),
+                                pdn.Tensor(Yb)).numpy().reshape(-1)
+        else:
+            losses = np.array([
+                float(js(pdn.Tensor(Xb[i]), pdn.Tensor(Yb[i])).item())
+                for i in range(5)
+            ])
+        return losses, net
+
+    mesh = make_mesh({"dp": 8})
+    l_mesh_each, net_a = run(mesh, True)
+    l_mesh_loop, net_b = run(mesh, False)
+    l_plain_each, net_c = run(None, True)
+    assert np.allclose(l_mesh_each, l_mesh_loop, rtol=1e-6), (
+        l_mesh_each, l_mesh_loop)
+    assert np.allclose(l_mesh_each, l_plain_each, rtol=1e-5), (
+        l_mesh_each, l_plain_each)
+    for (n, pa), (_, pb), (_, pc) in zip(net_a._parameters.items(),
+                                         net_b._parameters.items(),
+                                         net_c._parameters.items()):
+        assert np.allclose(pa.numpy(), pb.numpy(), atol=1e-6), n
+        assert np.allclose(pa.numpy(), pc.numpy(), atol=1e-5), n
+    # the args really were dp-sharded over the per-step batch axis
+    net, opt = _build(seed=7)
+    js = pdn.jit(_make_step(net, opt), state=(net, opt), mesh=mesh)
+    js.foreach(pdn.Tensor(Xb), pdn.Tensor(Yb))
+    w = net._parameters["0.weight"]._data
+    assert len(w.sharding.device_set) == 8
+
+
+def test_foreach_mesh_with_tp_shard_rules():
+    """foreach under a dp x tp mesh with tensor-parallel shard_rules stays
+    loss-exact vs the single-device foreach."""
+    np.random.seed(9)
+    Xb = np.random.randn(4, 8, 6)
+    Yb = np.random.randn(4, 8, 3)
+    from jax.sharding import PartitionSpec as P
+
+    rules = [("0.weight", P(None, "tp")), ("0.bias", P("tp")),
+             ("2.weight", P("tp", None))]
+
+    def run(mesh, shard_rules=None):
+        net, opt = _build(seed=2)
+        js = pdn.jit(_make_step(net, opt), state=(net, opt), mesh=mesh,
+                     shard_rules=shard_rules)
+        return js.foreach(pdn.Tensor(Xb),
+                          pdn.Tensor(Yb)).numpy().reshape(-1), net
+
+    ref, net0 = run(None)
+    got, net1 = run(make_mesh({"dp": 2, "tp": 4}), rules)
+    assert np.allclose(ref, got, rtol=1e-5), (ref, got)
+    for (n, p0), (_, p1) in zip(net0._parameters.items(),
+                                net1._parameters.items()):
+        assert np.allclose(p0.numpy(), p1.numpy(), atol=1e-5), n
+    w = net1._parameters["0.weight"]._data
+    assert len(w.sharding.device_set) == 8
+
+
 def test_mesh_helpers():
     mesh = make_mesh({"dp": 2, "tp": 4})
     assert mesh.shape == {"dp": 2, "tp": 4}
@@ -312,6 +382,63 @@ def test_pipeline_tp_train_matches_single_device(axes, micro):
     # the layer weights really are tp-sharded (not replicated)
     tp_shard = pparams["wq"].sharding.spec
     assert "tp" in tuple(tp_shard), tp_shard
+
+
+@pytest.mark.parametrize("n_heads,n_kv_heads,tp", [
+    (4, 2, 2),   # kv group-sharded: Hkv % tp == 0, one kv head per rank
+    (4, 1, 2),   # kv replicated: tp > Hkv, ranks gather their groups
+    (8, 2, 4),   # wider split, kv replicated (tp > Hkv)
+])
+def test_pipeline_tp_gqa_train_matches_single_device(n_heads, n_kv_heads,
+                                                     tp):
+    """Round-3: tp inside the pp ring for GQA layouts (kv heads group-
+    sharded when Hkv % tp == 0, replicated otherwise) — dp x pp x tp must
+    reproduce the single-device GQA loss trajectory exactly."""
+    from pydynet_tpu.parallel import pipeline
+
+    cfg = llama_spmd.config(vocab_size=64, dim=16 * n_heads // 4,
+                            n_heads=n_heads, ffn_dim=32, n_layers=4,
+                            max_seq_len=16, n_kv_heads=n_kv_heads)
+    rng = np.random.RandomState(3)
+    tokens = rng.randint(0, 64, (8, 8)).astype(np.int32)
+    targets = rng.randint(0, 64, (8, 8)).astype(np.int32)
+
+    def fresh_params():
+        return llama_spmd.init_params(np.random.RandomState(4), cfg)
+
+    ref_mesh = make_mesh({"dp": 1, "tp": 1})
+    ref_params = llama_spmd.shard_params(fresh_params(), ref_mesh)
+    ref_step = llama_spmd.make_train_step(ref_mesh, cfg, lr=1e-1)
+    want = []
+    for _ in range(3):
+        ref_params, loss = ref_step(
+            ref_params, jax.numpy.asarray(tokens), jax.numpy.asarray(targets))
+        want.append(float(loss))
+
+    axes = {"dp": 8 // (2 * tp), "pp": 2, "tp": tp}
+    mesh = make_mesh(axes)
+    pparams = pipeline.prepare_pp_params(fresh_params(), mesh, axes["pp"],
+                                         cfg=cfg)
+    step = pipeline.make_pp_train_step(mesh, cfg, lr=1e-1, microbatches=2)
+    got = []
+    for _ in range(3):
+        pparams, loss = step(pparams, jax.numpy.asarray(tokens),
+                             jax.numpy.asarray(targets))
+        got.append(float(loss))
+
+    assert np.allclose(got, want, rtol=1e-5, atol=1e-6), (got, want)
+    assert got[-1] < got[0]
+    # query projections always tp-sharded; kv per the placement rule
+    assert "tp" in tuple(pparams["wq"].sharding.spec)
+    kv_spec = tuple(pparams["wk"].sharding.spec)
+    if n_kv_heads % tp == 0:
+        assert "tp" in kv_spec, kv_spec
+    else:
+        assert "tp" not in kv_spec, kv_spec
+
+    # GQA without cfg= must fail loudly, not mis-shard
+    with pytest.raises(ValueError, match="cfg"):
+        pipeline.prepare_pp_params(fresh_params(), mesh, axes["pp"])
 
 
 def test_pipeline_apply_identity_routing():
