@@ -2,26 +2,29 @@
 on one TPU chip, end-to-end through ``Llama.generate`` (tokenizer-to-tokens
 path, including host streaming).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "fused",
-"quant", "fidelity_checked", "fidelity_ok"}.
+Prints ONE JSON line:
+  {"metric", "value", "unit", "vs_baseline", "fused", "quant",
+   "fidelity_checked", "fidelity_ok",            # headline format's gate
+   "marginal_us_token",                          # noise-robust on-device
+   "configs": [{"name", "checked", "ok", ...}]}  # per-variant hardware gates
 Baseline: 300 tokens/s — the reference's published NumPy decode rate
 (/root/reference/README.md:23, BASELINE.md).
 
-Two weight formats race (the shared-tunnel TPU is noisy, so each gets
-several trials and the best wins): bf16, and bf16 with an int8 lm_head
-("int8-head" — the head is the single largest HBM stream of a decode
-step; measured ~2-4us/token faster).
+Fidelity gates (pydynet_tpu/utils/fidelity.py) run on the real chip before
+timing, one per shipped kernel variant — B=1 bf16 / int8-head / full int8,
+batched B=4 and B=32, narrow-KV GQA, the emit_logits sampling head, and
+stories110M dims — teacher-forced along an eager-f32 CPU truth stream with
+argmax equality required at every step whose top-2 margin clears bf16
+noise.  A headline format that fails its gate is excluded from the race;
+the other configs are reported so a Mosaic regression in ANY variant is
+driver-visible, not just the raced one.
 
-Fidelity gate (runs on the real chip before timing, once per format): the
-whole-token Pallas kernel is driven TEACHER-FORCED along a greedy token
-stream computed by the eager f32 module on CPU, and its per-step argmax must
-match at every step whose f32 top-2 logit margin clears bf16 noise (0.05).
-Teacher forcing prevents one near-tie flip from cascading, so this checks
-the kernel's math, not the chaos of a random-weight stream.  A raw
-fused-vs-XLA stream diff is NOT a valid check: the kernel keeps the
-residual stream in f32 while the XLA path rounds to bf16 per layer, so at
-near-ties the two (equally valid) bf16 paths pick different tokens.  A
-format that fails its gate is excluded from the race.
+The headline wall-clock number is end-to-end and tunnel-noise dominated
+(ROADMAP.md documents >20x swings with other tenants' load).
+``marginal_us_token`` is the noise-robust companion: two whole-chunk
+on-device scans (64 and 512 fused steps) from the same prefix, one host
+readback each, best-of-3; the difference cancels dispatch + readback
+overhead, leaving the chip's marginal cost per decoded token.
 """
 import json
 import sys
@@ -29,143 +32,143 @@ import time
 
 import numpy as np
 
-MARGIN = 0.05  # bf16 rounding at |logit|~5 is ~0.04
-FID_STEPS = 32
+FID_STEPS = 16
+
+STORIES15M = dict(vocab_size=32000, embed_dim=288, n_heads=6, ffn_dim=768,
+                  max_seq_len=1024, max_batch_size=1, n_layers=6,
+                  dtype=np.float32)
+STORIES110M = dict(vocab_size=32000, embed_dim=768, n_heads=12, ffn_dim=2048,
+                   max_seq_len=1024, max_batch_size=1, n_layers=12,
+                   dtype=np.float32)
+GQA_15M = dict(STORIES15M, n_kv_heads=2)
+
+PROMPT = np.array([[1, 243, 532, 991]])
 
 
-def build_model(device=None):
+def build_model(cfg=None, device=None):
     from pydynet_tpu.models.llama.model import Llama
 
     np.random.seed(0)
-    model = Llama(vocab_size=32000, embed_dim=288, n_heads=6, ffn_dim=768,
-                  max_seq_len=1024, max_batch_size=1, n_layers=6,
-                  dtype=np.float32)
+    model = Llama(**(cfg or STORIES15M))
     if device:
         model = model.to(device)
     model.eval()
     return model
 
 
-def cpu_truth(prompt_ids):
-    """Greedy stream + per-step top-2 margins from the eager f32 module on
-    CPU (same seed => same weights as the device model)."""
-    import pydynet_tpu as pdn
-
-    cpu_model = build_model()
-    truth, margins = [], []
-    with pdn.no_grad():
-        B, L = prompt_ids.shape
-        logits = cpu_model(prompt_ids, 0).numpy()[:, -1, :]
-        for i in range(FID_STEPS):
-            top2 = np.sort(logits[0])[-2:]
-            margins.append(float(top2[1] - top2[0]))
-            nxt = logits.argmax(-1)[:, None]
-            truth.append(int(nxt[0, 0]))
-            logits = cpu_model(nxt, L + i).numpy()[:, -1, :]
-    return truth, margins
-
-
-def fidelity_gate(model, prompt_ids, truth, margins, quant):
-    """Returns (checked_steps, ok) for one weight format: the fused
-    whole-token kernel, teacher-forced along the CPU truth stream."""
-    import functools
-
-    import jax
+def gate_config(name, cfg, *, quant=None, B=1, kind="argmax",
+                steps=FID_STEPS, margin=None, truth_cache={}):
+    """Run one variant's hardware gate; returns a JSON-ready dict.
+    CPU truth streams are cached per (cfg-id, B) so the two 15M formats
+    share one eager run."""
     import jax.numpy as jnp
-    from pydynet_tpu.ops.decode_step import (fused_decode_token,
-                                             lane_pad_dim, pad_cache_lanes,
-                                             pick_sb, pick_vt)
 
-    w = model._fused_weights(jnp.bfloat16, quant)
-    N, S, D = model.n_layers, model.max_seq_len, model.embed_dim
-    Dp = lane_pad_dim(D)
-    vt, sb = pick_vt(model.vocab_size), pick_sb(S)
-    prefill, _ = model._make_decode_fns()
-    ck5, cv5 = model._empty_caches(1, w["tok"].dtype)
-    tok0, ck5, cv5 = prefill(w, ck5, cv5,
-                             jnp.asarray(prompt_ids, jnp.int32), 0)
-    ck = pad_cache_lanes(ck5.reshape(N, S, D), Dp)
-    cv = pad_cache_lanes(cv5.reshape(N, S, D), Dp)
-    qhead = "head_s" in w
-    qlayers = "s_attn" in w  # int8 layer weights live under "_q" keys
+    import pydynet_tpu as pdn
+    from pydynet_tpu.utils import fidelity
 
-    def W(weights, name):
-        return weights[name + "_q"] if qlayers else weights[name]
+    out = {"name": name, "checked": 0, "ok": False}
+    try:
+        key = (json.dumps({k: str(v) for k, v in cfg.items()}), B)
+        prompt = np.tile(PROMPT, (B, 1)) + np.arange(B)[:, None] * 7
+        prompt[:, 0] = 1
+        with pdn.no_grad():
+            cached = truth_cache.get(key)
+            if cached is None:
+                cpu = build_model(dict(cfg, max_batch_size=B))
+                truth, margins, tops = fidelity.greedy_truth(cpu, prompt,
+                                                             steps)
+                dev = cpu.to("cuda:0")  # same weights, now on the chip
+                truth_cache[key] = (truth, margins, tops, dev)
+            else:
+                truth, margins, tops, dev = cached
+            # no reset needed between formats: the chunk/step closures are
+            # retraced per weights-dict key set (quant adds keys), and
+            # keeping them shares the compiled prefill across gates
+            if kind == "argmax":
+                kw = {} if margin is None else {"margin": margin}
+                checked, ok = fidelity.gate_fused_argmax(
+                    dev, prompt, truth, margins, tops, dtype=jnp.bfloat16,
+                    quant=quant, **kw)
+                out.update(checked=checked, ok=bool(ok))
+            else:  # logits head (sampling mode), f32, scale-aware tol
+                diff, ok = fidelity.gate_fused_logits(dev, prompt, truth)
+                out.update(checked=steps - 1, ok=bool(ok),
+                           max_diff=round(diff, 5))
+    except Exception as e:
+        print(f"# gate {name} crashed ({type(e).__name__}: {e})",
+              file=sys.stderr)
+        out["error"] = f"{type(e).__name__}: {e}"
+    return out
 
-    @functools.partial(jax.jit, donate_argnums=(1, 2))
-    def tf_chunk(weights, ck, cv, toks_in, pos0):
-        def step(carry, tin):
-            ck, cv, p = carry
-            nxt, ck, cv = fused_decode_token(
-                p, tin, weights["tok"], weights["cosD"], weights["sinD"],
-                weights["rot"], weights["hmask_pad"], weights["norm2"],
-                W(weights, "wq"), W(weights, "wk"), W(weights, "wv"),
-                W(weights, "wo"),
-                W(weights, "gate_w"), W(weights, "up_w"),
-                W(weights, "down"),
-                weights["in_norm2"], weights["post_norm2"],
-                weights["head_wq"] if qhead else weights["head_w"],
-                weights["head_b2"], ck, cv, vt=vt, sb=sb,
-                s_attn=weights.get("s_attn"), s_ffn=weights.get("s_ffn"),
-                head_s=weights.get("head_s"))
-            return (ck, cv, p + 1), nxt
 
-        (ck, cv, p), outs = jax.lax.scan(
-            step, (ck, cv, jnp.asarray(pos0, jnp.int32)), toks_in)
-        return outs  # outs[i] = kernel argmax after consuming toks_in[i]
+def marginal_us_token(model, quant):
+    """On-device marginal cost per fused decode step (see module doc)."""
+    import jax.numpy as jnp
 
-    # feed [truth[0], ..., truth[-2]]; the kernel's output after consuming
-    # truth[i-1] at pos L+i must equal truth[i]
-    L = prompt_ids.shape[1]
-    toks_in = jnp.asarray(np.array(truth[:-1])[:, None], jnp.int32)
-    first = int(np.asarray(tok0)[0])
-    outs = np.asarray(tf_chunk(w, ck, cv, toks_in, L))[:, 0]
+    import pydynet_tpu as pdn
+    from pydynet_tpu.utils.fidelity import _fused_setup
 
-    checked = ok = 0
-    # step 0: prefill argmax (bf16 XLA) vs truth[0]
-    if margins[0] > MARGIN:
-        checked += 1
-        ok += int(first == truth[0])
-    for i in range(1, FID_STEPS):
-        if margins[i] > MARGIN:
-            checked += 1
-            ok += int(int(outs[i - 1]) == truth[i])
-    # fail closed: zero confident steps means NOTHING was verified — do not
-    # let a format into the race on a vacuous 0 == 0
-    return checked, checked > 0 and ok == checked
+    with pdn.no_grad():
+        if model._fused_chunk_fn is None:
+            model._fused_chunk_fn = model._make_fused_decode_fns()
+        decode_chunk = model._fused_chunk_fn[0]
+
+        def run_len(n, seed):
+            # fresh prefill per trial: donation consumed the old caches and
+            # fresh buffers defeat same-buffer replay memoization
+            prompt = PROMPT + seed
+            prompt[0, 0] = 1
+            w, ck, cv, tok0, _ = _fused_setup(model, prompt, jnp.bfloat16,
+                                              quant)
+            t0 = time.time()
+            ck, cv, toks = decode_chunk(w, ck, cv, tok0,
+                                        prompt.shape[1], n)
+            np.asarray(toks)  # the only reliable sync through the tunnel
+            return time.time() - t0
+
+        run_len(64, 0)  # compile both lengths outside the timed region
+        run_len(512, 0)
+        t64 = min(run_len(64, s) for s in (1, 2, 3))
+        t512 = min(run_len(512, s) for s in (1, 2, 3))
+    return max(0.0, (t512 - t64) / (512 - 64) * 1e6)
 
 
 def main():
     import jax.numpy as jnp
+
     import pydynet_tpu as pdn
 
-    model = build_model("cuda:0" if __import__("pydynet_tpu").cuda.
-                        is_available() else None)
+    model = build_model(device="cuda:0" if pdn.cuda.is_available() else None)
 
-    prompt_ids = np.array([[1, 243, 532, 991]])
     total = 1024
     dtype = jnp.bfloat16
     fused_supported = model.device.kind == "accel" \
         and model._fused_decode_supported()
 
-    formats = []  # (quant, checked, ok)
+    configs = []
+    formats = []  # headline race entrants: (quant, checked, ok)
     if fused_supported:
-        with pdn.no_grad():
-            truth, margins = cpu_truth(prompt_ids)
-            for quant in (None, "int8-head"):
-                try:
-                    checked, ok = fidelity_gate(model, prompt_ids, truth,
-                                                margins, quant)
-                except Exception as e:
-                    print(f"# fidelity gate for quant={quant} crashed "
-                          f"({type(e).__name__}: {e})", file=sys.stderr)
-                    checked, ok = 0, False
-                if not ok:
-                    print(f"# FIDELITY GATE FAILED for quant={quant}: fused "
-                          "kernel argmax diverged from f32 ground truth at "
-                          "a confident step", file=sys.stderr)
-                else:
-                    formats.append((quant, checked, ok))
+        for name, cfg, kw in (
+            ("b1-bf16", STORIES15M, {}),
+            ("b1-int8-head", STORIES15M, {"quant": "int8-head"}),
+            # full-layer int8 legitimately perturbs logits by ~1% of their
+            # scale (per-call activation quantization across 6 layers), so
+            # its gate demands a margin above quantization error, not bf16
+            # noise — it still catches gross breakage (bad scales produce
+            # near-random argmax at any margin)
+            ("b1-int8", STORIES15M, {"quant": "int8", "margin": 1.0}),
+            ("batched-b4", STORIES15M, {"B": 4}),
+            ("batched-b32", STORIES15M, {"B": 32}),
+            ("gqa-6q2kv-narrow", GQA_15M, {}),
+            ("logits-head-f32", STORIES15M, {"kind": "logits"}),
+            ("stories110m-b1", STORIES110M, {}),
+        ):
+            g = gate_config(name, cfg, **kw)
+            configs.append(g)
+            if name in ("b1-bf16", "b1-int8-head") and g["ok"]:
+                formats.append((kw.get("quant"), g["checked"], True))
+            print(f"# gate {name}: checked={g['checked']} ok={g['ok']}",
+                  file=sys.stderr)
 
     with pdn.no_grad():
         best, best_quant = 0.0, None
@@ -175,7 +178,7 @@ def main():
         if formats:  # fused race: each surviving format, whole-seq dispatch
             for quant, checked, ok in formats:
                 try:
-                    list(model.generate(prompt_ids, total, chunk=total,
+                    list(model.generate(PROMPT, total, chunk=total,
                                         dtype=dtype, fused=True,
                                         quant=quant))  # warmup
                 except Exception as e:
@@ -184,7 +187,7 @@ def main():
                     continue
                 for _ in range(6):
                     t0 = time.time()
-                    toks = list(model.generate(prompt_ids, total,
+                    toks = list(model.generate(PROMPT, total,
                                                chunk=total, dtype=dtype,
                                                fused=True, quant=quant))
                     dt = time.time() - t0
@@ -193,14 +196,21 @@ def main():
                         best_quant = quant
                         fid_checked, fid_ok = checked, ok
         fused = bool(formats) and best > 0
+        marginal = None
+        if fused:
+            try:
+                marginal = round(marginal_us_token(model, best_quant), 2)
+            except Exception as e:
+                print(f"# marginal measurement crashed "
+                      f"({type(e).__name__}: {e})", file=sys.stderr)
         if not fused:  # XLA fallback path
             print("# falling back to the XLA decode path", file=sys.stderr)
             for chunk in (total, 512):
-                list(model.generate(prompt_ids, total, chunk=chunk,
+                list(model.generate(PROMPT, total, chunk=chunk,
                                     dtype=dtype, fused=False))
                 for _ in range(5):
                     t0 = time.time()
-                    toks = list(model.generate(prompt_ids, total,
+                    toks = list(model.generate(PROMPT, total,
                                                chunk=chunk, dtype=dtype,
                                                fused=False))
                     best = max(best, len(toks) / (time.time() - t0))
@@ -214,6 +224,8 @@ def main():
         "quant": best_quant or "bf16",
         "fidelity_checked": fid_checked,
         "fidelity_ok": bool(fid_ok),
+        "marginal_us_token": marginal,
+        "configs": configs,
     }))
 
 

@@ -778,6 +778,52 @@ class Llama(nn.Module):
                             rotk=weights["rotk"], egqa=weights["egqa"])
             return {}
 
+        def fused_step(weights, ck, cv, tok, p, emit_logits=False):
+            """One whole-token kernel launch (B=1) with all weight-format
+            plumbing (int8 scales, narrow GQA) resolved from the weights
+            dict — the single source the chunk fns AND the fidelity gates
+            (utils/fidelity.py, bench.py, the pytest tpu lane) build on."""
+            qhead = "head_s" in weights
+            qlayers = "s_attn" in weights
+            nkw = _narrow_kw(weights)
+
+            def W(name):
+                if nkw and name in ("wk", "wv"):
+                    return weights[name + "_n"]
+                return weights[name + "_q"] if qlayers else weights[name]
+
+            return fused_decode_token(
+                p, tok, weights["tok"], weights["cosD"], weights["sinD"],
+                weights["rot"], weights["hmask_pad"], weights["norm2"],
+                W("wq"), W("wk"), W("wv"), W("wo"),
+                W("gate_w"), W("up_w"), W("down"),
+                weights["in_norm2"], weights["post_norm2"],
+                weights["head_wq"] if qhead else weights["head_w"],
+                weights["head_b2"], ck, cv, vt=vt, sb=sb,
+                s_attn=weights.get("s_attn"), s_ffn=weights.get("s_ffn"),
+                head_s=weights.get("head_s"), emit_logits=emit_logits,
+                **nkw)
+
+        def fused_step_batched(weights, ck, cv, tok, p, emit_logits=False,
+                               starts=None):
+            """Batched sibling of ``fused_step``: ``tok`` is (B,); the
+            embedding gather happens here (one tiny XLA kernel).
+            ``starts`` (B,) i32 sets per-row attention lower bounds — the
+            continuous-batching serving hook (models/llama/serve.py)."""
+            from ...ops.decode_step import fused_decode_token_batched
+
+            nkw = _narrow_kw(weights)
+            wk_ = weights["wk_n"] if nkw else weights["wk"]
+            wv_ = weights["wv_n"] if nkw else weights["wv"]
+            h0 = weights["tok"][tok].astype(jnp.float32)  # (B, D)
+            return fused_decode_token_batched(
+                p, h0, weights["cosD"], weights["sinD"], weights["rot"],
+                weights["hmask_pad"], weights["norm2"], weights["wq"],
+                wk_, wv_, weights["wo"], weights["gate_w"], weights["up_w"],
+                weights["down"], weights["in_norm2"], weights["post_norm2"],
+                weights["head_w"], weights["head_b2"], ck, cv,
+                vt=vt, sb=sb, emit_logits=emit_logits, starts=starts, **nkw)
+
         @partial(jax.jit, static_argnames=("n_steps",),
                  donate_argnames=("ck", "cv"))
         def decode_chunk(weights, ck, cv, last_tok, pos, n_steps):
@@ -785,29 +831,9 @@ class Llama(nn.Module):
             (N, S, Dkp) narrow under GQA.  If the weight pytree carries
             int8 scales (_fused_weights(quant=...)), the kernel runs the
             weight-only-int8 path for those weights."""
-            qhead = "head_s" in weights    # static at trace time
-            qlayers = "s_attn" in weights  # int8 layer weights: "_q" keys
-            nkw = _narrow_kw(weights)
-
-            def W(name):
-                if nkw and name in ("wk", "wv"):
-                    return weights[name + "_n"]  # narrow (N, D, Dkp)
-                return weights[name + "_q"] if qlayers else weights[name]
-
             def step(carry, _):
                 ck, cv, tok, p = carry
-                nxt, ck, cv = fused_decode_token(
-                    p, tok, weights["tok"], weights["cosD"], weights["sinD"],
-                    weights["rot"], weights["hmask_pad"], weights["norm2"],
-                    W("wq"), W("wk"), W("wv"),
-                    W("wo"), W("gate_w"), W("up_w"),
-                    W("down"), weights["in_norm2"],
-                    weights["post_norm2"],
-                    weights["head_wq"] if qhead else weights["head_w"],
-                    weights["head_b2"], ck, cv, vt=vt, sb=sb,
-                    s_attn=weights.get("s_attn"),
-                    s_ffn=weights.get("s_ffn"),
-                    head_s=weights.get("head_s"), **nkw)
+                nxt, ck, cv = fused_step(weights, ck, cv, tok, p)
                 return (ck, cv, nxt.astype(tok.dtype), p + 1), nxt
 
             pos = jnp.asarray(pos, jnp.int32)
@@ -823,23 +849,9 @@ class Llama(nn.Module):
             weight matrix ONCE per token for the whole batch
             (ops/decode_step.fused_decode_token_batched).  Two launches per
             token: the (B,) embedding gather + the kernel."""
-            from ...ops.decode_step import fused_decode_token_batched
-
-            nkw = _narrow_kw(weights)
-            wk_ = weights["wk_n"] if nkw else weights["wk"]
-            wv_ = weights["wv_n"] if nkw else weights["wv"]
-
             def step(carry, _):
                 ck, cv, tok, p = carry
-                h0 = weights["tok"][tok].astype(jnp.float32)  # (B, D)
-                nxt, ck, cv = fused_decode_token_batched(
-                    p, h0, weights["cosD"], weights["sinD"], weights["rot"],
-                    weights["hmask_pad"], weights["norm2"], weights["wq"],
-                    wk_, wv_, weights["wo"],
-                    weights["gate_w"], weights["up_w"], weights["down"],
-                    weights["in_norm2"], weights["post_norm2"],
-                    weights["head_w"], weights["head_b2"], ck, cv,
-                    vt=vt, sb=sb, **nkw)
+                nxt, ck, cv = fused_step_batched(weights, ck, cv, tok, p)
                 return (ck, cv, nxt.astype(tok.dtype), p + 1), nxt
 
             pos = jnp.asarray(pos, jnp.int32)
@@ -860,29 +872,10 @@ class Llama(nn.Module):
             inside the same scan step.  Signature mirrors
             ``_make_sample_fns``'s decode_chunk_sample so ``generate``
             routes either interchangeably."""
-            qhead = "head_s" in weights
-            qlayers = "s_attn" in weights
-            nkw = _narrow_kw(weights)
-
-            def W(name):
-                if nkw and name in ("wk", "wv"):
-                    return weights[name + "_n"]
-                return weights[name + "_q"] if qlayers else weights[name]
-
             def step(carry, _):
                 ck, cv, tok, p, key, seen = carry
-                logits, ck, cv = fused_decode_token(
-                    p, tok, weights["tok"], weights["cosD"], weights["sinD"],
-                    weights["rot"], weights["hmask_pad"], weights["norm2"],
-                    W("wq"), W("wk"), W("wv"),
-                    W("wo"), W("gate_w"), W("up_w"),
-                    W("down"), weights["in_norm2"],
-                    weights["post_norm2"],
-                    weights["head_wq"] if qhead else weights["head_w"],
-                    weights["head_b2"], ck, cv, vt=vt, sb=sb,
-                    s_attn=weights.get("s_attn"),
-                    s_ffn=weights.get("s_ffn"),
-                    head_s=weights.get("head_s"), emit_logits=True, **nkw)
+                logits, ck, cv = fused_step(weights, ck, cv, tok, p,
+                                            emit_logits=True)
                 key, sub = jax.random.split(key)
                 nxt = sample_logits(logits, sub, temperature, top_k, top_p,
                                     seen, rep).astype(tok.dtype)
@@ -902,23 +895,10 @@ class Llama(nn.Module):
                                         rep, seen):
             """B>1 sampled decode on the batched whole-token kernel
             (``emit_logits`` -> (B, V) logits -> ``sample_logits``)."""
-            from ...ops.decode_step import fused_decode_token_batched
-
-            nkw = _narrow_kw(weights)
-            wk_ = weights["wk_n"] if nkw else weights["wk"]
-            wv_ = weights["wv_n"] if nkw else weights["wv"]
-
             def step(carry, _):
                 ck, cv, tok, p, key, seen = carry
-                h0 = weights["tok"][tok].astype(jnp.float32)  # (B, D)
-                logits, ck, cv = fused_decode_token_batched(
-                    p, h0, weights["cosD"], weights["sinD"], weights["rot"],
-                    weights["hmask_pad"], weights["norm2"], weights["wq"],
-                    wk_, wv_, weights["wo"],
-                    weights["gate_w"], weights["up_w"], weights["down"],
-                    weights["in_norm2"], weights["post_norm2"],
-                    weights["head_w"], weights["head_b2"], ck, cv,
-                    vt=vt, sb=sb, emit_logits=True, **nkw)
+                logits, ck, cv = fused_step_batched(weights, ck, cv, tok, p,
+                                                    emit_logits=True)
                 key, sub = jax.random.split(key)
                 nxt = sample_logits(logits, sub, temperature, top_k, top_p,
                                     seen, rep).astype(tok.dtype)
@@ -960,7 +940,8 @@ class Llama(nn.Module):
             return jnp.concatenate([tok[None], toks], axis=0)
 
         return (decode_chunk, prefill_decode, decode_chunk_batched,
-                decode_chunk_sample, decode_chunk_sample_batched)
+                decode_chunk_sample, decode_chunk_sample_batched,
+                fused_step, fused_step_batched)
 
     def _kv_flat(self, c5, narrow: bool = False):
         """(N, B, S, Hkv, hd) XLA cache -> (N, [B,] S, W) fused-kernel

@@ -1,0 +1,295 @@
+"""Continuous-batching decode server over the batched whole-token kernel.
+
+Serving extension beyond the reference (its ``generate`` is a single-prompt
+Python generator, reference llm/llama/model.py:258-269): ``B`` cache slots
+decode in lockstep at ONE shared position — one batched Pallas launch per
+token for the whole fleet — and a finished slot is recycled for the next
+queued request *without touching the other slots*:
+
+* the new prompt is prefilled into the slot's PAST cache rows
+  ``[pos - len, pos)`` at their absolute positions (one XLA dispatch, rows
+  scattered into the batched cache), overwriting the previous request's
+  stale keys/values;
+* the slot's attention is lower-bounded at its admission row via the
+  kernel's per-row ``starts`` input, so stale rows below it are invisible;
+* rotary attention scores depend only on RELATIVE distance, so a request
+  decoded at shifted absolute positions emits exactly the tokens it would
+  from position 0 (up to float rounding of the rotary tables).
+
+The result is vLLM-style continuous batching with a static-shape TPU
+program: no per-slot position plumbing in the kernel, no recompiles on
+admission (slot index and base position are traced scalars; only a new
+prompt LENGTH triggers a one-time prefill compile).
+
+Scheduling rules that fall out of the shared position:
+* admission needs ``len(prompt) <= pos`` (the prompt lands in past rows) —
+  except on an idle server, where ``pos`` jumps to the prompt length;
+* the server stops admitting when the cache end nears; requests still
+  decoding at ``max_seq_len`` are finished as truncated.
+"""
+from __future__ import annotations
+
+import itertools
+from collections import deque
+from dataclasses import dataclass, field
+from functools import partial
+
+import numpy as np
+
+
+@dataclass
+class Request:
+    rid: int
+    prompt: list
+    max_new_tokens: int
+    tokens: list = field(default_factory=list)  # generated ids
+    done: bool = False
+    truncated: bool = False
+
+
+class LlamaServer:
+    """Greedy or sampled continuous-batching decode for one Llama model.
+
+    >>> srv = LlamaServer(model, batch_size=8, dtype=jnp.bfloat16)
+    >>> rid = srv.submit(tokenizer.encode(prompt))
+    >>> done = srv.run()           # {rid: Request}
+    """
+
+    def __init__(self, model, batch_size: int = 8, dtype=None,
+                 chunk: int = 16, eos_id: int = 2, temperature: float = 0.0,
+                 top_k: int = None, top_p: float = None, seed: int = 0):
+        import jax
+        import jax.numpy as jnp
+
+        from ...ops.decode_step import lane_pad_dim, pad_cache_lanes
+        from .model import sample_logits
+
+        assert model._fused_decode_supported(), \
+            "serving uses the batched whole-token kernel (shape constraints)"
+        model.eval()
+        self.model = model
+        self.B = batch_size
+        self.chunk = chunk
+        self.eos_id = eos_id
+        self.sampling = temperature is not None and temperature > 0
+        self._temp = float(temperature or 0.0)
+        self._top_k, self._top_p = top_k, top_p
+        self._key = jax.random.PRNGKey(seed)
+
+        if model._decode_fns is None:
+            model._decode_fns = model._make_decode_fns()
+        if model._fused_chunk_fn is None:
+            model._fused_chunk_fn = model._make_fused_decode_fns()
+        fused_step_batched = model._fused_chunk_fn[6]
+        forward_tokens = model._xla_forward_tokens
+
+        w = model._weights_cache.get(("serve", dtype))
+        if w is None:
+            w = model._fused_weights(dtype)
+            model._weights_cache[("serve", dtype)] = w
+        self._w = w
+        narrow = "egqa" in w and "s_attn" not in w
+        self._narrow = narrow
+        width = lane_pad_dim(
+            (model.n_kv_heads if narrow else model.n_heads) * model.head_dim)
+        N, S = model.n_layers, model.max_seq_len
+        self.S = S
+        cdt = w["tok"].dtype
+        self._ck = jnp.zeros((N, self.B, S, width), cdt)
+        self._cv = jnp.zeros((N, self.B, S, width), cdt)
+        self._tok = jnp.ones((self.B,), jnp.int32)
+        self._starts = np.zeros(self.B, np.int32)
+        self._pos = 0
+        self._slots: list = [None] * self.B
+        self._queue: deque = deque()
+        self._rid = itertools.count()
+        self._finished: dict = {}
+
+        Hkv, hd = model.n_kv_heads, model.head_dim
+
+        # narrow-GQA weights carry width-matched RoPE tables already;
+        # MHA pads the full-width ones to the cache width once here
+        if narrow:
+            rot_c, rot_s, rot_m = w["cosDk"], w["sinDk"], w["rotk"]
+        else:
+            from ...ops.decode_step import rope_pair_swap_matrix
+
+            D = model.embed_dim
+            padw = ((0, 0), (0, width - D))
+            rot_c = jnp.pad(w["cosD"], padw)
+            rot_s = jnp.pad(w["sinD"], padw)
+            rot_m = jnp.pad(rope_pair_swap_matrix(D, w["cosD"].dtype),
+                            ((0, width - D), (0, width - D)))
+
+        @partial(jax.jit, donate_argnums=(1, 2))
+        def admit(w, ck, cv, prompt, pos0, slot):
+            """Prefill one request into slot ``slot`` at absolute rows
+            [pos0, pos0+L) of the shared cache; returns its first greedy
+            token.  slot/pos0 are traced — no recompile per admission.
+
+            The prefill itself runs at position 0 (exactly the standalone
+            ``generate`` semantics — at pos0 it would attend the empty
+            rows below it), and the K rows are then post-rotated by the
+            shift: rotary rotations compose additively, so a row rotated
+            for position p and again by row pos0 of the table carries the
+            rotation for absolute position p + pos0."""
+            L = prompt.shape[1]
+            ck1 = jnp.zeros((N, 1, S, Hkv, hd), cdt)
+            cv1 = jnp.zeros((N, 1, S, Hkv, hd), cdt)
+            tok1, ck1, cv1 = forward_tokens(w, ck1, cv1, prompt, 0)
+            fk = pad_cache_lanes(model._kv_flat(ck1, narrow), width)
+            fv = pad_cache_lanes(model._kv_flat(cv1, narrow), width)
+            zero = jnp.int32(0)
+            pos0 = jnp.asarray(pos0, jnp.int32)
+            rows_k = jax.lax.dynamic_slice(fk, (zero, zero, zero),
+                                           (N, L, width)).astype(jnp.float32)
+            rows_v = jax.lax.dynamic_slice(fv, (zero, zero, zero),
+                                           (N, L, width))
+            cd = rot_c[pos0].astype(jnp.float32)[None, None]  # (1, 1, W)
+            sd = rot_s[pos0].astype(jnp.float32)[None, None]
+            rm = rot_m.astype(jnp.float32)
+            rows_k = (rows_k * cd + (rows_k @ rm) * sd).astype(cdt)
+            slot = jnp.asarray(slot, jnp.int32)
+            ck = jax.lax.dynamic_update_slice(
+                ck, rows_k[:, None], (zero, slot, pos0, zero))
+            cv = jax.lax.dynamic_update_slice(
+                cv, rows_v[:, None], (zero, slot, pos0, zero))
+            return tok1[0], ck, cv
+
+        @partial(jax.jit, static_argnames=("n",), donate_argnums=(1, 2))
+        def decode(w, ck, cv, tok, pos, starts, n):
+            def step(carry, _):
+                ck, cv, tok, p = carry
+                nxt, ck, cv = fused_step_batched(w, ck, cv, tok, p,
+                                                 starts=starts)
+                return (ck, cv, nxt.astype(tok.dtype), p + 1), nxt
+
+            pos = jnp.asarray(pos, jnp.int32)
+            (ck, cv, tok, p), toks = jax.lax.scan(
+                step, (ck, cv, tok, pos), None, length=n)
+            return ck, cv, tok, toks  # toks (n, B)
+
+        @partial(jax.jit,
+                 static_argnames=("n", "top_k", "top_p"),
+                 donate_argnums=(1, 2))
+        def decode_sampled(w, ck, cv, tok, pos, starts, key, temperature,
+                           n, top_k, top_p):
+            def step(carry, _):
+                ck, cv, tok, p, key = carry
+                logits, ck, cv = fused_step_batched(w, ck, cv, tok, p,
+                                                    emit_logits=True,
+                                                    starts=starts)
+                key, sub = jax.random.split(key)
+                nxt = sample_logits(logits, sub, temperature, top_k,
+                                    top_p).astype(tok.dtype)
+                return (ck, cv, nxt, p + 1, key), nxt
+
+            pos = jnp.asarray(pos, jnp.int32)
+            (ck, cv, tok, p, key), toks = jax.lax.scan(
+                step, (ck, cv, tok, pos, key), None, length=n)
+            return ck, cv, tok, toks, key
+
+        self._admit, self._decode = admit, decode
+        self._decode_sampled = decode_sampled
+        self._jnp = jnp
+
+    # ------------------------------ API ------------------------------ #
+    def submit(self, prompt_ids, max_new_tokens: int = 256) -> int:
+        """Queue one prompt (list/array of token ids); returns request id."""
+        prompt = [int(t) for t in np.asarray(prompt_ids).reshape(-1)]
+        assert 0 < len(prompt) < self.S, len(prompt)
+        rid = next(self._rid)
+        self._queue.append(Request(rid, prompt, int(max_new_tokens)))
+        return rid
+
+    @property
+    def active(self) -> int:
+        return sum(1 for r in self._slots if r is not None)
+
+    def _try_admit(self):
+        jnp = self._jnp
+        for slot in range(self.B):
+            if self._slots[slot] is not None or not self._queue:
+                continue
+            req = self._queue[0]
+            L = len(req.prompt)
+            if self.active == 0 and (self._pos < L or self._pos >= self.S):
+                # idle server: jump (or rewind after exhaustion) so the
+                # prompt has past rows to land in — stale rows below the
+                # new start stay masked, so this is always safe when no
+                # other slot is mid-request
+                self._pos = L
+            if L > self._pos or self._pos >= self.S:
+                continue  # must land in past rows (see module doc)
+            self._queue.popleft()
+            pos0 = self._pos - L
+            tok0, self._ck, self._cv = self._admit(
+                self._w, self._ck, self._cv,
+                jnp.asarray([req.prompt], jnp.int32), pos0, slot)
+            self._tok = self._tok.at[slot].set(jnp.asarray(tok0, jnp.int32))
+            self._starts[slot] = pos0
+            # the prefill token is the request's first generated token
+            req.tokens.append(int(tok0))
+            self._slots[slot] = req
+            self._maybe_finish(slot)
+
+    def _maybe_finish(self, slot, truncated=False):
+        req = self._slots[slot]
+        if req is None:
+            return
+        if req.tokens and req.tokens[-1] == self.eos_id:
+            req.tokens.pop()  # EOS itself is not emitted
+            req.done = True
+        elif len(req.tokens) >= req.max_new_tokens or truncated:
+            req.done = True
+            req.truncated = truncated
+        if req.done:
+            self._finished[req.rid] = req
+            self._slots[slot] = None
+
+    def step(self, n: int = None):
+        """Admit what fits, then decode ``n`` (default ``chunk``) tokens for
+        every slot in one compiled scan; returns newly finished requests."""
+        before = set(self._finished)
+        self._try_admit()
+        if self.active == 0:
+            return []
+        n = n or self.chunk
+        n = min(n, self.S - self._pos)
+        if n <= 0:  # cache exhausted: finish everything as truncated
+            for slot in range(self.B):
+                self._maybe_finish(slot, truncated=True)
+            if self.active == 0:
+                self._pos = 0  # fleet drained: rewind for the queue
+            return [self._finished[r] for r in set(self._finished) - before]
+        starts = self._jnp.asarray(self._starts, self._jnp.int32)
+        if self.sampling:
+            (self._ck, self._cv, self._tok, toks,
+             self._key) = self._decode_sampled(
+                self._w, self._ck, self._cv, self._tok, self._pos, starts,
+                self._key, self._jnp.float32(self._temp), n,
+                self._top_k, self._top_p)
+        else:
+            self._ck, self._cv, self._tok, toks = self._decode(
+                self._w, self._ck, self._cv, self._tok, self._pos, starts, n)
+        self._pos += n
+        toks = np.asarray(toks)  # (n, B) — the per-chunk host readback
+        for slot in range(self.B):
+            req = self._slots[slot]
+            if req is None:
+                continue
+            for t in toks[:, slot]:
+                req.tokens.append(int(t))
+                if req.tokens[-1] == self.eos_id \
+                        or len(req.tokens) >= req.max_new_tokens:
+                    break
+            self._maybe_finish(slot)
+        return [self._finished[r] for r in set(self._finished) - before]
+
+    def run(self, max_steps: int = 10_000) -> dict:
+        """Drive until the queue and all slots drain; {rid: Request}."""
+        for _ in range(max_steps):
+            if not self._queue and self.active == 0:
+                break
+            self.step()
+        return dict(self._finished)

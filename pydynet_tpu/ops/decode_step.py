@@ -464,7 +464,8 @@ def _token_kernel_batched(idx_ref,  # scalar prefetch: (1,) i32 = [pos]
                           n_layers: int, n_heads: int, dim: int,
                           dpad: int, vt: int, n_tiles: int, sb: int,
                           batch: int, emit_logits: bool = False,
-                          dkp: int = None, narrow: bool = False):
+                          dkp: int = None, narrow: bool = False,
+                          with_starts: bool = False):
     """Batched variant of ``_token_kernel``: the hidden state is (B, D), so
     every weight matrix streams from HBM ONCE per token for the whole batch
     (the vmapped fallback re-streams weights per row), and the qkv/ffn/head
@@ -480,13 +481,24 @@ def _token_kernel_batched(idx_ref,  # scalar prefetch: (1,) i32 = [pos]
 
     ``narrow`` (true-GQA): same contract as ``_token_kernel`` — narrow
     (dkp-wide) KV rows with dedicated RoPE tables and the ``egqa``
-    expansion matrix; caches are (N, B, S, dkp)."""
+    expansion matrix; caches are (N, B, S, dkp).
+
+    ``with_starts`` (continuous-batching serving): a (B, 1) i32 VMEM input
+    of per-row attention LOWER bounds — row b attends cache rows
+    [starts[b], pos].  Slots recycled for a new request at the shared
+    position keep stale rows below their start invisible; RoPE scores
+    depend only on relative distance, so a request shifted to start at
+    position ``starts[b]`` decodes the same tokens it would from 0."""
     rest = list(rest)
     cosk_blk = sink_blk = rotk = egqa = None
     cosk_row = sink_row = None
+    starts = None
     if narrow:
         cosk_blk, sink_blk, rotk, egqa = rest[0:4]
         del rest[0:4]
+    if with_starts:
+        starts = rest.pop(0)
+    if narrow:
         cosk_row, sink_row = rest[8], rest[9]
         del rest[8:10]
     (ck_in, cv_in, out0, ck, cv,
@@ -634,7 +646,12 @@ def _token_kernel_batched(idx_ref,  # scalar prefetch: (1,) i32 = [pos]
             s = diag_blocks(s_full, sb, H)  # (B, sb, H)
             rows = blk * np.int32(sb) + jax.lax.broadcasted_iota(
                 jnp.int32, (B, sb, H), 1)
-            s = jnp.where(rows < pos, s, jnp.float32(-jnp.inf))
+            valid = rows < pos
+            if with_starts:
+                # serving: row b sees only its own request's cache rows
+                valid = jnp.logical_and(
+                    valid, rows >= starts[:].reshape(B, 1, 1))
+            s = jnp.where(valid, s, jnp.float32(-jnp.inf))
             m_new = jnp.maximum(m, jnp.max(s, axis=1))       # (B, H)
             corr = jnp.exp(m - m_new)                        # (B, H)
             p = jnp.exp(s - m_new[:, None, :])               # (B, sb, H)
@@ -700,7 +717,8 @@ def fused_decode_token_batched(pos, h0, cosr, sinr, rot, hmask, final_norm,
                                in_norm, post_norm, head_w, head_b, ck, cv,
                                vt: int = 6400, sb: int = 256,
                                interpret=False, emit_logits: bool = False,
-                               cosk=None, sink=None, rotk=None, egqa=None):
+                               cosk=None, sink=None, rotk=None, egqa=None,
+                               starts=None):
     """Batched greedy decode step: ONE Pallas launch for B rows.
 
     ``h0`` (B, D) f32 is the already-gathered previous-token embedding
@@ -795,6 +813,10 @@ def fused_decode_token_batched(pos, h0, cosr, sinr, rot, hmask, final_norm,
             full(CW, Dp),    # egqa expansion matrix
         ]
         extra_ops += (cosk, sink, rotk, egqa)
+    with_starts = starts is not None
+    if with_starts:
+        in_specs += [full(B, 1)]  # per-row attention lower bounds (serving)
+        extra_ops += (jnp.asarray(starts, jnp.int32).reshape(B, 1),)
     in_specs += [
         any_spec,        # ck (N, B, S, CW)
         any_spec,        # cv
@@ -833,7 +855,8 @@ def fused_decode_token_batched(pos, h0, cosr, sinr, rot, hmask, final_norm,
     kernel = functools.partial(_token_kernel_batched, n_layers=N, n_heads=H,
                                dim=D, dpad=Dp, vt=vt, n_tiles=n_tiles,
                                sb=sb, batch=B, emit_logits=emit_logits,
-                               dkp=CW, narrow=narrow)
+                               dkp=CW, narrow=narrow,
+                               with_starts=with_starts)
     # clamp: surplus chunk steps past the cache end must stay in bounds
     # (see fused_decode_token)
     idx = jnp.minimum(jnp.asarray(pos, jnp.int32),

@@ -131,8 +131,14 @@ def layer_dense(h, W, cos, sin, mask, cfg):
     return z + ((gate * jax.nn.sigmoid(gate)) * up) @ W["down"]
 
 
-def forward_logits(params, tokens, cfg):
-    """Full-sequence causal forward -> (B, L, V) logits."""
+def forward_logits(params, tokens, cfg, remat: bool = False):
+    """Full-sequence causal forward -> (B, L, V) logits.
+
+    ``remat`` wraps each layer in ``jax.checkpoint``: the backward pass
+    recomputes layer activations instead of keeping them live through the
+    whole stack, cutting peak activation memory from O(n_layers · B·L·D)
+    to O(B·L·D) at the cost of one extra forward — the standard
+    HBM-for-FLOPs trade for long-sequence / deep-stack training."""
     B, L = tokens.shape
     h = params["tok"][tokens]
     cos, sin = params["cos"][:L], params["sin"][:L]
@@ -140,8 +146,12 @@ def forward_logits(params, tokens, cfg):
         jnp.arange(L)[:, None] >= jnp.arange(L)[None, :], 0.0,
         -jnp.inf).astype(h.dtype)
 
+    body = layer_dense
+    if remat:
+        body = jax.checkpoint(layer_dense, static_argnums=(5,))
+
     def layer(h, xs):
-        return layer_dense(h, xs, cos, sin, mask, cfg), None
+        return body(h, xs, cos, sin, mask, cfg), None
 
     layer_w = {k: params[k] for k in ("wqkv", "wo", "wgu", "down",
                                       "in_norm", "post_norm")}
@@ -150,8 +160,8 @@ def forward_logits(params, tokens, cfg):
     return h @ params["head_w"] + params["head_b"]
 
 
-def loss_fn(params, tokens, targets, cfg):
-    logits = forward_logits(params, tokens, cfg)
+def loss_fn(params, tokens, targets, cfg, remat: bool = False):
+    logits = forward_logits(params, tokens, cfg, remat=remat)
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)
     return jnp.mean(nll)
@@ -283,12 +293,14 @@ def generate(params, prompt, max_new_tokens: int, mesh: Mesh, cfg,
                            np.asarray(toks).T], axis=1)
 
 
-def make_train_step(mesh: Mesh, cfg, lr: float = 1e-3):
+def make_train_step(mesh: Mesh, cfg, lr: float = 1e-3, remat: bool = False):
     """Compiled SPMD train step: batch sharded dp, params sharded tp.
 
     Returns ``step(params, tokens, targets) -> (params, loss)``; GSPMD
     derives the dp gradient psum and the tp activation collectives from the
-    in/out shardings.
+    in/out shardings.  ``remat`` enables per-layer activation checkpointing
+    (see ``forward_logits``) — same losses, O(1)-in-depth activation
+    memory.
     """
     p_sh = param_shardings(mesh)
     batch_sh = named_sharding(mesh, "dp", None)
@@ -300,7 +312,8 @@ def make_train_step(mesh: Mesh, cfg, lr: float = 1e-3):
              donate_argnums=(0,))
     def step(params, tokens, targets):
         loss, grads = jax.value_and_grad(
-            lambda p, t, y: loss_fn(p, t, y, cfg))(params, tokens, targets)
+            lambda p, t, y: loss_fn(p, t, y, cfg, remat=remat))(
+                params, tokens, targets)
         new_params = jax.tree.map(lambda p, g: p - lr * g, params, grads)
         return new_params, loss
 

@@ -1,0 +1,197 @@
+"""On-hardware fidelity gates for the fused decode kernels.
+
+Shared by ``bench.py`` (per-config gates before the throughput race) and
+the pytest hardware lane (``PDN_TPU_TESTS=1 pytest -m tpu``): every shipped
+kernel variant — B=1 / batched, bf16 / int8 / narrow-GQA, argmax / logits —
+is driven TEACHER-FORCED along a greedy token stream computed by the eager
+f32 module on the host CPU, and its per-step output must match at every
+step whose f32 top-2 logit margin clears bf16 noise.  Teacher forcing
+prevents one near-tie flip from cascading, so this checks the kernel's
+math, not the chaos of a random-weight stream.  (A raw fused-vs-XLA stream
+diff is NOT a valid check: the kernel keeps the residual stream in f32
+while the XLA path rounds to bf16 per layer — at near-ties the two equally
+valid bf16 paths pick different tokens.)
+"""
+from __future__ import annotations
+
+import numpy as np
+
+MARGIN = 0.05   # absolute floor: bf16 rounding at |logit|~5 is ~0.04
+REL_MARGIN = 0.02  # + relative part: bf16 ulp is |logit|/256, and a few
+# ulps accumulate across the layer stack — at stories15M scales (|top
+# logit| 10+) a fixed 0.05 sits BELOW one ulp and flags pure rounding
+# noise as a miss (measured: 1-in-54 "miss" at margin 0.054 on silicon)
+
+
+def greedy_truth(model, prompt_ids, steps: int):
+    """Greedy stream + per-step top-2 margins from the eager f32 module
+    (run this on a CPU-resident model).  Supports B >= 1 rows.
+
+    Returns (truth (steps, B) int, margins (steps, B) float,
+    tops (steps, B) float — the winning logit's value, for the
+    relative-margin confidence threshold)."""
+    import pydynet_tpu as pdn
+
+    prompt_ids = np.asarray(prompt_ids)
+    B, L = prompt_ids.shape
+    truth, margins, tops = [], [], []
+    with pdn.no_grad():
+        logits = model(prompt_ids, 0).numpy()[:, -1, :]
+        for i in range(steps):
+            srt = np.sort(logits, axis=-1)
+            margins.append(srt[:, -1] - srt[:, -2])
+            tops.append(srt[:, -1])
+            nxt = logits.argmax(-1)
+            truth.append(nxt)
+            logits = model(nxt[:, None], L + i).numpy()[:, -1, :]
+    return np.array(truth), np.array(margins), np.array(tops)
+
+
+def _confident(margins, tops, margin, rel):
+    """Per-step confidence mask: the f32 top-2 gap must clear both the
+    absolute floor and ``rel`` of the winning logit's magnitude."""
+    thr = margin + (rel * np.abs(tops) if tops is not None else 0.0)
+    return margins > thr
+
+
+def _fused_setup(model, prompt_ids, dtype, quant):
+    """Prefill on the XLA path, flatten caches to the fused layout the
+    weights dict selects (narrow GQA / expanded), return the pieces a
+    teacher-forced scan needs."""
+    import jax.numpy as jnp
+
+    from ..ops.decode_step import lane_pad_dim, pad_cache_lanes
+
+    B, L = np.asarray(prompt_ids).shape
+    if model._decode_fns is None:
+        model._decode_fns = model._make_decode_fns()
+    if model._fused_chunk_fn is None:
+        model._fused_chunk_fn = model._make_fused_decode_fns()
+    w = model._fused_weights(dtype, quant)
+    prefill = model._decode_fns[0]
+    ck5, cv5 = model._empty_caches(B, w["tok"].dtype)
+    tok0, ck5, cv5 = prefill(w, ck5, cv5,
+                             jnp.asarray(prompt_ids, jnp.int32), 0)
+    narrow = "egqa" in w and "s_attn" not in w
+    width = lane_pad_dim(
+        (model.n_kv_heads if narrow else model.n_heads) * model.head_dim)
+    ck = pad_cache_lanes(model._kv_flat(ck5, narrow), width)
+    cv = pad_cache_lanes(model._kv_flat(cv5, narrow), width)
+    fused_step = model._fused_chunk_fn[5 if B == 1 else 6]
+    return w, ck, cv, tok0, fused_step
+
+
+def gate_fused_argmax(model, prompt_ids, truth, margins, tops=None, *,
+                      dtype=None, quant=None, margin: float = MARGIN,
+                      rel: float = REL_MARGIN):
+    """(checked, ok) for one kernel variant: the fused kernel's argmax,
+    teacher-forced along ``truth``, must equal it at every confident step
+    (see ``_confident`` — absolute floor + relative part when ``tops`` is
+    given).  ``model`` must live on the device under test; B=1 uses the
+    whole-token kernel, B>1 the batched one.  Fails closed: zero confident
+    steps is not a pass."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    prompt_ids = np.asarray(prompt_ids)
+    B, L = prompt_ids.shape
+    w, ck, cv, tok0, fused_step = _fused_setup(model, prompt_ids, dtype,
+                                               quant)
+
+    @functools.partial(jax.jit, donate_argnums=(1, 2))
+    def tf(w, ck, cv, toks_in, pos0):
+        def step(carry, tin):
+            ck, cv, p = carry
+            out, ck, cv = fused_step(w, ck, cv, tin, p)
+            return (ck, cv, p + 1), out
+
+        (ck, cv, p), outs = jax.lax.scan(
+            step, (ck, cv, jnp.asarray(pos0, jnp.int32)), toks_in)
+        return outs
+
+    steps = truth.shape[0]
+    toks_in = jnp.asarray(truth[:-1], jnp.int32)  # (steps-1, B)
+    if B == 1:
+        toks_in = toks_in.reshape(steps - 1, 1)
+    outs = np.asarray(tf(w, ck, cv, toks_in, L)).reshape(steps - 1, B)
+    first = np.asarray(tok0).reshape(B)
+
+    conf = _confident(margins, tops, margin, rel)
+    checked = ok = 0
+    for b in range(B):
+        if conf[0, b]:  # prefill argmax (XLA path)
+            checked += 1
+            ok += int(first[b] == truth[0, b])
+        for i in range(1, steps):
+            if conf[i, b]:
+                checked += 1
+                ok += int(outs[i - 1, b] == truth[i, b])
+    return checked, checked > 0 and ok == checked
+
+
+def gate_fused_logits(model, prompt_ids, truth, *, dtype=None, quant=None,
+                      rel_tol: float = 2e-2, margin: float = MARGIN):
+    """(max_abs_diff, ok): the fused kernel's emit_logits output,
+    teacher-forced along ``truth``, vs the XLA forward's logits along the
+    same stream on the same device/weights.  Validates the sampling-mode
+    head (one launch per token): a tile-indexing bug shows as diffs on the
+    order of the logit range, so ``ok`` requires (a) max |diff| below
+    ``rel_tol`` of the logit scale — on real silicon even f32 matmuls run
+    at the MXU's default (bf16-multiply) precision, so the two op orders
+    legitimately differ at the 1e-2-relative level (interpret mode agrees
+    to ~1e-6) — and (b) identical per-step argmax wherever the XLA top-2
+    margin clears ``margin``."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    prompt_ids = np.asarray(prompt_ids)
+    B, L = prompt_ids.shape
+    assert B == 1, "logits gate is B=1"
+    w, ck, cv, tok0, fused_step = _fused_setup(model, prompt_ids, dtype,
+                                               quant)
+
+    @functools.partial(jax.jit, donate_argnums=(1, 2))
+    def tf(w, ck, cv, toks_in, pos0):
+        def step(carry, tin):
+            ck, cv, p = carry
+            lg, ck, cv = fused_step(w, ck, cv, tin, p, emit_logits=True)
+            return (ck, cv, p + 1), lg
+
+        (ck, cv, p), outs = jax.lax.scan(
+            step, (ck, cv, jnp.asarray(pos0, jnp.int32)), toks_in)
+        return outs  # (steps-1, 1, V)
+
+    steps = truth.shape[0]
+    toks_in = jnp.asarray(truth[:-1], jnp.int32).reshape(steps - 1, 1)
+    fused_lg = np.asarray(tf(w, ck, cv, toks_in, L))[:, 0]
+
+    # XLA logits along the same teacher stream (fresh caches)
+    fwd = model._xla_forward_logits
+
+    @jax.jit
+    def xla_tf(w, toks_in):
+        ck5, cv5 = model._empty_caches(1, w["tok"].dtype)
+        _, ck5, cv5 = fwd(w, ck5, cv5, jnp.asarray(prompt_ids, jnp.int32), 0)
+
+        def step(carry, tin):
+            ck5, cv5, p = carry
+            lg, ck5, cv5 = fwd(w, ck5, cv5, tin[None, None], p)  # (1,1)
+            return (ck5, cv5, p + 1), lg
+
+        (ck5, cv5, p), outs = jax.lax.scan(
+            step, (ck5, cv5, jnp.int32(L)), toks_in)
+        return outs  # (steps-1, 1, V)
+
+    xla_lg = np.asarray(xla_tf(w, toks_in[:, 0]))[:, 0]
+    diff = float(np.abs(fused_lg - xla_lg).max())
+    scale = float(np.abs(xla_lg).max()) or 1.0
+    srt = np.sort(xla_lg, axis=-1)
+    confident = _confident(srt[:, -1] - srt[:, -2], srt[:, -1], margin,
+                           REL_MARGIN)
+    am_ok = bool(np.all(
+        fused_lg[confident].argmax(-1) == xla_lg[confident].argmax(-1)))
+    return diff, (diff < rel_tol * scale) and am_ok

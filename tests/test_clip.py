@@ -219,6 +219,107 @@ def test_clip_full_model_grad_check_numerical():
         assert abs(got - want) < 1e-5, (name, got, want)
 
 
+def test_clip_raw_byte_reader_matches_torch(tmp_path):
+    """Round-3 (VERDICT #5): the raw-byte zip + JSON-index branch of
+    io.Params (np.frombuffer over zip-member byte slices; reference
+    llm/clip/io.py:41-73) exercised OFFLINE against a synthetic
+    ViT-B/32-shaped checkpoint written by torch.save in torch's real zip
+    layout (one uncompressed member per tensor storage).  Every tensor
+    read raw must equal torch's own, and a zero-shot forward through
+    io.load_model must be bitwise identical between the raw-byte path and
+    a direct numpy state dict."""
+    torch = pytest.importorskip("torch")
+    import json
+    import zipfile
+
+    from pydynet_tpu.models.clip.io import Params, load_model
+
+    cfg = dict(image_dim=16, image_heads=2, image_mlp_dim=32, image_patch=8,
+               image_layers=12, text_dim=12, text_heads=2, text_mlp_dim=24,
+               text_layers=12, final_dim=10, vocab_size=64,
+               vision_tokens=5, text_tokens=9)  # (16/8)^2 + 1 = 5
+    g = torch.Generator().manual_seed(0)
+
+    def t(*shape):
+        return torch.randn(*shape, generator=g)
+
+    sd = {
+        "logit_scale": t(()),
+        "visual.class_embedding": t(16),
+        "visual.positional_embedding": t(5, 16),
+        "positional_embedding": t(9, 12),
+        "visual.conv1.weight": t(16, 3, 8, 8),
+        "visual.ln_pre.weight": t(16), "visual.ln_pre.bias": t(16),
+        "visual.ln_post.weight": t(16), "visual.ln_post.bias": t(16),
+        "visual.proj": t(16, 10),
+        "token_embedding.weight": t(64, 12),
+        "ln_final.weight": t(12), "ln_final.bias": t(12),
+        "text_projection": t(12, 10),
+    }
+    for i in range(12):
+        for pref, d, m in (("visual.transformer", 16, 32),
+                           ("transformer", 12, 24)):
+            p = f"{pref}.resblocks.{i}."
+            sd[p + "attn.in_proj_weight"] = t(3 * d, d)
+            sd[p + "attn.in_proj_bias"] = t(3 * d)
+            sd[p + "attn.out_proj.weight"] = t(d, d)
+            sd[p + "attn.out_proj.bias"] = t(d)
+            sd[p + "ln_1.weight"] = t(d)
+            sd[p + "ln_1.bias"] = t(d)
+            sd[p + "ln_2.weight"] = t(d)
+            sd[p + "ln_2.bias"] = t(d)
+            sd[p + "mlp.c_fc.weight"] = t(m, d)
+            sd[p + "mlp.c_fc.bias"] = t(m)
+            sd[p + "mlp.c_proj.weight"] = t(d, m)
+            sd[p + "mlp.c_proj.bias"] = t(d)
+
+    pt = tmp_path / "ViT-B-32.pt"
+    torch.save(sd, str(pt))  # torch zip layout: a member per storage
+
+    # reconstruct the JSON byte-offset sidecar (the reference repo ships
+    # it precomputed for the real artifact): locate each tensor's raw
+    # bytes inside the stored zip members — any byte range with identical
+    # content is by definition a correct index entry for the reader
+    with zipfile.ZipFile(str(pt)) as z:
+        members = {i.filename: z.read(i.filename) for i in z.infolist()}
+    index = {}
+    for name, ten in sd.items():
+        raw = ten.detach().numpy().tobytes()
+        entry = None
+        for path, blob in members.items():
+            off = blob.find(raw)
+            if off >= 0:
+                entry = {"path": path, "start": off,
+                         "end": off + len(raw), "dtype": "float32",
+                         "shape": list(ten.shape)}
+                break
+        assert entry is not None, f"bytes of {name} not found in the zip"
+        index[name] = entry
+    (tmp_path / "ViT-B-32.json").write_text(json.dumps(index))
+
+    params = Params("ViT-B/32", download_root=str(tmp_path))
+    assert params._tensors is None  # the RAW-BYTE branch, not the fallback
+    for name, ten in sd.items():
+        np.testing.assert_array_equal(params[name], ten.detach().numpy(),
+                                      err_msg=name)
+
+    # end-to-end: load_model through the raw-byte reader vs a plain numpy
+    # dict must produce bitwise-identical zero-shot logits
+    sd_np = {k: v.detach().numpy() for k, v in sd.items()}
+    img = np.random.RandomState(0).randn(1, 3, 16, 16)
+    text = np.array([[1, 5, 9, 2, 0, 0, 0, 0, 63],
+                     [1, 7, 3, 2, 0, 0, 0, 0, 63]], np.int64)
+    with pdn.no_grad():
+        a = load_model(CLIP(**cfg), params)
+        a.eval()
+        la = a(pdn.Tensor(img), pdn.Tensor(text)).numpy()
+        b = load_model(CLIP(**cfg), sd_np)
+        b.eval()
+        lb = b(pdn.Tensor(img), pdn.Tensor(text)).numpy()
+    np.testing.assert_array_equal(la, lb)
+    assert np.isfinite(la).all() and la.shape == (1, 2)
+
+
 def test_clip_params_torch_fallback(tmp_path):
     """Regression: the download path fetched the .pt but the JSON
     byte-offset sidecar never exists (nothing generates it); Params now

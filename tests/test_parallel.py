@@ -133,6 +133,34 @@ def test_foreach_mesh_with_tp_shard_rules():
     assert len(w.sharding.device_set) == 8
 
 
+def test_llama_spmd_remat_matches_no_remat():
+    """Activation checkpointing (remat=True wraps each layer in
+    jax.checkpoint) must not change the loss trajectory — it only trades
+    an extra recompute forward for O(1)-in-depth activation memory."""
+    mesh = make_mesh({"dp": 4, "tp": 2})
+    cfg = llama_spmd.config(vocab_size=64, dim=16, n_heads=2, ffn_dim=32,
+                            n_layers=4, max_seq_len=16)
+    rng = np.random.RandomState(0)
+    tokens = shard(rng.randint(0, 64, (8, 8)).astype(np.int32), mesh,
+                   "dp", None)
+    targets = shard(rng.randint(0, 64, (8, 8)).astype(np.int32), mesh,
+                    "dp", None)
+
+    def run(remat):
+        params = llama_spmd.shard_params(
+            llama_spmd.init_params(np.random.RandomState(1), cfg), mesh)
+        step = llama_spmd.make_train_step(mesh, cfg, lr=1e-1, remat=remat)
+        out = []
+        for _ in range(3):
+            params, loss = step(params, tokens, targets)
+            out.append(float(loss))
+        return out
+
+    plain, cp = run(False), run(True)
+    assert np.allclose(plain, cp, rtol=1e-6), (plain, cp)
+    assert cp[-1] < cp[0]
+
+
 def test_mesh_helpers():
     mesh = make_mesh({"dp": 2, "tp": 4})
     assert mesh.shape == {"dp": 2, "tp": 4}

@@ -1,0 +1,150 @@
+"""Hardware lane: kernel equality on the real TPU chip, NON-interpret.
+
+Run with ``PDN_TPU_TESTS=1 python -m pytest -m tpu tests/ -q`` in ONE
+process (the tunnel serializes on a single session; give it 10+ minute
+timeouts — first Mosaic compiles take about a minute each, the persistent
+XLA cache makes reruns fast).  Under the normal CPU-pinned suite these are
+skipped; bench.py gates the production-dim configs, this lane covers the
+kernel variants at small dims where compiles are quick.
+"""
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.tpu
+
+# small-but-aligned config: vocab tiles (2560 = 20*128), 8-divisible dims
+SMALL = dict(vocab_size=2560, embed_dim=128, n_heads=4, ffn_dim=256,
+             max_seq_len=256, max_batch_size=1, n_layers=2,
+             dtype=np.float32)
+STEPS = 12
+
+
+def _models(**over):
+    """(cpu_model, device_model) with identical weights."""
+    import pydynet_tpu as pdn
+    from pydynet_tpu.models.llama.model import Llama
+
+    if not pdn.cuda.is_available():
+        pytest.skip("no accelerator visible")
+    cfg = dict(SMALL)
+    cfg.update(over)
+    np.random.seed(0)
+    cpu = Llama(**cfg)
+    cpu.eval()
+    np.random.seed(0)
+    dev = Llama(**cfg).to("cuda:0")
+    dev.eval()
+    return cpu, dev
+
+
+def test_fused_token_kernel_on_chip():
+    """Whole-token kernel (bf16) argmax == f32 eager truth at confident
+    steps, on silicon."""
+    import jax.numpy as jnp
+
+    from pydynet_tpu.utils import fidelity
+
+    cpu, dev = _models()
+    ids = np.array([[1, 5, 9]])
+    truth, margins, tops = fidelity.greedy_truth(cpu, ids, STEPS)
+    checked, ok = fidelity.gate_fused_argmax(dev, ids, truth, margins, tops,
+                                             dtype=jnp.bfloat16)
+    assert checked > 0 and ok, (checked, ok)
+
+
+def test_fused_token_kernel_int8_head_on_chip():
+    import jax.numpy as jnp
+
+    from pydynet_tpu.utils import fidelity
+
+    cpu, dev = _models()
+    ids = np.array([[1, 5, 9]])
+    truth, margins, tops = fidelity.greedy_truth(cpu, ids, STEPS)
+    checked, ok = fidelity.gate_fused_argmax(dev, ids, truth, margins, tops,
+                                             dtype=jnp.bfloat16,
+                                             quant="int8-head")
+    assert checked > 0 and ok, (checked, ok)
+
+
+def test_fused_batched_kernel_on_chip():
+    import jax.numpy as jnp
+
+    from pydynet_tpu.utils import fidelity
+
+    cpu, dev = _models(max_batch_size=4)
+    ids = np.array([[1, 5, 9], [2, 7, 3], [30, 20, 10], [4, 4, 4]])
+    truth, margins, tops = fidelity.greedy_truth(cpu, ids, STEPS)
+    checked, ok = fidelity.gate_fused_argmax(dev, ids, truth, margins, tops,
+                                             dtype=jnp.bfloat16)
+    assert checked > 0 and ok, (checked, ok)
+
+
+def test_fused_gqa_narrow_kernel_on_chip():
+    """Narrow-KV GQA variant (egqa expansion in-kernel) on silicon."""
+    import jax.numpy as jnp
+
+    from pydynet_tpu.utils import fidelity
+
+    cpu, dev = _models(n_heads=8, n_kv_heads=2)
+    ids = np.array([[1, 5, 9]])
+    truth, margins, tops = fidelity.greedy_truth(cpu, ids, STEPS)
+    checked, ok = fidelity.gate_fused_argmax(dev, ids, truth, margins, tops,
+                                             dtype=jnp.bfloat16)
+    assert checked > 0 and ok, (checked, ok)
+
+
+def test_fused_logits_head_on_chip():
+    """emit_logits (sampling mode) vs the XLA forward's logits, f32."""
+    from pydynet_tpu.utils import fidelity
+
+    cpu, dev = _models()
+    ids = np.array([[1, 5, 9]])
+    truth, _, _ = fidelity.greedy_truth(cpu, ids, STEPS)
+    diff, ok = fidelity.gate_fused_logits(dev, ids, truth)
+    assert ok, f"fused emit_logits diverged from XLA logits by {diff}"
+
+
+def test_flash_attention_on_chip():
+    """Pallas flash attention fwd + bwd vs dense XLA on silicon."""
+    import jax
+    import jax.numpy as jnp
+
+    import pydynet_tpu as pdn
+    from pydynet_tpu.ops.flash_attention import flash_attention_causal
+
+    if not pdn.cuda.is_available():
+        pytest.skip("no accelerator visible")
+    B, L, H, hd = 1, 1024, 4, 64
+    key = jax.random.PRNGKey(0)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (B, L, H, hd), jnp.float32)
+    k = jax.random.normal(kk, (B, L, H, hd), jnp.float32)
+    v = jax.random.normal(kv, (B, L, H, hd), jnp.float32)
+
+    def dense(q, k, v):
+        s = jnp.einsum("blhd,bmhd->bhlm", q, k) / np.sqrt(hd)
+        mask = jnp.where(jnp.arange(L)[:, None] >= jnp.arange(L)[None, :],
+                         0.0, -jnp.inf)
+        p = jax.nn.softmax(s + mask, axis=-1)
+        return jnp.einsum("bhlm,bmhd->blhd", p, v)
+
+    fwd = np.asarray(jax.jit(flash_attention_causal)(q, k, v))
+    want = np.asarray(jax.jit(dense)(q, k, v))
+    # on silicon the MXU multiplies in bf16 even for f32 operands (default
+    # precision), and the kernel's P-matmul rounds through bf16 — expect
+    # bf16-ulp-level agreement on O(1) outputs, not f32 (interpret-mode
+    # CPU tests pin the exact math at 1e-6)
+    assert np.abs(fwd - want).max() < 3e-2
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention_causal(q, k, v) ** 2)
+
+    def loss_dense(q, k, v):
+        return jnp.sum(dense(q, k, v) ** 2)
+
+    gf = jax.jit(jax.grad(loss_flash, argnums=(0, 1, 2)))(q, k, v)
+    gd = jax.jit(jax.grad(loss_dense, argnums=(0, 1, 2)))(q, k, v)
+    for a, b in zip(gf, gd):
+        d = np.abs(np.asarray(a) - np.asarray(b))
+        s = max(1.0, float(np.abs(np.asarray(b)).max()))
+        assert d.max() < 3e-2 * s, (d.max(), s)
