@@ -100,17 +100,28 @@ def sample_logits(logits, key, temperature, top_k=None, top_p=None,
                         logits * repetition_penalty)
         logits = jnp.where(seen, pen, logits)
     logits = logits / jnp.maximum(temperature, 1e-6)
-    if top_k is not None:
-        # lax.top_k, NOT a full-vocab sort: this runs inside the decode
-        # scan, and a 32k sort per step dominated both compile and runtime
-        kth = jax.lax.top_k(logits, int(top_k))[0][:, -1:]
-        logits = jnp.where(logits < kth, -jnp.inf, logits)
-    if top_p is not None:
+    # ONE lax.top_k serves both filters (a 32k-vocab top-2048 per decode
+    # step was the dominant cost of combined top-k+top-p sampling): after
+    # top-k masking only `top_k` tokens survive, so the nucleus never
+    # needs more than `top_k` candidates — clamping `cap` to it is exact,
+    # and the shared descending `vals` gives the k-th value for free.
+    if top_k is not None or top_p is not None:
         V = logits.shape[-1]
         cap = V if V <= 2048 else 2048  # nucleus candidates considered;
         # exact whenever the top_p mass fits in the top-2048 (it always
         # does in practice); see the wide-nucleus fallback below otherwise
-        vals = jax.lax.top_k(logits, cap)[0]  # descending
+        k = min(int(top_k), V) if top_k is not None else None
+        n = k if k is not None else cap
+        vals = jax.lax.top_k(logits, n)[0]  # descending
+        if k is not None:
+            logits = jnp.where(logits < vals[:, k - 1:k], -jnp.inf, logits)
+            # top-k masking removes everything below vals[:, k-1], so the
+            # nucleus can never need more than k candidates: vals[:, :cap]
+            # (cap clamped to k below) is the exact descending head of the
+            # POST-filter distribution
+            cap = min(cap, k)
+        vals = vals[:, :cap]
+    if top_p is not None:
         # probabilities under the FULL distribution (lse over all logits),
         # so the cumulative mass is exact, not renormalized over the cap
         lse = jax.scipy.special.logsumexp(logits, axis=-1, keepdims=True)

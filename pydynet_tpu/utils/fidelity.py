@@ -83,13 +83,19 @@ def _fused_setup(model, prompt_ids, dtype, quant):
 
 def gate_fused_argmax(model, prompt_ids, truth, margins, tops=None, *,
                       dtype=None, quant=None, margin: float = MARGIN,
-                      rel: float = REL_MARGIN):
+                      rel: float = REL_MARGIN, min_agree: float = None):
     """(checked, ok) for one kernel variant: the fused kernel's argmax,
     teacher-forced along ``truth``, must equal it at every confident step
     (see ``_confident`` — absolute floor + relative part when ``tops`` is
     given).  ``model`` must live on the device under test; B=1 uses the
     whole-token kernel, B>1 the batched one.  Fails closed: zero confident
-    steps is not a pass."""
+    steps is not a pass.
+
+    ``min_agree`` switches to a majority gate over ALL steps (checked =
+    every step, ok = agreement fraction >= min_agree): the right criterion
+    for lossy formats like full-layer int8, whose genuine quantization
+    error exceeds any margin a random-init stream clears, while true
+    breakage (bad scales / layout) drives agreement toward 1/vocab."""
     import functools
 
     import jax
@@ -117,6 +123,12 @@ def gate_fused_argmax(model, prompt_ids, truth, margins, tops=None, *,
         toks_in = toks_in.reshape(steps - 1, 1)
     outs = np.asarray(tf(w, ck, cv, toks_in, L)).reshape(steps - 1, B)
     first = np.asarray(tok0).reshape(B)
+
+    if min_agree is not None:
+        got = np.concatenate([first[None], outs])  # (steps, B)
+        checked = truth.size
+        agree = int((got == truth).sum())
+        return checked, checked > 0 and agree / checked >= min_agree
 
     conf = _confident(margins, tops, margin, rel)
     checked = ok = 0
