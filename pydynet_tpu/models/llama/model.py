@@ -83,6 +83,47 @@ def apply_rotary_emb(xq: Tensor, xk: Tensor, freqs_cos, freqs_sin):
 # ===================================================================== #
 #                         module-tree model                              #
 # ===================================================================== #
+def _radix_cutoff(logits, weight, thresh, strict):
+    """Exact per-row threshold select without a sort.
+
+    Returns the largest value ``c`` present in each (B, V) f32 ``logits``
+    row such that ``sum(weight * (logits >= c)) >= thresh`` (``> thresh``
+    when ``strict``), or -inf when no value qualifies (keep-everything).
+    With ``weight=1`` and ``thresh=k`` this is the k-th-largest value
+    (lax.top_k's vals[k-1], duplicates counted); with ``weight=probs``
+    and ``thresh=top_p`` (strict) it is the nucleus cutoff — the value of
+    the last token of the smallest top-p prefix, ties kept.
+
+    Implementation: 4-bit-at-a-time radix descent over the monotone
+    uint32 keys of the f32 bit patterns — 8 rounds of 16 fused
+    compare+reduce passes over the row, no sort, no (V,) gather.  On the
+    TPU decode path this replaces ``lax.top_k``, whose sort costs ~230 us
+    per step at V=32k inside the fused decode scan (measured; the radix
+    form is pure VPU compare/reduce work that XLA fuses and overlaps)."""
+    bits = jax.lax.bitcast_convert_type(logits.astype(jnp.float32),
+                                        jnp.uint32)
+    keys = jnp.where(bits >> 31 == 0, bits | jnp.uint32(0x80000000),
+                     ~bits)                              # (B, V) monotone
+    B = logits.shape[0]
+    base = jnp.zeros((B, 1), jnp.uint32)
+    nib = jnp.arange(16, dtype=jnp.uint32)
+    for shift in range(28, -1, -4):
+        cand = base | (nib << shift)                     # (B, 16)
+        mass = jnp.sum(jnp.where(keys[:, :, None] >= cand[:, None, :],
+                                 weight[:, :, None], 0.0), axis=1)
+        ok = mass > thresh if strict else mass >= thresh  # non-inc. in j
+        # largest qualifying nibble; none -> stay (keep-all, see below)
+        j = jnp.maximum(jnp.sum(ok.astype(jnp.int32), axis=1) - 1, 0)
+        base = jnp.take_along_axis(cand, j[:, None], axis=1)
+    fmass = jnp.sum(jnp.where(keys >= base, weight, 0.0), axis=1,
+                    keepdims=True)
+    val = jax.lax.bitcast_convert_type(
+        jnp.where(base >> 31 != 0, base & jnp.uint32(0x7FFFFFFF), ~base),
+        jnp.float32)
+    dead = fmass <= thresh if strict else fmass < thresh
+    return jnp.where(dead, -jnp.inf, val)                # (B, 1)
+
+
 def sample_logits(logits, key, temperature, top_k=None, top_p=None,
                   seen=None, repetition_penalty=None):
     """Sample next-token ids from (B, V) f32 logits (pure jnp, trace-safe).
@@ -100,44 +141,25 @@ def sample_logits(logits, key, temperature, top_k=None, top_p=None,
                         logits * repetition_penalty)
         logits = jnp.where(seen, pen, logits)
     logits = logits / jnp.maximum(temperature, 1e-6)
-    # ONE lax.top_k serves both filters (a 32k-vocab top-2048 per decode
-    # step was the dominant cost of combined top-k+top-p sampling): after
-    # top-k masking only `top_k` tokens survive, so the nucleus never
-    # needs more than `top_k` candidates — clamping `cap` to it is exact,
-    # and the shared descending `vals` gives the k-th value for free.
-    if top_k is not None or top_p is not None:
-        V = logits.shape[-1]
-        cap = V if V <= 2048 else 2048  # nucleus candidates considered;
-        # exact whenever the top_p mass fits in the top-2048 (it always
-        # does in practice); see the wide-nucleus fallback below otherwise
-        k = min(int(top_k), V) if top_k is not None else None
-        n = k if k is not None else cap
-        vals = jax.lax.top_k(logits, n)[0]  # descending
-        if k is not None:
-            logits = jnp.where(logits < vals[:, k - 1:k], -jnp.inf, logits)
-            # top-k masking removes everything below vals[:, k-1], so the
-            # nucleus can never need more than k candidates: vals[:, :cap]
-            # (cap clamped to k below) is the exact descending head of the
-            # POST-filter distribution
-            cap = min(cap, k)
-        vals = vals[:, :cap]
+    # Both filters reduce to "mask logits below an exact per-row cutoff",
+    # found by _radix_cutoff without a sort (lax.top_k's sort costs ~230us
+    # per decode step at V=32k inside the fused scan; the radix select is
+    # fused VPU work).  Tie semantics match lax.top_k-based filtering:
+    # every token equal to the cutoff is kept.
+    if top_k is not None:
+        ones = jnp.ones(logits.shape, logits.dtype)
+        kth = _radix_cutoff(logits, ones, float(int(top_k)), strict=False)
+        logits = jnp.where(logits < kth, -jnp.inf, logits)
     if top_p is not None:
-        # probabilities under the FULL distribution (lse over all logits),
-        # so the cumulative mass is exact, not renormalized over the cap
+        # nucleus: probabilities under the (post-top-k) full distribution;
+        # the cutoff is the value of the last token of the smallest prefix
+        # whose mass exceeds top_p — exact over the whole vocab (no
+        # top-2048 candidate cap).  strict '>' makes top_p=0 keep exactly
+        # the best token (= greedy); if even the total mass is <= top_p
+        # (impossible for p<1 up to rounding) everything is kept.
         lse = jax.scipy.special.logsumexp(logits, axis=-1, keepdims=True)
-        probs = jnp.exp(vals - lse)
-        cum = jnp.cumsum(probs, axis=-1)
-        # keep tokens whose PRECEDING mass is <= top_p ('<=' so top_p=0
-        # keeps exactly the best token = greedy; strict '<' kept nothing
-        # and categorical over all--inf degenerated to token 0)
-        keep = cum - probs <= top_p
-        cutoff = jnp.min(jnp.where(keep, vals, jnp.inf), axis=-1,
-                         keepdims=True)
-        # wide-nucleus fallback: if even the full top-`cap` mass is below
-        # top_p the true nucleus extends past the candidates — keep ALL
-        # remaining tokens rather than silently zeroing valid tail mass
-        # (reachable only at high temperature with top_p near 1)
-        cutoff = jnp.where(cum[..., -1:] < top_p, -jnp.inf, cutoff)
+        probs = jnp.exp(logits - lse)
+        cutoff = _radix_cutoff(logits, probs, top_p, strict=True)
         logits = jnp.where(logits < cutoff, -jnp.inf, logits)
     return jax.random.categorical(key, logits, axis=-1)
 

@@ -814,21 +814,66 @@ def test_sample_logits_distribution():
 
 
 def test_sample_logits_wide_nucleus_fallback():
-    """Regression (round-2 advisor): the nucleus pass considers only the
-    top-2048 candidates; when even their total mass is below top_p (flat
-    distribution over a big vocab) it must keep ALL tokens instead of
-    silently zeroing the valid tail."""
+    """Regression (round-2 advisor): a wide nucleus (flat distribution
+    over a big vocab) must keep the valid tail instead of silently zeroing
+    it.  The radix-select nucleus is exact over the whole vocab (the old
+    top-2048 candidate cap is gone), so the tail stays reachable."""
     import jax
     import jax.numpy as jnp
     from pydynet_tpu.models.llama.model import sample_logits
 
-    V = 4096  # uniform: top-2048 mass = 0.5 < top_p = 0.9
+    V = 4096
     logits = jnp.zeros((1, V), jnp.float32)
     draws = [int(sample_logits(logits, jax.random.PRNGKey(i), 1.0,
                                top_p=0.9)[0]) for i in range(64)]
-    # without the fallback every draw lands in the first 2048 tie-ranked
-    # ids; with it the tail is reachable (P[miss 64x] = 2^-64)
+    # all tokens tie at the cutoff -> all kept; the tail is reachable
+    # (P[64 draws all in the first half] = 2^-64)
     assert any(d >= 2048 for d in draws), sorted(set(draws))[:8]
+
+
+def test_radix_cutoff_exact():
+    """_radix_cutoff == lax.top_k's k-th value (count mode) and the
+    uncapped full-sort nucleus cutoff (mass mode), on adversarial rows:
+    engineered ties, all-equal, all-negative (wide nucleus), mixed-sign
+    large-magnitude, and k spanning 1..V.  No sort is involved — the
+    select walks the monotone uint32 float keys 4 bits at a time."""
+    import jax
+    import jax.numpy as jnp
+    from pydynet_tpu.models.llama.model import _radix_cutoff
+
+    rng = np.random.RandomState(7)
+    V = 4096
+    ties = rng.randn(2, V).astype(np.float32) * 3
+    ties[:, :64] = np.round(ties[:, :64])
+    rows = {
+        "normal": rng.randn(2, V).astype(np.float32) * 3,
+        "ties": ties,
+        "flat": np.full((2, V), 0.5, np.float32),
+        "negative": rng.randn(2, V).astype(np.float32) * 0.01 - 50,
+        "mixed": rng.randn(2, V).astype(np.float32) * 30,
+    }
+    for name, l in rows.items():
+        lj = jnp.asarray(l)
+        ones = jnp.ones_like(lj)
+        for k in (1, 2, 50, 255, V - 1, V):
+            want = np.asarray(jax.lax.top_k(lj, k)[0][:, -1:])
+            got = np.asarray(_radix_cutoff(lj, ones, float(k),
+                                           strict=False))
+            assert np.array_equal(want, got), (name, k, want, got)
+        # k > V: nothing qualifies -> keep-all sentinel
+        assert np.all(np.asarray(_radix_cutoff(lj, ones, float(V + 1),
+                                               strict=False)) == -np.inf)
+        # nucleus cutoff vs full-sort prefix semantics
+        lse = jax.scipy.special.logsumexp(lj, axis=-1, keepdims=True)
+        probs = jnp.exp(lj - lse)
+        vals = np.asarray(jax.lax.top_k(lj, V)[0])
+        pr = np.asarray(jnp.exp(jnp.asarray(vals) - lse))
+        cum = pr.cumsum(axis=-1)
+        for p in (0.0, 0.5, 0.9, 0.999):
+            keep = cum - pr <= p
+            want = np.where(keep, vals, np.inf).min(axis=-1, keepdims=True)
+            got = np.asarray(_radix_cutoff(lj, probs, p, strict=True))
+            assert np.array_equal(want, got), (name, p, want, got)
 
 
 def test_infer_config_ambiguous_head_dim_warns(tmp_path):
