@@ -56,8 +56,13 @@ class LlamaServer:
     """
 
     def __init__(self, model, batch_size: int = 8, dtype=None,
-                 chunk: int = 16, eos_id: int = 2, temperature: float = 0.0,
+                 chunk: int = 128, eos_id: int = 2, temperature: float = 0.0,
                  top_k: int = None, top_p: float = None, seed: int = 0):
+        # chunk trades slot-recycle latency (a finished request's slot is
+        # reused at the next chunk boundary, one chunk late under run()'s
+        # pipeline) against per-chunk dispatch+readback overhead; through
+        # the ~30 ms-RTT remote tunnel, 128-192 measures near-raw-kernel
+        # throughput while 16-32 halves it
         import jax
         import jax.numpy as jnp
 
@@ -121,11 +126,15 @@ class LlamaServer:
             rot_m = jnp.pad(rope_pair_swap_matrix(D, w["cosD"].dtype),
                             ((0, width - D), (0, width - D)))
 
-        @partial(jax.jit, donate_argnums=(1, 2))
-        def admit(w, ck, cv, prompt, pos0, slot):
-            """Prefill one request into slot ``slot`` at absolute rows
-            [pos0, pos0+L) of the shared cache; returns its first greedy
-            token.  slot/pos0 are traced — no recompile per admission.
+        @partial(jax.jit, donate_argnums=(1, 2, 3))
+        def admit_many(w, ck, cv, tok, prompts, pos0, slots):
+            """Prefill a WAVE of k same-length requests into slots
+            ``slots`` at absolute rows [pos0, pos0+L) of the shared cache
+            in ONE program; returns their first greedy tokens (k,).
+            pos0/slots are traced — compiles once per (k, L); the caller
+            buckets k to powers of two to bound that.  (Per-request admit
+            dispatches cost ~15 ms each through the remote tunnel and
+            dominated serving throughput at high request turnover.)
 
             The prefill itself runs at position 0 (exactly the standalone
             ``generate`` semantics — at pos0 it would attend the empty
@@ -133,28 +142,35 @@ class LlamaServer:
             shift: rotary rotations compose additively, so a row rotated
             for position p and again by row pos0 of the table carries the
             rotation for absolute position p + pos0."""
-            L = prompt.shape[1]
-            ck1 = jnp.zeros((N, 1, S, Hkv, hd), cdt)
-            cv1 = jnp.zeros((N, 1, S, Hkv, hd), cdt)
-            tok1, ck1, cv1 = forward_tokens(w, ck1, cv1, prompt, 0)
+            k, L = prompts.shape
+            ck1 = jnp.zeros((N, k, S, Hkv, hd), cdt)
+            cv1 = jnp.zeros((N, k, S, Hkv, hd), cdt)
+            tok1, ck1, cv1 = forward_tokens(w, ck1, cv1, prompts, 0)
             fk = pad_cache_lanes(model._kv_flat(ck1, narrow), width)
             fv = pad_cache_lanes(model._kv_flat(cv1, narrow), width)
+            if k == 1:  # _kv_flat squeezes the unit batch axis
+                fk, fv = fk[:, None], fv[:, None]
             zero = jnp.int32(0)
             pos0 = jnp.asarray(pos0, jnp.int32)
-            rows_k = jax.lax.dynamic_slice(fk, (zero, zero, zero),
-                                           (N, L, width)).astype(jnp.float32)
-            rows_v = jax.lax.dynamic_slice(fv, (zero, zero, zero),
-                                           (N, L, width))
-            cd = rot_c[pos0].astype(jnp.float32)[None, None]  # (1, 1, W)
-            sd = rot_s[pos0].astype(jnp.float32)[None, None]
+            rows_k = fk[:, :, :L].astype(jnp.float32)      # (N, k, L, W)
+            rows_v = fv[:, :, :L]
+            cd = rot_c[pos0].astype(jnp.float32)[None, None, None]
+            sd = rot_s[pos0].astype(jnp.float32)[None, None, None]
             rm = rot_m.astype(jnp.float32)
             rows_k = (rows_k * cd + (rows_k @ rm) * sd).astype(cdt)
-            slot = jnp.asarray(slot, jnp.int32)
-            ck = jax.lax.dynamic_update_slice(
-                ck, rows_k[:, None], (zero, slot, pos0, zero))
-            cv = jax.lax.dynamic_update_slice(
-                cv, rows_v[:, None], (zero, slot, pos0, zero))
-            return tok1[0], ck, cv
+            tok1 = tok1.reshape(k).astype(jnp.int32)
+
+            def body(i, carry):
+                ck, cv, tok = carry
+                slot = slots[i]
+                ck = jax.lax.dynamic_update_slice(
+                    ck, rows_k[:, i][:, None], (zero, slot, pos0, zero))
+                cv = jax.lax.dynamic_update_slice(
+                    cv, rows_v[:, i][:, None], (zero, slot, pos0, zero))
+                return ck, cv, tok.at[slot].set(tok1[i])
+
+            ck, cv, tok = jax.lax.fori_loop(0, k, body, (ck, cv, tok))
+            return tok1, ck, cv, tok
 
         @partial(jax.jit, static_argnames=("n",), donate_argnums=(1, 2))
         def decode(w, ck, cv, tok, pos, starts, n):
@@ -189,7 +205,7 @@ class LlamaServer:
                 step, (ck, cv, tok, pos, key), None, length=n)
             return ck, cv, tok, toks, key
 
-        self._admit, self._decode = admit, decode
+        self._admit_many, self._decode = admit_many, decode
         self._decode_sampled = decode_sampled
         self._jnp = jnp
 
@@ -208,12 +224,14 @@ class LlamaServer:
 
     def _try_admit(self):
         jnp = self._jnp
+        plan = []  # (slot, req) — admissions planned this wave
         for slot in range(self.B):
             if self._slots[slot] is not None or not self._queue:
                 continue
             req = self._queue[0]
             L = len(req.prompt)
-            if self.active == 0 and (self._pos < L or self._pos >= self.S):
+            if self.active == 0 and not plan \
+                    and (self._pos < L or self._pos >= self.S):
                 # idle server: jump (or rewind after exhaustion) so the
                 # prompt has past rows to land in — stale rows below the
                 # new start stay masked, so this is always safe when no
@@ -222,16 +240,44 @@ class LlamaServer:
             if L > self._pos or self._pos >= self.S:
                 continue  # must land in past rows (see module doc)
             self._queue.popleft()
-            pos0 = self._pos - L
-            tok0, self._ck, self._cv = self._admit(
-                self._w, self._ck, self._cv,
-                jnp.asarray([req.prompt], jnp.int32), pos0, slot)
-            self._tok = self._tok.at[slot].set(jnp.asarray(tok0, jnp.int32))
-            self._starts[slot] = pos0
-            # the prefill token is the request's first generated token
-            req.tokens.append(int(tok0))
             self._slots[slot] = req
-            self._maybe_finish(slot)
+            plan.append((slot, req))
+        if not plan:
+            return
+        # dispatch the wave grouped by prompt length, each group split
+        # into power-of-two sub-batches (bounds compile variants to
+        # (L, 2^i) pairs): ONE prompt upload + ONE prefill+scatter
+        # program per sub-batch instead of per request, and ONE host
+        # readback for every admission's first token at the end —
+        # per-request dispatches cost ~15 ms each through the tunnel
+        by_len: dict = {}
+        for slot, req in plan:
+            by_len.setdefault(len(req.prompt), []).append((slot, req))
+        waves, firsts_dev = [], []
+        for L, group in sorted(by_len.items()):
+            pos0 = self._pos - L
+            i = 0
+            while i < len(group):
+                k = 1 << ((len(group) - i).bit_length() - 1)
+                sub = group[i:i + k]
+                i += k
+                prompts = np.array([r.prompt for _, r in sub], np.int32)
+                slots = np.array([s for s, _ in sub], np.int32)
+                tok1, self._ck, self._cv, self._tok = self._admit_many(
+                    self._w, self._ck, self._cv, self._tok,
+                    jnp.asarray(prompts), pos0, jnp.asarray(slots))
+                for s, _ in sub:
+                    self._starts[s] = pos0
+                waves.append(sub)
+                firsts_dev.append(tok1)
+        firsts = np.asarray(jnp.concatenate(firsts_dev)) \
+            if len(firsts_dev) > 1 else np.asarray(firsts_dev[0])
+        j = 0
+        for sub in waves:
+            for slot, req in sub:
+                req.tokens.append(int(firsts[j]))
+                j += 1
+                self._maybe_finish(slot)
 
     def _maybe_finish(self, slot, truncated=False):
         req = self._slots[slot]
@@ -247,21 +293,18 @@ class LlamaServer:
             self._finished[req.rid] = req
             self._slots[slot] = None
 
-    def step(self, n: int = None):
-        """Admit what fits, then decode ``n`` (default ``chunk``) tokens for
-        every slot in one compiled scan; returns newly finished requests."""
-        before = set(self._finished)
+    _EXHAUSTED = object()  # _dispatch sentinel: cache end reached
+
+    def _dispatch(self, n: int = None):
+        """Admit what fits, then *dispatch* one decode chunk — NO host
+        readback.  Returns ``(toks_device, slots_snapshot)``, ``None``
+        (nothing active), or ``_EXHAUSTED`` (cache end reached)."""
         self._try_admit()
         if self.active == 0:
-            return []
-        n = n or self.chunk
-        n = min(n, self.S - self._pos)
-        if n <= 0:  # cache exhausted: finish everything as truncated
-            for slot in range(self.B):
-                self._maybe_finish(slot, truncated=True)
-            if self.active == 0:
-                self._pos = 0  # fleet drained: rewind for the queue
-            return [self._finished[r] for r in set(self._finished) - before]
+            return None
+        n = min(n or self.chunk, self.S - self._pos)
+        if n <= 0:
+            return self._EXHAUSTED
         starts = self._jnp.asarray(self._starts, self._jnp.int32)
         if self.sampling:
             (self._ck, self._cv, self._tok, toks,
@@ -273,23 +316,71 @@ class LlamaServer:
             self._ck, self._cv, self._tok, toks = self._decode(
                 self._w, self._ck, self._cv, self._tok, self._pos, starts, n)
         self._pos += n
+        # chunk tokens belong to the slot->request mapping AT DISPATCH:
+        # by the time they are read back a slot may have been recycled
+        return toks, list(self._slots)
+
+    def _process(self, toks, snapshot):
+        """Read one dispatched chunk back and credit its tokens to the
+        requests that occupied each slot at dispatch time."""
         toks = np.asarray(toks)  # (n, B) — the per-chunk host readback
         for slot in range(self.B):
-            req = self._slots[slot]
-            if req is None:
-                continue
+            req = snapshot[slot]
+            if req is None or req.done:
+                continue  # empty at dispatch, or already finished (the
+                # slot decoded one chunk of discarded filler before the
+                # pipeline caught up — see run())
             for t in toks[:, slot]:
                 req.tokens.append(int(t))
                 if req.tokens[-1] == self.eos_id \
                         or len(req.tokens) >= req.max_new_tokens:
                     break
-            self._maybe_finish(slot)
+            if self._slots[slot] is req:
+                self._maybe_finish(slot)
+
+    def _truncate_fleet(self):
+        for slot in range(self.B):
+            self._maybe_finish(slot, truncated=True)
+        if self.active == 0:
+            self._pos = 0  # fleet drained: rewind for the queue
+
+    def step(self, n: int = None):
+        """Admit what fits, then decode ``n`` (default ``chunk``) tokens for
+        every slot in one compiled scan; returns newly finished requests.
+        Synchronous (dispatch + readback); ``run`` pipelines instead."""
+        before = set(self._finished)
+        disp = self._dispatch(n)
+        if disp is self._EXHAUSTED:
+            self._truncate_fleet()
+        elif disp is not None:
+            self._process(*disp)
         return [self._finished[r] for r in set(self._finished) - before]
 
     def run(self, max_steps: int = 10_000) -> dict:
-        """Drive until the queue and all slots drain; {rid: Request}."""
+        """Drive until the queue and all slots drain; {rid: Request}.
+
+        1-deep pipeline (exactly ``generate``'s trick): chunk k+1 is
+        dispatched BEFORE chunk k's tokens are read back, so the ~30 ms
+        host round trip and the host-side bookkeeping hide behind device
+        compute.  The cost: a slot whose request finished in chunk k
+        decodes one chunk of filler in k+1 before being recycled (the
+        filler rows are overwritten/masked by the next admission's
+        ``starts``), and admissions lag one chunk behind EOS discovery."""
+        pending = None
         for _ in range(max_steps):
-            if not self._queue and self.active == 0:
+            if pending is None and not self._queue and self.active == 0:
                 break
-            self.step()
+            disp = self._dispatch()
+            if disp is self._EXHAUSTED:
+                if pending is not None:  # account in-flight tokens first
+                    self._process(*pending)
+                    pending = None
+                    continue  # retry: the chunk may have finished slots
+                self._truncate_fleet()
+                continue
+            if pending is not None:
+                self._process(*pending)
+            pending = disp
+        if pending is not None:
+            self._process(*pending)
         return dict(self._finished)

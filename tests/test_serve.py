@@ -123,3 +123,28 @@ def test_server_eos_frees_slot(interp_kernels):
     if eos in exp2:
         exp2 = exp2[:exp2.index(eos)]
     assert done[r2].tokens == exp2, (done[r2].tokens, exp2)
+
+
+def test_server_heavy_turnover_mixed_lengths(interp_kernels):
+    """Stress the pipelined scheduler: B=4 slots, 10 requests with mixed
+    prompt lengths (exercises the per-length admission buckets, the
+    power-of-two sub-batch split, and run()'s dispatch-before-readback
+    snapshot attribution).  Every request must still match standalone
+    generate token-for-token."""
+    from pydynet_tpu.models.llama.serve import LlamaServer
+
+    np.random.seed(13)
+    model = Llama(**dict(CFG, max_batch_size=4))
+    model.eval()
+    rng = np.random.RandomState(5)
+    prompts = [[int(x) for x in rng.randint(3, 250, size=rng.choice([2, 3, 5]))]
+               for _ in range(10)]
+    want = [standalone(model, p, 6) for p in prompts]
+
+    with pdn.no_grad():
+        srv = LlamaServer(model, batch_size=4, chunk=4, eos_id=-1)
+        rids = [srv.submit(p, max_new_tokens=6) for p in prompts]
+        done = srv.run()
+    assert set(done) == set(rids)
+    for rid, exp, p in zip(rids, want, prompts):
+        assert done[rid].tokens == exp, (rid, p, done[rid].tokens, exp)
