@@ -76,14 +76,18 @@ def main(argv=None):
     input_ids, target_ids = build_causal_training_pair(tokenizer, args.text,
                                                        MAX_SEQ_LEN)
 
+    # Print boundaries match the reference loop (step 1, every 5th, last);
+    # the steps BETWEEN prints run as one compiled chunk (jit.foreach), so
+    # a remote/tunneled device pays dispatch latency per print, not per step.
+    boundaries = sorted({s for s in range(1, args.steps + 1)
+                         if s == 1 or s % 5 == 0 or s == args.steps})
     start = time.time()
-    for step in range(1, args.steps + 1):
-        do_print = step == 1 or step % 5 == 0 or step == args.steps
-        # sync (one host round trip) only on steps we print
-        loss = model.finetune_step(input_ids, target_ids, optimizer,
-                                   sync=do_print)
-        if do_print:
-            print(f"step={step:04d}, loss={loss:.6f}")
+    done = 0
+    for b in boundaries:
+        n = b - done
+        losses = model.finetune_steps(input_ids, target_ids, optimizer, n)
+        done = b
+        print(f"step={done:04d}, loss={float(losses[n - 1].item()):.6f}")
 
     elapsed = time.time() - start
     os.makedirs(os.path.dirname(args.save) or ".", exist_ok=True)

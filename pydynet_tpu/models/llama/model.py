@@ -365,18 +365,14 @@ class Llama(nn.Module):
                 frozen_count += 1
         return trainable_count, frozen_count
 
-    def finetune_step(self, input_ids, target_ids, optimizer, criterion=None,
-                      start_pos: int = 0, sync: bool = True):
-        """One compiled fine-tune step; same signature/semantics as the
-        reference (model.py:226-252), but the whole
-        forward+backward+optimizer update is a single XLA program.
-        ``sync=False`` returns the loss as a device Tensor without the
-        host round trip (call ``.item()`` when a float is needed)."""
-        # cache key: everything `inner` closes over besides the traced
-        # tensors — a changed optimizer, start_pos or criterion must
-        # recompile, not silently reuse the old closure (builtin Loss
-        # modules key by (type, reduction) so fresh per-call instances
-        # don't recompile every step)
+    def _ensure_ft_step(self, optimizer, start_pos, criterion):
+        """Build (or reuse) the jitted forward+backward+update step.
+
+        Cache key: everything ``inner`` closes over besides the traced
+        tensors — a changed optimizer, start_pos or criterion must
+        recompile, not silently reuse the old closure (builtin Loss
+        modules key by (type, reduction) so fresh per-call instances
+        don't recompile every step)."""
         from ...nn.modules.loss import criterion_cache_key
 
         key = (optimizer, start_pos, criterion_cache_key(criterion))
@@ -396,15 +392,48 @@ class Llama(nn.Module):
 
             self._ft_step = pdn.jit(inner, state=(self, optimizer))
             self._ft_key = key
+        return self._ft_step
 
+    def finetune_step(self, input_ids, target_ids, optimizer, criterion=None,
+                      start_pos: int = 0, sync: bool = True):
+        """One compiled fine-tune step; same signature/semantics as the
+        reference (model.py:226-252), but the whole
+        forward+backward+optimizer update is a single XLA program.
+        ``sync=False`` returns the loss as a device Tensor without the
+        host round trip (call ``.item()`` when a float is needed)."""
+        step = self._ensure_ft_step(optimizer, start_pos, criterion)
         inp = Tensor(np.asarray(input_ids), device=self.device)
         tgt = Tensor(np.asarray(target_ids).reshape(-1), dtype=np.int64,
                      device=self.device)
-        loss = self._ft_step(inp, tgt)
+        loss = step(inp, tgt)
         self._weights_cache.clear()  # decode must see the updated weights
         if sync:
             return loss.item()
         return loss  # async: device scalar Tensor, no host round trip
+
+    def finetune_steps(self, input_ids, target_ids, optimizer, n_steps: int,
+                       criterion=None, start_pos: int = 0):
+        """``n_steps`` fine-tune steps on the SAME (input, target) pair as
+        ONE compiled program (``jit.foreach`` — a ``lax.scan`` over the
+        per-step program).  Equivalent to calling :meth:`finetune_step`
+        ``n_steps`` times, but a remote/tunneled device pays dispatch
+        latency once per chunk instead of once per step.  Returns the
+        per-step losses as a device Tensor of shape ``(n_steps,)`` (no
+        host sync; index/``float()`` to read back).
+
+        Extension beyond the reference CLI loop
+        (/root/reference/llm/llama/finetune.py:47-56), which dispatches
+        per step; trajectories are identical."""
+        step = self._ensure_ft_step(optimizer, start_pos, criterion)
+        inp = np.asarray(input_ids)
+        tgt = np.asarray(target_ids).reshape(-1)
+        inp_b = np.broadcast_to(inp, (n_steps,) + inp.shape)
+        tgt_b = np.broadcast_to(tgt, (n_steps,) + tgt.shape)
+        losses = step.foreach(
+            Tensor(inp_b, device=self.device),
+            Tensor(tgt_b, dtype=np.int64, device=self.device))
+        self._weights_cache.clear()  # decode must see the updated weights
+        return losses
 
     # ------------------------ compiled decode path ---------------------- #
     def _weights(self, compute_dtype=None):

@@ -146,6 +146,29 @@ def test_finetune_step_decreases_loss():
     assert all(np.isfinite(losses))
 
 
+def test_finetune_steps_matches_per_step_loop():
+    """Chunked finetune_steps (jit.foreach) is bitwise-identical to calling
+    finetune_step in a loop — losses AND final parameters — including when
+    the chunk sizes differ (3+4 vs 7 singles)."""
+    inp = np.array([[1, 5, 9, 3]])
+    tgt = np.array([[5, 9, 3, 7]])
+
+    m1 = tiny_model()
+    o1 = optim.Adam(m1.parameters(), lr=1e-3)
+    losses1 = [m1.finetune_step(inp, tgt, o1) for _ in range(7)]
+
+    m2 = tiny_model()
+    o2 = optim.Adam(m2.parameters(), lr=1e-3)
+    l_a = m2.finetune_steps(inp, tgt, o2, 3)
+    l_b = m2.finetune_steps(inp, tgt, o2, 4)
+    assert l_a.shape == (3,) and l_b.shape == (4,)
+    losses2 = np.concatenate([np.asarray(l_a.data), np.asarray(l_b.data)])
+    assert np.array_equal(np.asarray(losses1, dtype=losses2.dtype), losses2)
+    for name, p1 in m1._parameters.items():
+        p2 = m2._parameters[name]
+        assert np.array_equal(np.asarray(p1.data), np.asarray(p2.data)), name
+
+
 def test_finetune_io_roundtrip(tmp_path):
     model = tiny_model()
     model.set_trainable_parameters(("lm_head",))
