@@ -1,4 +1,5 @@
-from .mesh import make_mesh, named_sharding, shard, replicate
+from .mesh import (make_mesh, make_hybrid_mesh, initialize_distributed,
+                   named_sharding, shard, replicate)
 from .ring_attention import ring_attention
 from . import llama_spmd
 from . import moe

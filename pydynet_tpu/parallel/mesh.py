@@ -17,7 +17,8 @@ import numpy as np
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "named_sharding", "shard", "replicate", "P", "Mesh"]
+__all__ = ["make_mesh", "make_hybrid_mesh", "initialize_distributed",
+           "named_sharding", "shard", "replicate", "P", "Mesh"]
 
 
 def make_mesh(axes: dict, devices=None) -> Mesh:
@@ -35,6 +36,63 @@ def make_mesh(axes: dict, devices=None) -> Mesh:
             f"mesh needs {n} devices, only {len(devices)} available")
     dev_array = np.asarray(devices[:n]).reshape(sizes)
     return Mesh(dev_array, tuple(axes.keys()))
+
+
+def initialize_distributed(coordinator_address=None, num_processes=None,
+                           process_id=None, **kw):
+    """Join a multi-host (multi-process) TPU job.
+
+    Thin, idempotent wrapper over ``jax.distributed.initialize``: on TPU
+    pods the arguments are discovered from the environment, so a bare
+    ``initialize_distributed()`` in every process is enough; elsewhere pass
+    coordinator/process info explicitly.  After this, ``jax.devices()``
+    spans the whole job and meshes built from it cross hosts.  Safe to call
+    in a single-process job (no-op).
+
+    The reference framework is single-process (SURVEY.md §2.6: no
+    distributed layer); this is the TPU-native extension slot for it.
+    """
+    if jax.process_count() > 1:
+        return  # already initialized
+    try:
+        jax.distributed.initialize(coordinator_address, num_processes,
+                                   process_id, **kw)
+    except (ValueError, RuntimeError):
+        if num_processes not in (None, 1):
+            raise
+        # single-process run with no coordinator configured: fine as-is
+
+
+def make_hybrid_mesh(ici_axes: dict, dcn_axes: dict, devices=None) -> Mesh:
+    """Mesh over a multi-host job with the DCN/ICI split made explicit.
+
+    ``ici_axes`` partition WITHIN a slice/host (fast chip-to-chip links:
+    put tp/sp here); ``dcn_axes`` partition ACROSS hosts (data-center
+    network: put dp/pp here).  Axis order is dcn-major, matching
+    ``mesh_utils.create_hybrid_device_mesh``, so collectives along ici
+    axes never cross DCN.
+
+    In a single-process job (this sandbox) every DCN axis must be 1 and
+    the helper degrades to :func:`make_mesh` over the local devices —
+    which is what makes the multi-host code path testable on a virtual
+    CPU mesh.
+    """
+    if devices is None:
+        devices = jax.devices()
+    names = tuple(dcn_axes.keys()) + tuple(ici_axes.keys())
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate axis names: {names}")
+    if jax.process_count() == 1:
+        for name, size in dcn_axes.items():
+            if size != 1:
+                raise ValueError(
+                    f"dcn axis {name!r}={size} needs a multi-process job "
+                    f"(jax.process_count()==1)")
+        return make_mesh({**dcn_axes, **ici_axes}, devices)
+    from jax.experimental import mesh_utils
+    dev_array = mesh_utils.create_hybrid_device_mesh(
+        tuple(ici_axes.values()), tuple(dcn_axes.values()), devices=devices)
+    return Mesh(dev_array, names)
 
 
 def named_sharding(mesh: Mesh, *spec) -> NamedSharding:

@@ -170,6 +170,27 @@ def test_mesh_helpers():
         make_mesh({"dp": 99})
 
 
+def test_hybrid_mesh_helpers():
+    """Single-process degradation of the multi-host helpers: dcn axes of
+    size 1 fall through to a local mesh (dcn-major axis order); a real dcn
+    split is rejected without a multi-process job; initialize_distributed
+    is a no-op in-process."""
+    from pydynet_tpu.parallel import make_hybrid_mesh, initialize_distributed
+
+    mesh = make_hybrid_mesh({"tp": 4, "dp": 2}, {"pp": 1})
+    assert mesh.axis_names == ("pp", "tp", "dp")
+    assert mesh.shape == {"pp": 1, "tp": 4, "dp": 2}
+    x = shard(np.arange(16.0).reshape(8, 2), mesh, "tp", None)
+    assert len(x.sharding.device_set) == 8
+
+    with pytest.raises(ValueError, match="multi-process"):
+        make_hybrid_mesh({"tp": 4}, {"dp": 2})
+    with pytest.raises(ValueError, match="duplicate"):
+        make_hybrid_mesh({"tp": 4}, {"tp": 2})
+
+    initialize_distributed()  # must not raise in a single-process job
+
+
 def test_llama_spmd_train_step_loss_decreases():
     mesh = make_mesh({"dp": 4, "tp": 2})
     cfg = llama_spmd.config(vocab_size=64, dim=16, n_heads=2, ffn_dim=32,
