@@ -12,8 +12,9 @@ Baseline: 300 tokens/s — the reference's published NumPy decode rate
 
 Fidelity gates (pydynet_tpu/utils/fidelity.py) run on the real chip before
 timing, one per shipped kernel variant — B=1 bf16 / int8-head / full int8,
-batched B=4 and B=32, narrow-KV GQA, the emit_logits sampling head, and
-stories110M dims — teacher-forced along an eager-f32 CPU truth stream with
+batched B=4 and B=32, int8-KV batched, narrow-KV GQA, the emit_logits
+sampling head, and stories110M dims — teacher-forced along an eager-f32
+CPU truth stream with
 argmax equality required at every step whose top-2 margin clears bf16
 noise.  A headline format that fails its gate is excluded from the race;
 the other configs are reported so a Mosaic regression in ANY variant is
@@ -56,7 +57,7 @@ def build_model(cfg=None, device=None):
     return model
 
 
-def gate_config(name, cfg, *, quant=None, B=1, kind="argmax",
+def gate_config(name, cfg, *, quant=None, kv_quant=None, B=1, kind="argmax",
                 steps=FID_STEPS, margin=None, min_agree=None,
                 truth_cache={}):
     """Run one variant's hardware gate; returns a JSON-ready dict.
@@ -91,7 +92,7 @@ def gate_config(name, cfg, *, quant=None, B=1, kind="argmax",
                     kw["min_agree"] = min_agree
                 checked, ok = fidelity.gate_fused_argmax(
                     dev, prompt, truth, margins, tops, dtype=jnp.bfloat16,
-                    quant=quant, **kw)
+                    quant=quant, kv_quant=kv_quant, **kw)
                 out.update(checked=checked, ok=bool(ok))
             else:  # logits head (sampling mode), f32, scale-aware tol
                 diff, ok = fidelity.gate_fused_logits(dev, prompt, truth)
@@ -162,6 +163,10 @@ def main():
             ("b1-int8", STORIES15M, {"quant": "int8", "min_agree": 0.6}),
             ("batched-b4", STORIES15M, {"B": 4}),
             ("batched-b32", STORIES15M, {"B": 32}),
+            # int8 KV cache: per-row quantization noise is genuine (like
+            # full-layer int8), so majority agreement is the right gate
+            ("batched-b4-kvint8", STORIES15M,
+             {"B": 4, "kv_quant": "int8", "min_agree": 0.6}),
             ("gqa-6q2kv-narrow", GQA_15M, {}),
             ("logits-head-f32", STORIES15M, {"kind": "logits"}),
             ("stories110m-b1", STORIES110M, {}),

@@ -827,7 +827,7 @@ class Llama(nn.Module):
         if self._decode_fns is None:  # provides _xla_forward_tokens
             self._decode_fns = self._make_decode_fns()
 
-        vt = pick_vt(self.vocab_size)
+        vt = pick_vt(self.vocab_size, self.embed_dim)
         sb = pick_sb(self.max_seq_len)
 
         def _narrow_kw(weights):
@@ -871,20 +871,31 @@ class Llama(nn.Module):
             """Batched sibling of ``fused_step``: ``tok`` is (B,); the
             embedding gather happens here (one tiny XLA kernel).
             ``starts`` (B,) i32 sets per-row attention lower bounds — the
-            continuous-batching serving hook (models/llama/serve.py)."""
+            continuous-batching serving hook (models/llama/serve.py).
+            ``ck``/``cv`` may be ``(int8 cache, f32 scales)`` tuples (see
+            ``quantize_kv``) — the static pytree structure switches the
+            kernel to its int8-KV mode; returns caches in the same form."""
             from ...ops.decode_step import fused_decode_token_batched
 
             nkw = _narrow_kw(weights)
             wk_ = weights["wk_n"] if nkw else weights["wk"]
             wv_ = weights["wv_n"] if nkw else weights["wv"]
             h0 = weights["tok"][tok].astype(jnp.float32)  # (B, D)
-            return fused_decode_token_batched(
+            kv8 = isinstance(ck, tuple)
+            if kv8:
+                (ck, sk), (cv, sv) = ck, cv
+                nkw = dict(nkw, sk=sk, sv=sv)
+            out = fused_decode_token_batched(
                 p, h0, weights["cosD"], weights["sinD"], weights["rot"],
                 weights["hmask_pad"], weights["norm2"], weights["wq"],
                 wk_, wv_, weights["wo"], weights["gate_w"], weights["up_w"],
                 weights["down"], weights["in_norm2"], weights["post_norm2"],
                 weights["head_w"], weights["head_b2"], ck, cv,
                 vt=vt, sb=sb, emit_logits=emit_logits, starts=starts, **nkw)
+            if kv8:
+                o, ck, cv, sk, sv = out
+                return o, (ck, sk), (cv, sv)
+            return out
 
         @partial(jax.jit, static_argnames=("n_steps",),
                  donate_argnames=("ck", "cv"))
@@ -1028,7 +1039,7 @@ class Llama(nn.Module):
                  chunk: int = DECODE_CHUNK, dtype=None, fused=None,
                  quant=None, temperature: float = 0.0, top_k: int = None,
                  top_p: float = None, seed: int = 0,
-                 repetition_penalty: float = None):
+                 repetition_penalty: float = None, kv_quant=None):
         """Greedy generation; yields (B,1) id tensors one token at a time
         like the reference (model.py:258-269), while computing CHUNK tokens
         per compiled on-device scan, with the next chunk dispatched before
@@ -1051,7 +1062,14 @@ class Llama(nn.Module):
         key sequence as the XLA path picks the token — so fused and XLA
         sampled streams agree token-for-token (up to bf16 residual-stream
         rounding at near-ties, exactly like greedy).
-        temperature=0 (default) is exact reference-greedy."""
+        temperature=0 (default) is exact reference-greedy.
+
+        ``kv_quant="int8"`` (fused batched B>1 path) stores the KV cache
+        as int8 rows with per-row f32 scales (``quantize_kv``), halving
+        the per-step KV streaming that dominates batched long-context
+        decode.  Lossy like ``quant``: near-tie tokens may differ from
+        the bf16 stream (hardware-gated by majority agreement in
+        bench.py)."""
         if self._decode_fns is None:
             self._decode_fns = self._make_decode_fns()
         prefill, decode_chunk = self._decode_fns
@@ -1064,6 +1082,11 @@ class Llama(nn.Module):
                 and self._fused_decode_supported()
         if quant is not None and not (fused and B == 1):
             raise ValueError("quant requires the fused B=1 decode path")
+        if kv_quant not in (None, "int8"):
+            raise ValueError(f"unsupported kv_quant mode: {kv_quant!r}")
+        if kv_quant and not (fused and B > 1):
+            raise ValueError("kv_quant requires the fused batched (B>1) "
+                             "decode path")
         key = (np.dtype(dtype).name if dtype else "native", bool(fused),
                quant)
         weights = self._weights_cache.get(key)
@@ -1091,7 +1114,8 @@ class Llama(nn.Module):
         need_total = max(total - L - 1, 1)
         chunk = min(chunk, 1 << (need_total - 1).bit_length())
 
-        if fused and not sampling and 0 < total - L - 1 <= chunk:
+        if fused and not sampling and not kv_quant \
+                and 0 < total - L - 1 <= chunk:
             # whole request in ONE device dispatch: cache alloc + prefill +
             # fused decode scan, one readback at the end (greedy only; the
             # sampled path threads key/seen state through regular chunks)
@@ -1132,6 +1156,13 @@ class Llama(nn.Module):
                                  if narrow else D)
             ck = pad_cache_lanes(self._kv_flat(ck, narrow), width)
             cv = pad_cache_lanes(self._kv_flat(cv, narrow), width)
+            if kv_quant:
+                # int8 rows + per-row scales; the (q, s) tuple structure is
+                # the static switch that puts the batched kernel in its
+                # kv_int8 mode (halves KV streaming, the dominant HBM
+                # traffic of batched long-context decode)
+                from ...ops.decode_step import quantize_kv
+                ck, cv = quantize_kv(ck), quantize_kv(cv)
             if sampling:
                 decode_s = self._fused_chunk_fn[3 if B == 1 else 4]
             else:

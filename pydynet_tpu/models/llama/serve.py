@@ -53,11 +53,18 @@ class LlamaServer:
     >>> srv = LlamaServer(model, batch_size=8, dtype=jnp.bfloat16)
     >>> rid = srv.submit(tokenizer.encode(prompt))
     >>> done = srv.run()           # {rid: Request}
+
+    ``kv_quant="int8"`` keeps the fleet's KV caches int8 with per-row f32
+    scales (the batched kernel's kv_int8 mode; admission prefills are
+    quantized by the same ``quantize_kv`` scheme after the position-shift
+    rotation) — half the KV footprint, so 2x the slots or context per
+    HBM byte.  Lossy at near-tie tokens, like ``generate(kv_quant=...)``.
     """
 
     def __init__(self, model, batch_size: int = 8, dtype=None,
                  chunk: int = 128, eos_id: int = 2, temperature: float = 0.0,
-                 top_k: int = None, top_p: float = None, seed: int = 0):
+                 top_k: int = None, top_p: float = None, seed: int = 0,
+                 kv_quant=None):
         # chunk trades slot-recycle latency (a finished request's slot is
         # reused at the next chunk boundary, one chunk late under run()'s
         # pipeline) against per-chunk dispatch+readback overhead; through
@@ -66,11 +73,14 @@ class LlamaServer:
         import jax
         import jax.numpy as jnp
 
-        from ...ops.decode_step import lane_pad_dim, pad_cache_lanes
+        from ...ops.decode_step import (lane_pad_dim, pad_cache_lanes,
+                                        quantize_kv)
         from .model import sample_logits
 
         assert model._fused_decode_supported(), \
             "serving uses the batched whole-token kernel (shape constraints)"
+        if kv_quant not in (None, "int8"):
+            raise ValueError(f"unsupported kv_quant mode: {kv_quant!r}")
         model.eval()
         self.model = model
         self.B = batch_size
@@ -100,8 +110,19 @@ class LlamaServer:
         N, S = model.n_layers, model.max_seq_len
         self.S = S
         cdt = w["tok"].dtype
-        self._ck = jnp.zeros((N, self.B, S, width), cdt)
-        self._cv = jnp.zeros((N, self.B, S, width), cdt)
+        if kv_quant:
+            # int8 rows + per-row f32 scales (ops/decode_step.quantize_kv
+            # scheme): halves the fleet's KV footprint and streaming — 2x
+            # the slots (or context) per HBM byte.  The (q, s) tuple
+            # structure is the static switch that puts the batched kernel
+            # in its kv_int8 mode.
+            self._ck = (jnp.zeros((N, self.B, S, width), jnp.int8),
+                        jnp.full((N, self.B, S), 1e-10, jnp.float32))
+            self._cv = (jnp.zeros((N, self.B, S, width), jnp.int8),
+                        jnp.full((N, self.B, S), 1e-10, jnp.float32))
+        else:
+            self._ck = jnp.zeros((N, self.B, S, width), cdt)
+            self._cv = jnp.zeros((N, self.B, S, width), cdt)
         self._tok = jnp.ones((self.B,), jnp.int32)
         self._starts = np.zeros(self.B, np.int32)
         self._pos = 0
@@ -157,16 +178,35 @@ class LlamaServer:
             cd = rot_c[pos0].astype(jnp.float32)[None, None, None]
             sd = rot_s[pos0].astype(jnp.float32)[None, None, None]
             rm = rot_m.astype(jnp.float32)
-            rows_k = (rows_k * cd + (rows_k @ rm) * sd).astype(cdt)
+            rows_k = rows_k * cd + (rows_k @ rm) * sd  # f32
+            sc_k = sc_v = None
+            if kv_quant:
+                # quantize the admitted rows EXACTLY as the kernel
+                # quantizes freshly decoded ones (quantize_kv), so
+                # prefilled and decoded cache rows are indistinguishable
+                rows_k, sc_k = quantize_kv(rows_k)
+                rows_v, sc_v = quantize_kv(rows_v)
+            else:
+                rows_k = rows_k.astype(cdt)
             tok1 = tok1.reshape(k).astype(jnp.int32)
+            dus = jax.lax.dynamic_update_slice
 
             def body(i, carry):
                 ck, cv, tok = carry
                 slot = slots[i]
-                ck = jax.lax.dynamic_update_slice(
-                    ck, rows_k[:, i][:, None], (zero, slot, pos0, zero))
-                cv = jax.lax.dynamic_update_slice(
-                    cv, rows_v[:, i][:, None], (zero, slot, pos0, zero))
+                if kv_quant:
+                    (ckq, cks), (cvq, cvs) = ck, cv
+                    ck = (dus(ckq, rows_k[:, i][:, None],
+                              (zero, slot, pos0, zero)),
+                          dus(cks, sc_k[:, i][:, None], (zero, slot, pos0)))
+                    cv = (dus(cvq, rows_v[:, i][:, None],
+                              (zero, slot, pos0, zero)),
+                          dus(cvs, sc_v[:, i][:, None], (zero, slot, pos0)))
+                else:
+                    ck = dus(ck, rows_k[:, i][:, None],
+                             (zero, slot, pos0, zero))
+                    cv = dus(cv, rows_v[:, i][:, None],
+                             (zero, slot, pos0, zero))
                 return ck, cv, tok.at[slot].set(tok1[i])
 
             ck, cv, tok = jax.lax.fori_loop(0, k, body, (ck, cv, tok))

@@ -465,7 +465,7 @@ def _token_kernel_batched(idx_ref,  # scalar prefetch: (1,) i32 = [pos]
                           dpad: int, vt: int, n_tiles: int, sb: int,
                           batch: int, emit_logits: bool = False,
                           dkp: int = None, narrow: bool = False,
-                          with_starts: bool = False):
+                          with_starts: bool = False, kv_int8: bool = False):
     """Batched variant of ``_token_kernel``: the hidden state is (B, D), so
     every weight matrix streams from HBM ONCE per token for the whole batch
     (the vmapped fallback re-streams weights per row), and the qkv/ffn/head
@@ -493,24 +493,45 @@ def _token_kernel_batched(idx_ref,  # scalar prefetch: (1,) i32 = [pos]
     cosk_blk = sink_blk = rotk = egqa = None
     cosk_row = sink_row = None
     starts = None
+    sk = sv = sktile = svtile = skbuf = svbuf = None
     if narrow:
         cosk_blk, sink_blk, rotk, egqa = rest[0:4]
         del rest[0:4]
     if with_starts:
         starts = rest.pop(0)
+    # remaining: aliased cache INPUT refs (unused; the kernel works on the
+    # aliased output refs), then outputs, then scratch in declaration order
+    del rest[0:4 if kv_int8 else 2]
+    out0 = rest.pop(0)
+    if kv_int8:
+        ck, cv, sk, sv = rest[0:4]
+        del rest[0:4]
+    else:
+        ck, cv = rest[0:2]
+        del rest[0:2]
+    h_state, cos_row, sin_row = rest[0:3]
+    del rest[0:3]
     if narrow:
-        cosk_row, sink_row = rest[8], rest[9]
-        del rest[8:10]
-    (ck_in, cv_in, out0, ck, cv,
-     h_state, cos_row, sin_row, ktile, vtile, kbuf, vbuf,
-     best, bidx, rsem, wsem) = rest
+        cosk_row, sink_row = rest[0:2]
+        del rest[0:2]
+    ktile, vtile = rest[0:2]
+    del rest[0:2]
+    if kv_int8:
+        sktile, svtile = rest[0:2]
+        del rest[0:2]
+    kbuf, vbuf = rest[0:2]
+    del rest[0:2]
+    if kv_int8:
+        skbuf, svbuf = rest[0:2]
+        del rest[0:2]
+    best, bidx, rsem, wsem = rest
 
     l = pl.program_id(0)
     pos = idx_ref[0]
     B = batch
     scale = 1.0 / math.sqrt(dim // n_heads)
-    cdtype = kbuf.dtype
-    pad = dpad - dim
+    cdtype = wq.dtype  # weight compute dtype (cache dtype under kv_int8
+    pad = dpad - dim   # is int8, so kbuf.dtype would be wrong here)
     cw = dkp if narrow else dpad  # KV-cache row width
 
     rms = _rms
@@ -542,6 +563,17 @@ def _token_kernel_batched(idx_ref,  # scalar prefetch: (1,) i32 = [pos]
         rv_dma = pltpu.make_async_copy(
             cv.at[l, :, pl.ds(apos, 16), :], vtile, wsem.at[np.int32(1)])
         rk_dma.start(); rv_dma.start()
+        if kv_int8:
+            # scale RMW granularity is a whole sb block: Mosaic supports
+            # dynamic minormost-dim DMA slices only at 128-multiple
+            # offsets/widths (a 16-wide slice fails to lower), and the
+            # extra bytes are trivial (B*sb f32 per layer)
+            spos = pl.multiple_of((pos // np.int32(sb)) * np.int32(sb), sb)
+            rsk_dma = pltpu.make_async_copy(
+                sk.at[l, :, pl.ds(spos, sb)], sktile, wsem.at[np.int32(4)])
+            rsv_dma = pltpu.make_async_copy(
+                sv.at[l, :, pl.ds(spos, sb)], svtile, wsem.at[np.int32(5)])
+            rsk_dma.start(); rsv_dma.start()
 
         h = h_state[:]  # (B, D) f32
         hn = rms(h, in_norm[0].astype(jnp.float32)).astype(cdtype)
@@ -556,15 +588,30 @@ def _token_kernel_batched(idx_ref,  # scalar prefetch: (1,) i32 = [pos]
                               preferred_element_type=jnp.float32) * sin
         if narrow:
             rotk32 = rotk[:].astype(jnp.float32)
-            k = k * cosk_row[:] + jnp.dot(
+            kf = k * cosk_row[:] + jnp.dot(
                 k, rotk32, preferred_element_type=jnp.float32) * sink_row[:]
-            kp = k.astype(cdtype)  # (B, dkp), zero pad lanes from weights
-            vp = v.astype(cdtype)
+            vf = v  # (B, dkp) f32, zero pad lanes from weights
         else:
-            k = k * cos + jnp.dot(k, rot32,
-                                  preferred_element_type=jnp.float32) * sin
-            kp = jnp.pad(k, ((0, 0), (0, pad))).astype(cdtype)  # (B, dpad)
-            vp = jnp.pad(v, ((0, 0), (0, pad))).astype(cdtype)
+            kf = k * cos + jnp.dot(k, rot32,
+                                   preferred_element_type=jnp.float32) * sin
+            kf = jnp.pad(kf, ((0, 0), (0, pad)))  # (B, dpad) f32
+            vf = jnp.pad(v, ((0, 0), (0, pad)))
+        if kv_int8:
+            # per-row symmetric int8: the cache stores round(x/s) with
+            # s = absmax/127; every consumer (incl. THIS step's self-row
+            # terms) sees the dequantized value s*q for consistency
+            ks_row = jnp.maximum(
+                jnp.max(jnp.abs(kf), 1, keepdims=True) / 127.0, 1e-10)
+            vs_row = jnp.maximum(
+                jnp.max(jnp.abs(vf), 1, keepdims=True) / 127.0, 1e-10)
+            kp = jnp.clip(jnp.round(kf / ks_row), -127, 127).astype(jnp.int8)
+            vp = jnp.clip(jnp.round(vf / vs_row), -127, 127).astype(jnp.int8)
+            kself = kp.astype(jnp.float32) * ks_row  # dequantized self row
+            vself = vp.astype(jnp.float32) * vs_row
+        else:
+            kp = kf.astype(cdtype)
+            vp = vf.astype(cdtype)
+            kself, vself = kf, vf
 
         rk_dma.wait(); rv_dma.wait()
         hit = (jax.lax.broadcasted_iota(jnp.int32, (16, cw), 0)
@@ -576,18 +623,58 @@ def _token_kernel_batched(idx_ref,  # scalar prefetch: (1,) i32 = [pos]
         wv_dma = pltpu.make_async_copy(
             vtile, cv.at[l, :, pl.ds(apos, 16), :], wsem.at[np.int32(3)])
         wk_dma.start(); wv_dma.start()
+        if kv_int8:
+            rsk_dma.wait(); rsv_dma.wait()
+            hit_s = (jax.lax.broadcasted_iota(jnp.int32, (1, sb), 1)
+                     + spos == pos)  # (1, sb)
+            sktile[:] = jnp.where(hit_s, ks_row, sktile[:])
+            svtile[:] = jnp.where(hit_s, vs_row, svtile[:])
+            # whole-block write-back: every lane except pos rewrites its
+            # just-read value, so the overlap with this step's streaming
+            # read of the same block is benign (and row pos is masked out
+            # of this step's attention)
+            wsk_dma = pltpu.make_async_copy(
+                sktile, sk.at[l, :, pl.ds(spos, sb)], wsem.at[np.int32(6)])
+            wsv_dma = pltpu.make_async_copy(
+                svtile, sv.at[l, :, pl.ds(spos, sb)], wsem.at[np.int32(7)])
+            wsk_dma.start(); wsv_dma.start()
 
         # per-row head-blocked attention, (cw, B*H) stacked query masks
         qp32 = jnp.pad(q, ((0, 0), (0, pad)))  # (B, dpad) f32
         qM_full = jnp.concatenate(
             [qp32[b].reshape(dpad, 1) * hmask[:].astype(jnp.float32)
              for b in range(B)], axis=1)  # (dpad, B*H)
+        egqa_c = egqa_f = qs = qMq = None
         if narrow:
-            egqa_c = egqa[:].astype(cdtype)
-            qM = jnp.dot(egqa[:].astype(jnp.float32), qM_full,
-                         preferred_element_type=jnp.float32).astype(cdtype)
+            egqa_f = egqa[:].astype(jnp.float32)
+            qM_f = jnp.dot(egqa_f, qM_full,
+                           preferred_element_type=jnp.float32)  # (cw, B*H)
+            if not kv_int8:
+                egqa_c = egqa[:].astype(cdtype)
+                qM = qM_f.astype(cdtype)
         else:
-            qM = qM_full.astype(cdtype)  # (dpad, B*H)
+            qM_f = qM_full
+            if not kv_int8:
+                qM = qM_full.astype(cdtype)  # (dpad, B*H)
+        if kv_int8:
+            # per-sample query quantization: quantize the (B, dpad) query
+            # rows FIRST, then build the masked column stack from the
+            # int-valued rows (a (B, H) -> (1, B*H) scale reshape fails
+            # Mosaic's layout inference; this build uses only patterns the
+            # bf16 kernel already exercises).  hmask is 0/1 and egqa picks
+            # exactly one expanded copy per column, so the concat/dot keep
+            # values in [-127, 127] exactly.
+            qs = jnp.maximum(
+                jnp.max(jnp.abs(qp32), 1, keepdims=True) / 127.0,
+                1e-10)  # (B, 1)
+            qq = jnp.clip(jnp.round(qp32 / qs), -127, 127)  # int-valued f32
+            qMq_full = jnp.concatenate(
+                [qq[b].reshape(dpad, 1) * hmask[:].astype(jnp.float32)
+                 for b in range(B)], axis=1)  # (dpad, B*H)
+            if narrow:
+                qMq_full = jnp.dot(egqa_f, qMq_full,
+                                   preferred_element_type=jnp.float32)
+            qMq = qMq_full.astype(jnp.int8)
         hmt = hmask[:].T.astype(cdtype)  # (H, dpad)
 
         def get_k(slot, blk):
@@ -600,12 +687,25 @@ def _token_kernel_batched(idx_ref,  # scalar prefetch: (1,) i32 = [pos]
                 cv.at[l, :, pl.ds(blk * np.int32(sb), sb), :],
                 vbuf.at[slot], rsem.at[np.int32(2) + slot])
 
+        def get_sk(slot, blk):
+            return pltpu.make_async_copy(
+                sk.at[l, :, pl.ds(blk * np.int32(sb), sb)],
+                skbuf.at[slot], rsem.at[np.int32(4) + slot])
+
+        def get_sv(slot, blk):
+            return pltpu.make_async_copy(
+                sv.at[l, :, pl.ds(blk * np.int32(sb), sb)],
+                svbuf.at[slot], rsem.at[np.int32(6) + slot])
+
         nblk = (pos + np.int32(sb - 1)) // np.int32(sb)
 
         @pl.when(nblk > 0)
         def _():
             get_k(_Z, _Z).start()
             get_v(_Z, _Z).start()
+            if kv_int8:
+                get_sk(_Z, _Z).start()
+                get_sv(_Z, _Z).start()
 
         H = n_heads
 
@@ -620,13 +720,24 @@ def _token_kernel_batched(idx_ref,  # scalar prefetch: (1,) i32 = [pos]
                 for b in range(B)])
 
         # init with the current row per sample: p_self = 1 per head
-        s_self = jnp.dot(kp, qM,
-                         preferred_element_type=jnp.float32) * scale
+        # (kv_int8: the self row uses the DEQUANTIZED k/v and the exact f32
+        # queries, matching what later steps will read back from the cache)
+        if kv_int8:
+            s_self = jnp.dot(kself.astype(jnp.float32), qM_f,
+                             preferred_element_type=jnp.float32) * scale
+        else:
+            s_self = jnp.dot(kp, qM,
+                             preferred_element_type=jnp.float32) * scale
         m0 = diag_blocks(s_self, 1, H)[:, 0, :]  # (B, H)
         l0 = jnp.ones_like(m0)
         # (B, dpad): narrow V rows expand per query-head group via E
-        acc0 = (jnp.dot(vp, egqa_c, preferred_element_type=jnp.float32)
-                if narrow else vp.astype(jnp.float32))
+        if kv_int8:
+            acc0 = (jnp.dot(vself, egqa_f,
+                            preferred_element_type=jnp.float32)
+                    if narrow else vself)
+        else:
+            acc0 = (jnp.dot(vp, egqa_c, preferred_element_type=jnp.float32)
+                    if narrow else vp.astype(jnp.float32))
 
         def body(blk, carry):
             m, lsum, acc = carry
@@ -637,13 +748,28 @@ def _token_kernel_batched(idx_ref,  # scalar prefetch: (1,) i32 = [pos]
             def _():
                 get_k(nxt, blk + np.int32(1)).start()
                 get_v(nxt, blk + np.int32(1)).start()
+                if kv_int8:
+                    get_sk(nxt, blk + np.int32(1)).start()
+                    get_sv(nxt, blk + np.int32(1)).start()
 
             get_k(slot, blk).wait()
             get_v(slot, blk).wait()
+            if kv_int8:
+                get_sk(slot, blk).wait()
+                get_sv(slot, blk).wait()
             kb = kbuf[slot].reshape(B * sb, cw)
-            s_full = jnp.dot(kb, qM,
-                             preferred_element_type=jnp.float32) * scale
-            s = diag_blocks(s_full, sb, H)  # (B, sb, H)
+            if kv_int8:
+                # int8 x int8 -> int32 on the MXU; the f32 scale product
+                # (k-row scale x per-sample q scale) applies AFTER the
+                # cheap diagonal-block extraction, on (B, sb, H) only
+                s_i = jnp.dot(kb, qMq, preferred_element_type=jnp.int32)
+                s = (diag_blocks(s_i, sb, H).astype(jnp.float32)
+                     * skbuf[slot][:, :, None]
+                     * qs.reshape(B, 1, 1) * scale)
+            else:
+                s_full = jnp.dot(kb, qM,
+                                 preferred_element_type=jnp.float32) * scale
+                s = diag_blocks(s_full, sb, H)  # (B, sb, H)
             rows = blk * np.int32(sb) + jax.lax.broadcasted_iota(
                 jnp.int32, (B, sb, H), 1)
             valid = rows < pos
@@ -661,10 +787,23 @@ def _token_kernel_batched(idx_ref,  # scalar prefetch: (1,) i32 = [pos]
                          ).reshape(B, sb, dpad)
             corrD = jnp.dot(corr.astype(cdtype), hmt,
                             preferred_element_type=jnp.float32)  # (B, dpad)
-            vex = (jnp.dot(vbuf[slot].reshape(B * sb, cw), egqa_c,
-                           preferred_element_type=jnp.float32
-                           ).reshape(B, sb, dpad)
-                   if narrow else vbuf[slot].astype(jnp.float32))
+            if kv_int8:
+                # narrow: the 0/1 expansion matrix rides the int8 MXU dot,
+                # so the int8->f32 convert happens on the EXPANDED result
+                # exactly once; MHA: plain convert + per-row scale
+                if narrow:
+                    vex = (jnp.dot(vbuf[slot].reshape(B * sb, cw), egqa[:],
+                                   preferred_element_type=jnp.int32)
+                           .astype(jnp.float32).reshape(B, sb, dpad)
+                           * svbuf[slot][:, :, None])
+                else:
+                    vex = (vbuf[slot].astype(jnp.float32)
+                           * svbuf[slot][:, :, None])
+            else:
+                vex = (jnp.dot(vbuf[slot].reshape(B * sb, cw), egqa_c,
+                               preferred_element_type=jnp.float32
+                               ).reshape(B, sb, dpad)
+                       if narrow else vbuf[slot].astype(jnp.float32))
             acc = acc * corrD + jnp.sum(pD * vex, axis=1)
             return m_new, lsum, acc
 
@@ -677,6 +816,9 @@ def _token_kernel_batched(idx_ref,  # scalar prefetch: (1,) i32 = [pos]
 
         wk_dma.wait()
         wv_dma.wait()
+        if kv_int8:
+            wsk_dma.wait()
+            wsv_dma.wait()
 
         z = h + jnp.dot(att.astype(cdtype), wo[0],
                         preferred_element_type=jnp.float32)
@@ -718,7 +860,7 @@ def fused_decode_token_batched(pos, h0, cosr, sinr, rot, hmask, final_norm,
                                vt: int = 6400, sb: int = 256,
                                interpret=False, emit_logits: bool = False,
                                cosk=None, sink=None, rotk=None, egqa=None,
-                               starts=None):
+                               starts=None, sk=None, sv=None):
     """Batched greedy decode step: ONE Pallas launch for B rows.
 
     ``h0`` (B, D) f32 is the already-gathered previous-token embedding
@@ -730,7 +872,17 @@ def fused_decode_token_batched(pos, h0, cosr, sinr, rot, hmask, final_norm,
     aggregate-throughput upgrade over vmapping the B=1 kernel.
 
     True-GQA narrow cache (``cosk``/``sink``/``rotk``/``egqa`` + narrow
-    wk/wv and (N, B, S, CW) caches): see ``fused_decode_token``."""
+    wk/wv and (N, B, S, CW) caches): see ``fused_decode_token``.
+
+    int8 KV cache (``sk``/``sv`` (N, B, S) f32 per-row scales + int8
+    ``ck``/``cv``, as produced by ``quantize_kv``): rows store
+    ``round(x/s)`` with per-row symmetric scales; attention scores run
+    int8 x int8 -> int32 on the MXU with per-sample query quantization,
+    and V dequantizes once per block.  KV streaming — the dominant HBM
+    traffic of batched long-context decode — halves vs bf16.  Lossy like
+    weight int8: returns (sk, sv) as extra outputs, gated on hardware by
+    majority-agreement (bench.py).  Extension beyond the reference
+    (llm/llama/model.py:86-110 keeps f32 caches)."""
     N, B, S, CW = ck.shape
     D = wq.shape[1]
     H = hmask.shape[1]
@@ -738,6 +890,13 @@ def fused_decode_token_batched(pos, h0, cosr, sinr, rot, hmask, final_norm,
     F = gate_w.shape[2]
     V = head_w.shape[1]
     narrow = egqa is not None
+    kv_int8 = sk is not None
+    if kv_int8:
+        assert sv is not None and ck.dtype == jnp.int8 \
+            and cv.dtype == jnp.int8, (ck.dtype, cv.dtype)
+        assert sk.shape == (N, B, S) and sv.shape == (N, B, S), sk.shape
+        if narrow:
+            egqa = egqa.astype(jnp.int8)  # 0/1 matrix rides the int8 dots
     assert h0.shape == (B, D), (h0.shape, B, D)
     assert V % vt == 0 and vt % 128 == 0, (V, vt)
     assert S % sb == 0 and sb % 16 == 0, (S, sb)
@@ -817,11 +976,9 @@ def fused_decode_token_batched(pos, h0, cosr, sinr, rot, hmask, final_norm,
     if with_starts:
         in_specs += [full(B, 1)]  # per-row attention lower bounds (serving)
         extra_ops += (jnp.asarray(starts, jnp.int32).reshape(B, 1),)
-    in_specs += [
-        any_spec,        # ck (N, B, S, CW)
-        any_spec,        # cv
-    ]
-    cache_op = 1 + len(in_specs) - 2  # operand index of ck incl. prefetch
+    n_caches = 4 if kv_int8 else 2
+    in_specs += [any_spec] * n_caches   # ck, cv[, sk, sv]
+    cache_op = 1 + len(in_specs) - n_caches  # ck operand idx incl. prefetch
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -830,9 +987,7 @@ def fused_decode_token_batched(pos, h0, cosr, sinr, rot, hmask, final_norm,
         out_specs=[
             # argmax state (VMEM vector) or the current (B, vt) logits tile
             vocab_tile(B) if emit_logits else full(B, 1),
-            any_spec,        # ck
-            any_spec,        # cv
-        ],
+        ] + [any_spec] * n_caches,       # ck, cv[, sk, sv]
         scratch_shapes=[
             pltpu.VMEM((B, D), jnp.float32),       # h_state
             pltpu.VMEM((1, D), jnp.float32),       # cos_row
@@ -843,12 +998,20 @@ def fused_decode_token_batched(pos, h0, cosr, sinr, rot, hmask, final_norm,
         ] if narrow else []) + [
             pltpu.VMEM((B, 16, CW), ck.dtype),     # ktile (RMW)
             pltpu.VMEM((B, 16, CW), cv.dtype),     # vtile (RMW)
+        ] + ([
+            pltpu.VMEM((B, sb), jnp.float32),      # sktile (RMW scale blk)
+            pltpu.VMEM((B, sb), jnp.float32),      # svtile
+        ] if kv_int8 else []) + [
             pltpu.VMEM((2, B, sb, CW), ck.dtype),  # kbuf
             pltpu.VMEM((2, B, sb, CW), cv.dtype),  # vbuf
+        ] + ([
+            pltpu.VMEM((2, B, sb), jnp.float32),   # skbuf
+            pltpu.VMEM((2, B, sb), jnp.float32),   # svbuf
+        ] if kv_int8 else []) + [
             pltpu.VMEM((B, 1), jnp.float32),       # best
             pltpu.VMEM((B, 1), jnp.int32),         # bidx
-            pltpu.SemaphoreType.DMA((4,)),         # rsem
-            pltpu.SemaphoreType.DMA((4,)),         # wsem
+            pltpu.SemaphoreType.DMA((8 if kv_int8 else 4,)),  # rsem
+            pltpu.SemaphoreType.DMA((8 if kv_int8 else 4,)),  # wsem
         ],
     )
 
@@ -856,31 +1019,33 @@ def fused_decode_token_batched(pos, h0, cosr, sinr, rot, hmask, final_norm,
                                dim=D, dpad=Dp, vt=vt, n_tiles=n_tiles,
                                sb=sb, batch=B, emit_logits=emit_logits,
                                dkp=CW, narrow=narrow,
-                               with_starts=with_starts)
+                               with_starts=with_starts, kv_int8=kv_int8)
     # clamp: surplus chunk steps past the cache end must stay in bounds
     # (see fused_decode_token)
     idx = jnp.minimum(jnp.asarray(pos, jnp.int32),
                       np.int32(S - 1)).reshape(1)
     out0_shape = (jax.ShapeDtypeStruct((B, V), jnp.float32) if emit_logits
                   else jax.ShapeDtypeStruct((B, 1), jnp.int32))
-    out0, ck_new, cv_new = pl.pallas_call(
+    caches = (ck, cv, sk, sv) if kv_int8 else (ck, cv)
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            out0_shape,
-            jax.ShapeDtypeStruct(ck.shape, ck.dtype),
-            jax.ShapeDtypeStruct(cv.shape, cv.dtype),
-        ],
-        input_output_aliases={cache_op: 1, cache_op + 1: 2},
+        out_shape=[out0_shape] + [
+            jax.ShapeDtypeStruct(c.shape, c.dtype) for c in caches],
+        input_output_aliases={cache_op + i: 1 + i
+                              for i in range(n_caches)},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(idx, h0, cosr, sinr, rot, hmask, final_norm, wq, wk, wv, wo,
       gate_w, up_w, down_w, in_norm, post_norm, head_w, head_b,
-      *extra_ops, ck, cv)
-    if emit_logits:
-        return out0, ck_new, cv_new  # (B, V) f32
-    return out0.reshape(B), ck_new, cv_new
+      *extra_ops, *caches)
+    out0 = outs[0]
+    if not emit_logits:
+        out0 = out0.reshape(B)
+    if kv_int8:
+        return (out0,) + tuple(outs[1:])  # tok/logits, ck, cv, sk, sv
+    return out0, outs[1], outs[2]
 
 
 def pad_cache_lanes(c, dim_pad: int):
@@ -891,18 +1056,45 @@ def pad_cache_lanes(c, dim_pad: int):
     return jnp.pad(c, ((0, 0),) * (c.ndim - 1) + ((0, pad),))
 
 
+def quantize_kv(c):
+    """(..., S, W) KV cache -> (int8 cache, (..., S) f32 per-row scales).
+
+    Symmetric per-row: s = absmax/127 (floored so all-zero rows stay
+    zero), q = round(x/s) — exactly the scheme the kv_int8 kernel applies
+    to freshly written rows, so prefill-quantized rows and kernel-written
+    rows are indistinguishable to later steps."""
+    s = jnp.maximum(jnp.max(jnp.abs(c.astype(jnp.float32)), -1) / 127.0,
+                    1e-10)
+    q = jnp.clip(jnp.round(c.astype(jnp.float32) / s[..., None]),
+                 -127, 127).astype(jnp.int8)
+    return q, s
+
+
 def lane_pad_dim(d: int) -> int:
     """Smallest multiple of 128 (the HBM DMA lane-alignment unit) >= d."""
     return -(-d // 128) * 128
 
 
-def pick_vt(vocab: int, cap: int = 8192) -> int:
+def pick_vt(vocab: int, d_model: int = None, cap: int = 8192) -> int:
     """Largest 128-multiple vocab-tile size that divides ``vocab``.
 
-    Bigger tiles mean fewer head grid steps (measured ~4us/token at
-    stories15M: 10 tiles of 3200 -> 5 of 6400); the cap keeps the
-    double-buffered (D, vt) bf16 tile pair within the VMEM budget."""
+    With ``d_model`` the cap is tightened so one (D, vt) bf16 head tile
+    stays ~<=2 MB: repeated interleaved on-chip sweeps (round 3, both
+    stories15M and stories110M dims) show multi-MB head tiles LOSE 30-80
+    us/token — past ~2 MB per tile the head stages stop overlapping DMA
+    with compute (buffer pressure defeats the double-buffering), so
+    smaller tiles with more grid steps win despite the per-step cost."""
+    if d_model is not None:
+        # floor of 1024: at very large D the byte budget would force tiny
+        # tiles whose per-grid-step overhead dominates instead
+        budget = max(1024, (2 * 1024 * 1024 // (2 * d_model)) // 128 * 128)
+        cap = min(cap, budget)
     for vt in range(min(cap, vocab), 127, -128):
+        if vocab % vt == 0 and vt % 128 == 0:
+            return vt
+    # fall back to the largest valid tile ignoring the byte budget (a
+    # vocab with no small 128-multiple divisor must still get a tiling)
+    for vt in range(vocab, 127, -128):
         if vocab % vt == 0 and vt % 128 == 0:
             return vt
     return 0  # no valid tiling

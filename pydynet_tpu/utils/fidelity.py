@@ -54,13 +54,15 @@ def _confident(margins, tops, margin, rel):
     return margins > thr
 
 
-def _fused_setup(model, prompt_ids, dtype, quant):
+def _fused_setup(model, prompt_ids, dtype, quant, kv_quant=None):
     """Prefill on the XLA path, flatten caches to the fused layout the
     weights dict selects (narrow GQA / expanded), return the pieces a
-    teacher-forced scan needs."""
+    teacher-forced scan needs.  ``kv_quant="int8"`` hands back
+    ``(int8 cache, scales)`` tuples — the batched kernel's int8-KV mode."""
     import jax.numpy as jnp
 
-    from ..ops.decode_step import lane_pad_dim, pad_cache_lanes
+    from ..ops.decode_step import (lane_pad_dim, pad_cache_lanes,
+                                   quantize_kv)
 
     B, L = np.asarray(prompt_ids).shape
     if model._decode_fns is None:
@@ -77,12 +79,15 @@ def _fused_setup(model, prompt_ids, dtype, quant):
         (model.n_kv_heads if narrow else model.n_heads) * model.head_dim)
     ck = pad_cache_lanes(model._kv_flat(ck5, narrow), width)
     cv = pad_cache_lanes(model._kv_flat(cv5, narrow), width)
+    if kv_quant:
+        ck, cv = quantize_kv(ck), quantize_kv(cv)
     fused_step = model._fused_chunk_fn[5 if B == 1 else 6]
     return w, ck, cv, tok0, fused_step
 
 
 def gate_fused_argmax(model, prompt_ids, truth, margins, tops=None, *,
-                      dtype=None, quant=None, margin: float = MARGIN,
+                      dtype=None, quant=None, kv_quant=None,
+                      margin: float = MARGIN,
                       rel: float = REL_MARGIN, min_agree: float = None):
     """(checked, ok) for one kernel variant: the fused kernel's argmax,
     teacher-forced along ``truth``, must equal it at every confident step
@@ -104,7 +109,7 @@ def gate_fused_argmax(model, prompt_ids, truth, margins, tops=None, *,
     prompt_ids = np.asarray(prompt_ids)
     B, L = prompt_ids.shape
     w, ck, cv, tok0, fused_step = _fused_setup(model, prompt_ids, dtype,
-                                               quant)
+                                               quant, kv_quant)
 
     @functools.partial(jax.jit, donate_argnums=(1, 2))
     def tf(w, ck, cv, toks_in, pos0):

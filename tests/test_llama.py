@@ -415,6 +415,56 @@ def test_generate_int8_quant_plumbing():
         next(iter(model.generate(ids, 8, fused=False, quant="int8")))
 
 
+def test_generate_kv_quant_plumbing():
+    """generate(kv_quant="int8") end to end (interpret): deterministic,
+    full-precision prefill token preserved, token-exact vs the f32 XLA
+    path on this f32-weights CPU model (int8-KV noise only flips tokens at
+    near-ties; the kernel MATH is pinned exactly in test_ops_kernels.py),
+    and the mode demands the fused batched path."""
+    import functools
+
+    from pydynet_tpu.ops import decode_step as dsk
+
+    np.random.seed(8)
+    model = Llama(vocab_size=256, embed_dim=32, n_heads=2, ffn_dim=64,
+                  max_seq_len=32, max_batch_size=3, n_layers=2,
+                  dtype=np.float32)
+    model.eval()
+    ids = np.array([[1, 5, 9], [2, 7, 3], [30, 20, 10]])
+
+    with pdn.no_grad():
+        base = [t.numpy() for t in model.generate(ids, 14, chunk=5,
+                                                  fused=False)]
+
+    orig = dsk.fused_decode_token_batched
+    dsk.fused_decode_token_batched = functools.partial(orig, interpret=True)
+    try:
+        model._fused_chunk_fn = None
+        with pdn.no_grad():
+            a = [t.numpy() for t in model.generate(ids, 14, chunk=5,
+                                                   fused=True,
+                                                   kv_quant="int8")]
+            b = [t.numpy() for t in model.generate(ids, 14, chunk=5,
+                                                   fused=True,
+                                                   kv_quant="int8")]
+    finally:
+        dsk.fused_decode_token_batched = orig
+        model._fused_chunk_fn = None
+
+    assert len(a) == 14 - 3
+    np.testing.assert_array_equal(np.stack(a), np.stack(b))  # deterministic
+    np.testing.assert_array_equal(a[0], base[0])  # f32 prefill untouched
+    np.testing.assert_array_equal(np.stack(a), np.stack(base))
+
+    with pytest.raises(ValueError):  # B=1 has no batched kernel
+        next(iter(model.generate(np.array([[1, 2]]), 8, fused=True,
+                                 kv_quant="int8")))
+    with pytest.raises(ValueError):
+        next(iter(model.generate(ids, 8, fused=False, kv_quant="int8")))
+    with pytest.raises(ValueError):
+        next(iter(model.generate(ids, 8, fused=True, kv_quant="fp4")))
+
+
 def test_generate_batched_fused_matches_xla():
     """B>1 generate through the batched whole-token kernel (interpret) must
     be token-exact vs the XLA scan path."""

@@ -569,6 +569,146 @@ def test_fused_decode_token_batched_matches_reference():
             atol=1e-4)
 
 
+def _reference_decode_step_kvq(pos, h0, params, kq_std, ks_std, vq_std,
+                               vs_std, cfg):
+    """NumPy mirror of the kv_int8 batched-kernel math for ONE sample:
+    int8 caches with per-row symmetric scales, per-sample query
+    quantization for cache-row scores, exact f32 queries (against the
+    dequantized self row) for the current position."""
+    N, H, D = cfg["n_layers"], cfg["n_heads"], cfg["dim"]
+    hd = D // H
+    inv = 1.0 / (10000 ** (np.arange(0, hd, 2) / hd))
+    cos = np.cos(pos * inv)
+    sin = np.sin(pos * inv)
+
+    def rms(x, w):
+        return x / np.sqrt((x * x).mean(-1, keepdims=True) + 1e-6) * w
+
+    def quant_row(x):
+        s = max(np.abs(x).max() / 127.0, 1e-10)
+        return np.clip(np.round(x / s), -127, 127), s
+
+    h = h0.copy()
+    for i in range(N):
+        hn = rms(h, params["in_norm"][i, 0])
+        q = hn @ params["wq"][i]
+        k = hn @ params["wk"][i]
+        v = hn @ params["wv"][i]
+        qh = _rope_interleaved(q.reshape(1, H, hd), cos, sin).reshape(D)
+        kh = _rope_interleaved(k.reshape(1, H, hd), cos, sin).reshape(D)
+        kq, ks = quant_row(kh)
+        vq, vs = quant_row(v[0])
+        kq_std[i, pos], ks_std[i, pos] = kq, ks
+        vq_std[i, pos], vs_std[i, pos] = vq, vs
+        qq, qs = quant_row(qh)
+
+        out = np.zeros((H, hd))
+        for hh in range(H):
+            sl = slice(hh * hd, (hh + 1) * hd)
+            # cache rows < pos: int dot x (k-row scale x q scale)
+            s_cache = (kq_std[i, :pos, sl] @ qq[sl]) \
+                * ks_std[i, :pos] * qs / math.sqrt(hd)
+            # self row: dequantized k/v against the EXACT f32 query
+            s_self = (kq[sl] * ks) @ qh[sl] / math.sqrt(hd)
+            s = np.concatenate([s_cache, [s_self]])
+            p = np.exp(s - s.max())
+            p /= p.sum()
+            vdeq = np.concatenate(
+                [vq_std[i, :pos, sl] * vs_std[i, :pos, None],
+                 (vq[sl] * vs)[None]])
+            out[hh] = p @ vdeq
+        z = h + out.reshape(1, D) @ params["wo"][i]
+        zn = rms(z, params["post_norm"][i, 0])
+        g = zn @ params["gate"][i]
+        u = zn @ params["up"][i]
+        h = z + ((g / (1 + np.exp(-g))) * u) @ params["down"][i]
+    return rms(h, params["final_norm"][0])
+
+
+def test_fused_decode_token_batched_kv_int8_matches_reference():
+    """The kv_int8 batched kernel == B independent NumPy runs of the same
+    quantized math (int8 rows + per-row scales, per-sample query quant)."""
+    rng = np.random.default_rng(13)
+    cfg = dict(n_layers=2, n_heads=2, dim=16, seq=32, ffn=24)
+    N, D, F, S, H = (cfg["n_layers"], cfg["dim"], cfg["ffn"], cfg["seq"],
+                     cfg["n_heads"])
+    B, V, vt, sb = 3, 256, 128, 16
+    hd = D // H
+
+    p = {
+        "wq": rng.standard_normal((N, D, D)) * 0.2,
+        "wk": rng.standard_normal((N, D, D)) * 0.2,
+        "wv": rng.standard_normal((N, D, D)) * 0.2,
+        "wo": rng.standard_normal((N, D, D)) * 0.2,
+        "gate": rng.standard_normal((N, D, F)) * 0.2,
+        "up": rng.standard_normal((N, D, F)) * 0.2,
+        "down": rng.standard_normal((N, F, D)) * 0.2,
+        "in_norm": np.abs(rng.standard_normal((N, 1, D))) + 0.5,
+        "post_norm": np.abs(rng.standard_normal((N, 1, D))) + 0.5,
+        "final_norm": np.abs(rng.standard_normal((1, D))) + 0.5,
+    }
+    emb = rng.standard_normal((V, D)).astype(np.float32)
+    head_w = (rng.standard_normal((D, V)) * 0.3).astype(np.float32)
+    head_b = np.zeros((1, V), np.float32)
+
+    Dp = ds.lane_pad_dim(D)
+    inv = 1.0 / (10000 ** (np.arange(0, hd, 2) / hd))
+    t = np.arange(S)[:, None]
+    cosr = np.tile(np.repeat(np.cos(t * inv), 2, -1), (1, H))
+    sinr = np.tile(np.repeat(np.sin(t * inv), 2, -1), (1, H))
+
+    f32 = jnp.float32
+    args = dict(
+        cosr=jnp.asarray(cosr, f32), sinr=jnp.asarray(sinr, f32),
+        rot=jnp.asarray(ds.rope_pair_swap_matrix(D), f32),
+        hmask=jnp.pad(ds.head_mask_matrix(D, H).astype(f32),
+                      ((0, Dp - D), (0, 0))),
+        final_norm=jnp.asarray(p["final_norm"], f32),
+        wq=jnp.asarray(p["wq"], f32), wk=jnp.asarray(p["wk"], f32),
+        wv=jnp.asarray(p["wv"], f32), wo=jnp.asarray(p["wo"], f32),
+        gate=jnp.asarray(p["gate"], f32), up=jnp.asarray(p["up"], f32),
+        down=jnp.asarray(p["down"], f32),
+        in_norm=jnp.asarray(p["in_norm"], f32),
+        post_norm=jnp.asarray(p["post_norm"], f32),
+        head_w=jnp.asarray(head_w, f32), head_b=jnp.asarray(head_b, f32))
+
+    ck = jnp.zeros((N, B, S, Dp), jnp.int8)
+    cv = jnp.zeros((N, B, S, Dp), jnp.int8)
+    sk = jnp.full((N, B, S), 1e-10, f32)
+    sv = jnp.full((N, B, S), 1e-10, f32)
+    # per-sample reference caches (int rows in the REAL D width + scales)
+    kq_std = np.zeros((B, N, S, D))
+    ks_std = np.full((B, N, S), 1e-10)
+    vq_std = np.zeros((B, N, S, D))
+    vs_std = np.full((B, N, S), 1e-10)
+
+    toks = np.array([[5, 190, 11, 42],
+                     [7, 3, 250, 99],
+                     [101, 55, 21, 8]]).T  # (steps, B)
+    for i in range(toks.shape[0]):
+        h0 = jnp.asarray(emb[toks[i]], f32)  # (B, D) gather outside
+        nxt, ck, cv, sk, sv = ds.fused_decode_token_batched(
+            i, h0, args["cosr"], args["sinr"], args["rot"], args["hmask"],
+            args["final_norm"], args["wq"], args["wk"], args["wv"],
+            args["wo"], args["gate"], args["up"], args["down"],
+            args["in_norm"], args["post_norm"], args["head_w"],
+            args["head_b"], ck, cv, vt=vt, sb=sb, interpret=True,
+            sk=sk, sv=sv)
+        for b in range(B):
+            h = _reference_decode_step_kvq(
+                i, emb[toks[i, b]][None, :], p, kq_std[b], ks_std[b],
+                vq_std[b], vs_std[b], cfg)
+            want = int(np.argmax(h @ head_w + head_b))
+            assert int(nxt[b]) == want, (i, b, int(nxt[b]), want)
+        # int8 rows must match the reference EXACTLY (same quantized math)
+        np.testing.assert_array_equal(
+            np.asarray(ck)[:, :, :i + 1, :D],
+            kq_std.transpose(1, 0, 2, 3)[:, :, :i + 1])
+        np.testing.assert_allclose(
+            np.asarray(sk)[:, :, :i + 1],
+            ks_std.transpose(1, 0, 2)[:, :, :i + 1], rtol=1e-5)
+
+
 def test_flash_attention_pick_blocks():
     from pydynet_tpu.ops.flash_attention import pick_blocks
 

@@ -148,3 +148,58 @@ def test_server_heavy_turnover_mixed_lengths(interp_kernels):
     assert set(done) == set(rids)
     for rid, exp, p in zip(rids, want, prompts):
         assert done[rid].tokens == exp, (rid, p, done[rid].tokens, exp)
+
+
+def test_server_kv_quant_matches_standalone(interp_kernels):
+    """kv_quant="int8" serving: the fleet's caches are int8 + per-row
+    scales end to end (admission scatter quantizes rows exactly like the
+    kernel quantizes decoded ones).
+
+    Exactness claims (quantization changes tokens at near-ties, so plain
+    full-precision comparison is NOT valid on a tiny random model):
+    * a request admitted at pos0=0 (idle server) matches
+      ``generate(kv_quant="int8")`` token-for-token — the admission
+      post-rotation is the identity there, so server and standalone run
+      the SAME quantized math (row independence in the batched kernel);
+    * every request's FIRST token comes from the full-precision XLA
+      prefill and must match full-precision standalone, even for
+      mid-stream admissions at shifted positions;
+    * streams are deterministic across server instances."""
+    from pydynet_tpu.models.llama.serve import LlamaServer
+
+    np.random.seed(9)
+    model = Llama(**CFG)
+    model.eval()
+    prompts = [[1, 5, 9], [2, 7, 3, 11], [30, 20]]
+    want_fp = [standalone(model, p, 8) for p in prompts]
+    # standalone kv_quant comparator for the pos0=0 request: duplicate the
+    # prompt into the required B>1 batch; rows are independent
+    with pdn.no_grad():
+        want_q0 = [int(t.numpy()[0, 0]) for t in model.generate(
+            np.asarray([prompts[0], prompts[0]]), len(prompts[0]) + 8,
+            fused=True, kv_quant="int8")]
+
+    def run_once():
+        with pdn.no_grad():
+            srv = LlamaServer(model, batch_size=2, chunk=4, eos_id=-1,
+                              kv_quant="int8")
+            assert isinstance(srv._ck, tuple) and srv._ck[0].dtype == np.int8
+            rids = [srv.submit(p, max_new_tokens=8) for p in prompts]
+            done = srv.run()
+        return rids, done
+
+    rids, done = run_once()
+    assert set(done) == set(rids)
+    assert done[rids[0]].tokens == want_q0, (done[rids[0]].tokens, want_q0)
+    for rid, exp in zip(rids, want_fp):
+        got = done[rid].tokens
+        assert len(got) == 8 and got[0] == exp[0], (rid, got, exp)
+        assert all(0 <= x < CFG["vocab_size"] for x in got)
+    assert len(prompts) > 2  # slot recycling really happened on B=2
+
+    rids2, done2 = run_once()
+    assert [done[r].tokens for r in rids] == \
+        [done2[r].tokens for r in rids2]  # deterministic
+
+    with pytest.raises(ValueError):
+        LlamaServer(model, batch_size=2, kv_quant="fp4")

@@ -79,6 +79,24 @@ def test_fused_batched_kernel_on_chip():
     assert checked > 0 and ok, (checked, ok)
 
 
+def test_fused_batched_kernel_kv_int8_on_chip():
+    """int8-KV batched kernel on silicon: int8 x int8 score matmuls with
+    per-row scales must track the f32 eager truth by majority agreement
+    (quantization noise flips only near-ties; layout/scale breakage drives
+    agreement toward 1/vocab)."""
+    import jax.numpy as jnp
+
+    from pydynet_tpu.utils import fidelity
+
+    cpu, dev = _models(max_batch_size=4)
+    ids = np.array([[1, 5, 9], [2, 7, 3], [30, 20, 10], [4, 4, 4]])
+    truth, margins, tops = fidelity.greedy_truth(cpu, ids, STEPS)
+    checked, ok = fidelity.gate_fused_argmax(dev, ids, truth, margins, tops,
+                                             dtype=jnp.bfloat16,
+                                             kv_quant="int8", min_agree=0.6)
+    assert checked > 0 and ok, (checked, ok)
+
+
 def test_fused_gqa_narrow_kernel_on_chip():
     """Narrow-KV GQA variant (egqa expansion in-kernel) on silicon."""
     import jax.numpy as jnp
