@@ -465,7 +465,8 @@ def _token_kernel_batched(idx_ref,  # scalar prefetch: (1,) i32 = [pos]
                           dpad: int, vt: int, n_tiles: int, sb: int,
                           batch: int, emit_logits: bool = False,
                           dkp: int = None, narrow: bool = False,
-                          with_starts: bool = False, kv_int8: bool = False):
+                          with_starts: bool = False, kv_int8: bool = False,
+                          sg: int = None):
     """Batched variant of ``_token_kernel``: the hidden state is (B, D), so
     every weight matrix streams from HBM ONCE per token for the whole batch
     (the vmapped fallback re-streams weights per row), and the qkv/ffn/head
@@ -474,10 +475,12 @@ def _token_kernel_batched(idx_ref,  # scalar prefetch: (1,) i32 = [pos]
     single strided (B, sb, Dp) block DMAs.  The previous-token embedding
     gather happens OUTSIDE (a (B,) gather is one tiny XLA kernel; the
     scalar-prefetch block trick only fetches one row block), so a batched
-    decode step is 2 launches.  Attention scores are ONE un-unrolled
-    (B*sb, Dp) x (Dp, B*H) matmul with static diagonal-block extraction
-    (see ``diag_blocks`` — the B^2 cross-sample waste buys O(1)-in-B op
-    count and Mosaic compile time).
+    decode step is 2 launches.  Attention scores run as B/sg group-blocked
+    (sg*sb, Dp) x (Dp, sg*H) matmuls with static diagonal-block extraction
+    — each group discards sg^2-sg cross-sample products, so total MXU
+    waste is O(B*sg), not the O(B^2) of one un-unrolled matmul.  ``sg``
+    defaults to the whole batch (the round-2 layout); callers shrink it at
+    large B where the B^2 term dominates (see ``pick_sg``).
 
     ``narrow`` (true-GQA): same contract as ``_token_kernel`` — narrow
     (dkp-wide) KV rows with dedicated RoPE tables and the ``egqa``
@@ -708,6 +711,7 @@ def _token_kernel_batched(idx_ref,  # scalar prefetch: (1,) i32 = [pos]
                 get_sv(_Z, _Z).start()
 
         H = n_heads
+        SG = B if sg is None else sg
 
         def diag_blocks(s_full, rb, cb):
             """(B*rb, B*cb) -> (B, rb, cb): row-block b paired with
@@ -718,6 +722,26 @@ def _token_kernel_batched(idx_ref,  # scalar prefetch: (1,) i32 = [pos]
                 jax.lax.slice(s_full, (b * rb, b * cb),
                               ((b + 1) * rb, (b + 1) * cb))
                 for b in range(B)])
+
+        def block_scores(kb_all, qcols, ptype):
+            """(B, sb, H) per-sample scores for one staged KV block:
+            groups of SG samples share one (SG*sb, cw) x (cw, SG*H) dot,
+            then each sample's diagonal (sb, H) block is sliced out.
+            SG == B is the single un-unrolled matmul; smaller SG cuts the
+            cross-sample MXU waste from B^2 to B*SG (matters from B~32 up,
+            where the waste outgrows the real work)."""
+            blocks = []
+            for g0 in range(0, B, SG):
+                kb_g = kb_all[g0:g0 + SG].reshape(SG * sb, cw)
+                s_g = jnp.dot(
+                    kb_g,
+                    jax.lax.slice(qcols, (0, g0 * H),
+                                  (cw, (g0 + SG) * H)),
+                    preferred_element_type=ptype)
+                blocks += [jax.lax.slice(s_g, (j * sb, j * H),
+                                         ((j + 1) * sb, (j + 1) * H))
+                           for j in range(SG)]
+            return jnp.stack(blocks)  # (B, sb, H)
 
         # init with the current row per sample: p_self = 1 per head
         # (kv_int8: the self row uses the DEQUANTIZED k/v and the exact f32
@@ -757,19 +781,18 @@ def _token_kernel_batched(idx_ref,  # scalar prefetch: (1,) i32 = [pos]
             if kv_int8:
                 get_sk(slot, blk).wait()
                 get_sv(slot, blk).wait()
-            kb = kbuf[slot].reshape(B * sb, cw)
+            kb_all = kbuf[slot]  # (B, sb, cw)
             if kv_int8:
                 # int8 x int8 -> int32 on the MXU; the f32 scale product
                 # (k-row scale x per-sample q scale) applies AFTER the
                 # cheap diagonal-block extraction, on (B, sb, H) only
-                s_i = jnp.dot(kb, qMq, preferred_element_type=jnp.int32)
-                s = (diag_blocks(s_i, sb, H).astype(jnp.float32)
+                s = (block_scores(kb_all, qMq, jnp.int32)
+                     .astype(jnp.float32)
                      * skbuf[slot][:, :, None]
                      * qs.reshape(B, 1, 1) * scale)
             else:
-                s_full = jnp.dot(kb, qM,
-                                 preferred_element_type=jnp.float32) * scale
-                s = diag_blocks(s_full, sb, H)  # (B, sb, H)
+                s = block_scores(kb_all, qM,
+                                 jnp.float32) * scale  # (B, sb, H)
             rows = blk * np.int32(sb) + jax.lax.broadcasted_iota(
                 jnp.int32, (B, sb, H), 1)
             valid = rows < pos
@@ -853,14 +876,16 @@ def _token_kernel_batched(idx_ref,  # scalar prefetch: (1,) i32 = [pos]
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("vt", "sb", "interpret", "emit_logits"))
+                   static_argnames=("vt", "sb", "interpret", "emit_logits",
+                                    "sg"))
 def fused_decode_token_batched(pos, h0, cosr, sinr, rot, hmask, final_norm,
                                wq, wk, wv, wo, gate_w, up_w, down_w,
                                in_norm, post_norm, head_w, head_b, ck, cv,
                                vt: int = 6400, sb: int = 256,
                                interpret=False, emit_logits: bool = False,
                                cosk=None, sink=None, rotk=None, egqa=None,
-                               starts=None, sk=None, sv=None):
+                               starts=None, sk=None, sv=None,
+                               sg: int = None):
     """Batched greedy decode step: ONE Pallas launch for B rows.
 
     ``h0`` (B, D) f32 is the already-gathered previous-token embedding
@@ -897,6 +922,9 @@ def fused_decode_token_batched(pos, h0, cosr, sinr, rot, hmask, final_norm,
         assert sk.shape == (N, B, S) and sv.shape == (N, B, S), sk.shape
         if narrow:
             egqa = egqa.astype(jnp.int8)  # 0/1 matrix rides the int8 dots
+    if sg is None:
+        sg = pick_sg(B, H)
+    assert B % sg == 0 and 1 <= sg <= B, (B, sg)
     assert h0.shape == (B, D), (h0.shape, B, D)
     assert V % vt == 0 and vt % 128 == 0, (V, vt)
     assert S % sb == 0 and sb % 16 == 0, (S, sb)
@@ -1019,7 +1047,8 @@ def fused_decode_token_batched(pos, h0, cosr, sinr, rot, hmask, final_norm,
                                dim=D, dpad=Dp, vt=vt, n_tiles=n_tiles,
                                sb=sb, batch=B, emit_logits=emit_logits,
                                dkp=CW, narrow=narrow,
-                               with_starts=with_starts, kv_int8=kv_int8)
+                               with_starts=with_starts, kv_int8=kv_int8,
+                               sg=sg)
     # clamp: surplus chunk steps past the cache end must stay in bounds
     # (see fused_decode_token)
     idx = jnp.minimum(jnp.asarray(pos, jnp.int32),
@@ -1105,6 +1134,37 @@ def pick_sb(seq: int, cap: int = 256) -> int:
     for sb in range(min(cap, seq), 15, -16):
         if seq % sb == 0:
             return sb
+    return 0
+
+
+def pick_sg(B: int, H: int) -> int:
+    """Score-group size for the batched kernel: the largest divisor of
+    ``B`` whose sg*H score columns still fit ONE 128-lane MXU tile — any
+    smaller group does the same padded MXU work with more ops; any larger
+    group multiplies real work by sg*H/128.  (At B=64, H=6 this cuts the
+    block-scores matmul work 3x vs the single un-unrolled B*H=384-column
+    form.)"""
+    best = 1
+    for d in range(1, B + 1):
+        if B % d == 0 and d * H <= 128:
+            best = d
+    return best
+
+
+def batched_sb(seq: int, B: int, cw: int, itemsize: int,
+               budget: int = 24 * 1024 * 1024, multiple: int = 16) -> int:
+    """B-aware KV block size: the double-buffered K and V stream tiles
+    cost 4*B*sb*cw*itemsize bytes of VMEM; past ~24 MB they crowd out the
+    weight tiles' double buffering (measured: B=64 at sb=256 regressed
+    BELOW B=32 aggregate).  Keeps the B<=32 configs at their round-2
+    tilings and shrinks sb only where the budget demands it.
+    ``multiple=128`` for the int8-KV mode: its scale-plane DMAs slice the
+    minormost (S) axis, which Mosaic lowers only at 128-multiple
+    offsets/widths."""
+    cap = min(max(multiple, budget // (4 * B * cw * max(itemsize, 1))), 256)
+    for sbv in range(cap - cap % multiple, multiple - 1, -multiple):
+        if seq % sbv == 0:
+            return sbv
     return 0
 
 

@@ -718,3 +718,81 @@ def test_flash_attention_pick_blocks():
     assert 4 * bk * 128 * 4 <= 4 * 1024 * 1024
     bq, bk = pick_blocks(384, 64)
     assert 384 % bq == 0 and 384 % bk == 0
+
+
+def test_fused_decode_token_batched_grouped_scores_match():
+    """Group-blocked score matmuls (sg < B) must reproduce the single
+    un-unrolled matmul exactly: same dot products over the same cw
+    reduction axis, only batched into (sg*sb, cw) x (cw, sg*H) pieces.
+    Runs the emit_logits head so the full (B, V) output is compared."""
+    rng = np.random.default_rng(17)
+    N, D, F, S, H = 2, 16, 24, 32, 2
+    B, V, vt, sb = 4, 256, 128, 16
+    hd = D // H
+
+    f32 = jnp.float32
+    p = lambda *s: jnp.asarray(rng.standard_normal(s) * 0.2, f32)
+    Dp = ds.lane_pad_dim(D)
+    inv = 1.0 / (10000 ** (np.arange(0, hd, 2) / hd))
+    t = np.arange(S)[:, None]
+    cosr = jnp.asarray(np.tile(np.repeat(np.cos(t * inv), 2, -1), (1, H)),
+                       f32)
+    sinr = jnp.asarray(np.tile(np.repeat(np.sin(t * inv), 2, -1), (1, H)),
+                       f32)
+    args = (cosr, sinr, jnp.asarray(ds.rope_pair_swap_matrix(D), f32),
+            jnp.pad(ds.head_mask_matrix(D, H).astype(f32),
+                    ((0, Dp - D), (0, 0))),
+            jnp.asarray(np.abs(rng.standard_normal((1, D))) + 0.5, f32),
+            p(N, D, D), p(N, D, D), p(N, D, D), p(N, D, D),
+            p(N, D, F), p(N, D, F), p(N, F, D),
+            jnp.asarray(np.abs(rng.standard_normal((N, 1, D))) + 0.5, f32),
+            jnp.asarray(np.abs(rng.standard_normal((N, 1, D))) + 0.5, f32),
+            p(D, V), jnp.zeros((1, V), f32))
+
+    outs = {}
+    for sg in (None, 2, 1):  # None -> default pick_sg (=B here)
+        ck = jnp.zeros((N, B, S, Dp), f32)
+        cv = jnp.zeros((N, B, S, Dp), f32)
+        logits = []
+        for i, tok_row in enumerate(([5, 9, 1, 3], [2, 8, 250, 40])):
+            h0 = p(B, D) * 0 + jnp.asarray(
+                rng.standard_normal((B, D)) if False else
+                np.eye(max(B, D))[:B, :D], f32) + i  # deterministic h0
+            lg, ck, cv = ds.fused_decode_token_batched(
+                i, h0, *args, ck, cv, vt=vt, sb=sb, interpret=True,
+                emit_logits=True, sg=sg)
+            logits.append(np.asarray(lg))
+        outs[sg] = (np.stack(logits), np.asarray(ck), np.asarray(cv))
+
+    for sg in (2, 1):
+        np.testing.assert_allclose(outs[sg][0], outs[None][0],
+                                   rtol=0, atol=1e-5)
+        np.testing.assert_array_equal(outs[sg][1], outs[None][1])
+        np.testing.assert_array_equal(outs[sg][2], outs[None][2])
+
+
+def test_pick_sg_and_batched_sb():
+    from pydynet_tpu.ops.decode_step import batched_sb, pick_sg
+
+    # largest divisor of B with sg*H <= one 128-lane tile
+    assert pick_sg(64, 6) == 16
+    assert pick_sg(32, 6) == 16
+    assert pick_sg(4, 6) == 4     # small B: unchanged single matmul
+    assert pick_sg(64, 2) == 64
+    assert pick_sg(8, 200) == 1   # huge H: per-sample dots
+    for B, H in ((64, 6), (48, 12), (7, 3)):
+        sg = pick_sg(B, H)
+        assert B % sg == 0 and (sg == 1 or sg * H <= 128)
+
+    # B<=32 bf16 keeps the round-2 sb=256; B=64 shrinks into budget
+    assert batched_sb(1024, 32, 320, 2) == 256
+    assert batched_sb(1024, 64, 320, 2) == 128
+    assert batched_sb(1024, 64, 320, 1) == 256      # int8 halves bytes
+    assert batched_sb(1024, 128, 320, 2) == 64
+    assert batched_sb(1024, 64, 320, 1, multiple=128) == 256
+    assert batched_sb(256, 64, 320, 2, multiple=128) == 128
+    assert batched_sb(96, 8, 320, 2) == 96          # divisibility kept
+    # the budget actually binds: stream buffers stay under ~24 MB
+    for B, cw, item in ((64, 320, 2), (128, 320, 2), (64, 896, 2)):
+        sbv = batched_sb(1024, B, cw, item)
+        assert sbv and 4 * B * sbv * cw * item <= 24 * 1024 * 1024
