@@ -93,6 +93,14 @@ def main(argv=None):
                         default=None,
                         help="weight-only int8 for the fused decode path "
                         "(int8-head: lm_head only, the measured win)")
+    parser.add_argument("--speculative", action="store_true",
+                        help="prompt-lookup speculative decoding (greedy "
+                        "only; token stream identical, repeated text "
+                        "decodes several tokens per dispatch)")
+    parser.add_argument("--draft-k", type=int, default=7,
+                        help="speculative draft length")
+    parser.add_argument("--ngram", type=int, default=3,
+                        help="speculative lookup n-gram size")
     parser.add_argument("--no-warmup", action="store_true",
                         help="include XLA compilation in the timed region "
                         "(default: one untimed warmup generate first)")
@@ -126,6 +134,29 @@ def main(argv=None):
             n = L + len(toks)
             print(f"\nToken count: {n}, elapsed: {elapsed:.2f}s, "
                   f"{round(n / elapsed)} tokens/s (beam={args.beams})")
+            return n / elapsed
+        if args.speculative:
+            if args.temperature and args.temperature > 0:
+                parser.error("--speculative is greedy-only")
+            spec_kw = dict(draft_k=args.draft_k, ngram=args.ngram)
+            if not args.no_warmup and model.device.kind == "accel":
+                model.generate_speculative(input_ids, args.max_new_tokens,
+                                           **spec_kw)
+            start = time.time()
+            toks, stats = model.generate_speculative(
+                input_ids, args.max_new_tokens, **spec_kw)
+            elapsed = time.time() - start
+            out = []
+            for t in toks.tolist():
+                if t in (tokenizer.eos_id, tokenizer.bos_id):
+                    break
+                out.append(t)
+            print(tokenizer.decode(out))
+            n = L + len(out)
+            print(f"\nToken count: {n}, elapsed: {elapsed:.2f}s, "
+                  f"{round(n / elapsed)} tokens/s "
+                  f"({stats['tokens_per_dispatch']:.2f} tokens/dispatch, "
+                  f"{stats['accepted_drafts']} drafts accepted)")
             return n / elapsed
         gen_kwargs = {}
         if args.dtype == "bfloat16":

@@ -317,6 +317,7 @@ class Llama(nn.Module):
         self._decode_fns = None
         self._sample_fns = None
         self._fused_chunk_fn = None
+        self._spec_fns = {}  # (draft_k, ngram) -> speculative loop
         self._weights_cache = {}  # (dtype, fused) -> stacked decode weights
 
     def move(self, device):
@@ -490,10 +491,13 @@ class Llama(nn.Module):
                                              keepdims=True) + 1e-6)
             return (n * w).astype(x.dtype)
 
-        def forward_logits_one(weights, ck, cv, tokens, pos):
+        def forward_logits_one(weights, ck, cv, tokens, pos,
+                               all_positions=False):
             """tokens (B, L) at absolute pos; ck/cv (layers, B, S, Hkv, hd).
             One transformer forward as a scan over the layer axis; returns
-            (last-position logits (B, V) f32, ck, cv)."""
+            (last-position logits (B, V) f32, ck, cv) — or (B, L, V) with
+            ``all_positions`` (the speculative-decoding verifier needs the
+            argmax at every drafted position)."""
             B, L = tokens.shape
             h = weights["tok"][tokens]
             cos = jax.lax.dynamic_slice_in_dim(weights["cos"], pos, L)
@@ -541,7 +545,8 @@ class Llama(nn.Module):
             h, (ck, cv) = jax.lax.scan(layer, h, (layer_w, ck, cv),
                                        unroll=True)
             h = rms(h, weights["norm"])
-            logits = (h[:, -1] @ weights["head_w"]).astype(jnp.float32) \
+            hl = h if all_positions else h[:, -1]
+            logits = (hl @ weights["head_w"]).astype(jnp.float32) \
                 + weights["head_b"].astype(jnp.float32)
             return logits, ck, cv
 
@@ -550,6 +555,8 @@ class Llama(nn.Module):
             return jnp.argmax(logits, axis=-1).astype(tokens.dtype), ck, cv
 
         self._xla_forward_logits = forward_logits_one
+        self._xla_forward_logits_all = partial(forward_logits_one,
+                                               all_positions=True)
         self._xla_forward_tokens = forward_tokens
 
         @jax.jit
@@ -874,8 +881,14 @@ class Llama(nn.Module):
             continuous-batching serving hook (models/llama/serve.py).
             ``ck``/``cv`` may be ``(int8 cache, f32 scales)`` tuples (see
             ``quantize_kv``) — the static pytree structure switches the
-            kernel to its int8-KV mode; returns caches in the same form."""
-            from ...ops.decode_step import fused_decode_token_batched
+            kernel to its int8-KV mode; returns caches in the same form.
+
+            The KV block size shrinks with B (``batched_sb``): the stream
+            buffers cost 4*B*sb*CW bytes of VMEM and crowd out the weight
+            double-buffering past ~24 MB (B=64 regressed below B=32
+            aggregate at the fixed sb=256)."""
+            from ...ops.decode_step import (batched_sb,
+                                            fused_decode_token_batched)
 
             nkw = _narrow_kw(weights)
             wk_ = weights["wk_n"] if nkw else weights["wk"]
@@ -885,13 +898,17 @@ class Llama(nn.Module):
             if kv8:
                 (ck, sk), (cv, sv) = ck, cv
                 nkw = dict(nkw, sk=sk, sv=sv)
+            sbb = batched_sb(ck.shape[2], ck.shape[1], ck.shape[3],
+                             ck.dtype.itemsize,
+                             multiple=128 if kv8 else 16) or sb
             out = fused_decode_token_batched(
                 p, h0, weights["cosD"], weights["sinD"], weights["rot"],
                 weights["hmask_pad"], weights["norm2"], weights["wq"],
                 wk_, wv_, weights["wo"], weights["gate_w"], weights["up_w"],
                 weights["down"], weights["in_norm2"], weights["post_norm2"],
                 weights["head_w"], weights["head_b2"], ck, cv,
-                vt=vt, sb=sb, emit_logits=emit_logits, starts=starts, **nkw)
+                vt=vt, sb=sbb, emit_logits=emit_logits, starts=starts,
+                **nkw)
             if kv8:
                 o, ck, cv, sk, sv = out
                 return o, (ck, sk), (cv, sv)
@@ -1207,3 +1224,19 @@ class Llama(nn.Module):
             p_toks, p_keep = pending
             for row in np.asarray(p_toks)[:p_keep]:
                 yield Tensor._wrap(row[:, None], cpu, False)
+
+    def generate_speculative(self, input_ids, max_new_tokens: int,
+                             draft_k: int = 7, ngram: int = 3, dtype=None):
+        """Greedy generation with prompt-lookup speculative decoding
+        (B=1): draft K tokens by n-gram lookup over the stream so far,
+        verify them in ONE teacher-forced forward, keep the longest
+        correct prefix + the bonus token.  Token stream is bit-identical
+        to ``generate(temperature=0, fused=False)``; acceptance only
+        changes tokens/dispatch.  Returns ``(tokens (total-L,) i64,
+        stats dict)``.  See models/llama/speculative.py; extension beyond
+        the reference's one-token-per-forward generate
+        (llm/llama/model.py:258-269)."""
+        from .speculative import generate_speculative
+        return generate_speculative(self, input_ids, max_new_tokens,
+                                    draft_k=draft_k, ngram=ngram,
+                                    dtype=dtype)

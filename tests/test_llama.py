@@ -1082,3 +1082,80 @@ def test_generate_repetition_penalty():
                                        repetition_penalty=1e9)]
     stream = [1, 5, 9] + pen
     assert len(set(stream)) == len(stream), stream  # no repeats at all
+
+
+def test_generate_speculative_exact_greedy():
+    """Prompt-lookup speculative decoding must emit the EXACT greedy
+    stream: drafts are verified by the target model, so acceptance rate
+    only changes tokens/dispatch, never the tokens.  Covers repetitive
+    prompts (high acceptance), non-repetitive ones (mostly rejected
+    drafts), several (draft_k, ngram) shapes, and the tail-fill path."""
+    np.random.seed(21)
+    model = Llama(vocab_size=64, embed_dim=32, n_heads=2, ffn_dim=48,
+                  max_seq_len=96, max_batch_size=1, n_layers=2,
+                  dtype=np.float32)
+    model.eval()
+
+    prompts = [
+        np.array([[1, 7, 3, 1, 7, 3, 1, 7, 3, 1, 7]]),   # periodic
+        np.array([[9, 41, 5, 60, 2, 33, 17]]),            # arbitrary
+        np.array([[4, 4, 4, 4]]),                         # unigram loop
+    ]
+    with pdn.no_grad():
+        for ids in prompts:
+            want = np.concatenate(
+                [t.numpy() for t in model.generate(ids, 40, fused=False)],
+                axis=1)[0]
+            for K, g in ((7, 3), (4, 2), (1, 1)):
+                got, stats = model.generate_speculative(ids, 40,
+                                                        draft_k=K, ngram=g)
+                np.testing.assert_array_equal(got, want, err_msg=f"{K},{g}")
+                assert stats["tokens"] == got.shape[0]
+                assert stats["tokens_per_dispatch"] > 0
+
+    # stats bookkeeping invariant: every loop iteration emits 1 + accepts
+    # tokens; the tail emits the rest as plain steps
+    with pdn.no_grad():
+        for K, g in ((7, 3), (4, 2)):
+            ids = prompts[0]
+            want = np.concatenate(
+                [t.numpy() for t in model.generate(ids, 80, fused=False)],
+                axis=1)[0]
+            got, stats = model.generate_speculative(ids, 80, draft_k=K,
+                                                    ngram=g)
+            np.testing.assert_array_equal(got, want)
+            # 1 prefill token + (1 + accepts) per iteration + plain tail
+            assert stats["tokens"] == (1 + stats["iterations"]
+                                       + stats["accepted_drafts"]
+                                       + stats["tail_tokens"])
+            assert 0 <= stats["tail_tokens"] <= K
+
+    # max_new_tokens <= L yields nothing (reference total-length quirk)
+    with pdn.no_grad():
+        got, stats = model.generate_speculative(prompts[1], 5)
+        assert got.shape == (0,) and stats["tokens"] == 0
+
+
+def test_speculative_lookup_draft_rule():
+    """The drafting rule alone (pure function): most recent strictly
+    earlier g-gram occurrence, K following tokens proposed — checked
+    against a transparent host-side replay over random buffers."""
+    import jax.numpy as jnp
+
+    from pydynet_tpu.models.llama.speculative import lookup_draft
+
+    rng = np.random.default_rng(3)
+    S = 64
+    for trial in range(20):
+        seq = rng.integers(0, 5, size=S).astype(np.int32)  # heavy repeats
+        for g, K in ((3, 7), (2, 4), (1, 2)):
+            for n in (g + 1, 9, 17, 40, S - K - 1):
+                got = np.asarray(lookup_draft(jnp.asarray(seq),
+                                              jnp.int32(n), K, g))
+                gram, best = seq[n - g:n], -1
+                for p in range(0, n - g):
+                    if np.array_equal(seq[p:p + g], gram):
+                        best = p
+                start = min(max(best + g, 0), S - K)
+                np.testing.assert_array_equal(got, seq[start:start + K],
+                                              err_msg=f"{trial},{g},{K},{n}")
