@@ -47,6 +47,14 @@ def main(argv=None):
                         help="Run on the CPU platform")
     parser.add_argument("--trainable", type=str, default="lm_head",
                         help="Comma-separated parameter name prefixes")
+    parser.add_argument("--lora", type=int, default=0, metavar="R",
+                        help="Train rank-R LoRA adapters instead of full "
+                        "matrices (overrides --trainable)")
+    parser.add_argument("--lora-alpha", type=float, default=16.0)
+    parser.add_argument("--lora-targets", type=str, default="Q,V",
+                        help="Comma-separated Linear attribute names to "
+                        "adapt (Q,K,V,O,gate,up,down,lm_head)")
+    parser.add_argument("--lora-dropout", type=float, default=0.0)
     parser.add_argument("--save", type=str,
                         default="llm/llama/data/finetuned_params.npz")
     parser.add_argument("--weights", type=str,
@@ -68,8 +76,17 @@ def main(argv=None):
     if pdn.cuda.is_available() and not args.no_cuda:
         model = model.to("cuda:0")
 
-    prefixes = tuple(p.strip() for p in args.trainable.split(",") if p.strip())
-    trainable_count, frozen_count = model.set_trainable_parameters(prefixes)
+    if args.lora > 0:
+        targets = tuple(t.strip() for t in args.lora_targets.split(",")
+                        if t.strip())
+        trainable_count, frozen_count = model.add_lora(
+            r=args.lora, alpha=args.lora_alpha, targets=targets,
+            dropout=args.lora_dropout)
+    else:
+        prefixes = tuple(p.strip() for p in args.trainable.split(",")
+                         if p.strip())
+        trainable_count, frozen_count = model.set_trainable_parameters(
+            prefixes)
     print(f"Trainable params: {trainable_count}, Frozen params: {frozen_count}")
 
     optimizer = optim.Adam(model.parameters(), lr=args.lr)

@@ -366,6 +366,47 @@ class Llama(nn.Module):
                 frozen_count += 1
         return trainable_count, frozen_count
 
+    def add_lora(self, r: int = 8, alpha: float = 16.0,
+                 targets=("Q", "V"), dropout: float = 0.0):
+        """Attach rank-``r`` LoRA adapters to every attention/ffn Linear
+        whose attribute name is in ``targets`` (e.g. ``("Q", "K", "V",
+        "O", "gate", "up", "down")``), freezing all base parameters.
+        Returns ``(trainable_count, frozen_count)`` like
+        :meth:`set_trainable_parameters`.
+
+        Extension beyond the reference (its finetuning is whole-matrix
+        prefix freezing, model.py:213-224).  Every decode path — the XLA
+        scan, the fused Pallas kernels, sampling, the server — sees the
+        adapters immediately: the stacked weight snapshots fold
+        ``A @ B * scaling`` in at build time (:meth:`_weights`), and
+        finetune steps invalidate the snapshots."""
+        from ...nn.modules.lora import apply_lora
+        wrapped = apply_lora(self, r=r, alpha=alpha, targets=targets,
+                             dropout=dropout, freeze=True)
+        assert wrapped, f"no Linear matched targets={targets!r}"
+        self._ft_step = self._ft_key = None  # state tensors changed
+        self._weights_cache.clear()
+        trainable = sum(1 for p in self._parameters.values()
+                        if p.requires_grad)
+        return trainable, len(self._parameters) - trainable
+
+    def merge_lora(self):
+        """Fold every adapter into its base weight (plain Linears again);
+        decode output is bit-identical before and after the merge (both
+        compute the same ``W + A @ B * scaling`` array)."""
+        from ...nn.modules.lora import merge_lora
+        merged = merge_lora(self)
+        self._ft_step = self._ft_key = None
+        self._weights_cache.clear()
+        return merged
+
+    def _lora_deltas(self):
+        """Dotted weight name -> unmerged LoRA delta array (empty when no
+        adapters are attached)."""
+        from ...nn.modules.lora import LoRALinear, iter_named_modules
+        return {path + ".weight": m for path, m in iter_named_modules(self)
+                if isinstance(m, LoRALinear)}
+
     def _ensure_ft_step(self, optimizer, start_pos, criterion):
         """Build (or reuse) the jitted forward+backward+update step.
 
@@ -445,9 +486,13 @@ class Llama(nn.Module):
         which cuts both compile size and per-dispatch host overhead (the
         remote-TPU tunnel charges per argument)."""
         P = self._parameters
+        lora = self._lora_deltas()
 
         def g(name):
             a = P[name]._data
+            mod = lora.get(name)
+            if mod is not None:  # unmerged adapters: decode sees W + dW
+                a = a + mod.delta_array().astype(a.dtype)
             return a.astype(compute_dtype) if compute_dtype else a
 
         def stack(fmt):

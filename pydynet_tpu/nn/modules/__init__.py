@@ -7,6 +7,7 @@ from .linear import Linear, Embedding
 from .loss import MSELoss, NLLLoss, CrossEntropyLoss
 from .module import Module, Sequential, ModuleList
 from .rnn import RNN, LSTM, GRU, RNNCell, LSTMCell, GRUCell
+from .lora import LoRALinear, apply_lora, merge_lora
 
 __all__ = [
     "Sigmoid", "Tanh", "ReLU", "LeakyReLU", "Softmax", "SiLU", "GELU",
@@ -18,4 +19,5 @@ __all__ = [
     "MSELoss", "NLLLoss", "CrossEntropyLoss",
     "Module", "Sequential", "ModuleList",
     "RNN", "LSTM", "GRU", "RNNCell", "LSTMCell", "GRUCell",
+    "LoRALinear", "apply_lora", "merge_lora",
 ]
