@@ -38,6 +38,13 @@ def main(argv=None):
     parser.add_argument("--lr", type=float, default=1e-5)
     parser.add_argument("--trainable", type=str,
                         default="text_encoder.proj,image_encoder.proj")
+    parser.add_argument("--lora", type=int, default=0, metavar="R",
+                        help="Train rank-R LoRA adapters instead of full "
+                        "matrices (overrides --trainable)")
+    parser.add_argument("--lora-alpha", type=float, default=16.0)
+    parser.add_argument("--lora-targets", type=str, default="QKV,O",
+                        help="Comma-separated Linear attribute names to "
+                        "adapt (QKV,O,fc1,fc2,proj)")
     parser.add_argument("--save", type=str,
                         default="llm/clip/data/finetuned_clip_params.npz")
     parser.add_argument("--weights-dir", type=str, default="llm/clip/data")
@@ -64,9 +71,16 @@ def main(argv=None):
     if pdn.cuda.is_available() and not args.no_cuda:
         model = model.to("cuda:0")
 
-    prefixes = tuple(p.strip() for p in args.trainable.split(",")
-                     if p.strip())
-    trainable_count, frozen_count = model.set_trainable_parameters(prefixes)
+    if args.lora > 0:
+        targets = tuple(t.strip() for t in args.lora_targets.split(",")
+                        if t.strip())
+        trainable_count, frozen_count = model.add_lora(
+            r=args.lora, alpha=args.lora_alpha, targets=targets)
+    else:
+        prefixes = tuple(p.strip() for p in args.trainable.split(",")
+                         if p.strip())
+        trainable_count, frozen_count = model.set_trainable_parameters(
+            prefixes)
     print(f"Trainable params: {trainable_count}, "
           f"Frozen params: {frozen_count}")
 

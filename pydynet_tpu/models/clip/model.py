@@ -232,6 +232,31 @@ class CLIP(nn.Module):
         txt_feature = txt_feature / norm_txt
         return self.scale * img_feature @ txt_feature.T
 
+    def add_lora(self, r: int = 8, alpha: float = 16.0,
+                 targets=("QKV", "O"), dropout: float = 0.0):
+        """Attach rank-``r`` LoRA adapters to every Linear whose attribute
+        name is in ``targets`` (``QKV``/``O`` attention, ``fc1``/``fc2``
+        MLP, ``proj`` heads) across both encoders, freezing all base
+        parameters.  Returns ``(trainable_count, frozen_count)``.
+        Extension beyond the reference (prefix freezing only,
+        /root/reference/llm/clip/model.py:207-218); the jitted
+        finetune/forward steps trace the adapter term directly."""
+        from ...nn.modules.lora import apply_lora
+        wrapped = apply_lora(self, r=r, alpha=alpha, targets=targets,
+                             dropout=dropout, freeze=True)
+        assert wrapped, f"no Linear matched targets={targets!r}"
+        self._ft_step = self._ft_opt = None  # state tensors changed
+        trainable = sum(1 for p in self._parameters.values()
+                        if p.requires_grad)
+        return trainable, len(self._parameters) - trainable
+
+    def merge_lora(self):
+        """Fold every adapter into its base weight (plain Linears again)."""
+        from ...nn.modules.lora import merge_lora
+        merged = merge_lora(self)
+        self._ft_step = self._ft_opt = None
+        return merged
+
     def set_trainable_parameters(self,
                                  trainable_prefixes=("text_encoder",)):
         trainable_count, frozen_count = 0, 0

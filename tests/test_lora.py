@@ -187,6 +187,29 @@ def test_refresh_parameters_matches_constructor_flattening():
     assert all(model._parameters[k] is before[k] for k in before)
 
 
+def test_clip_lora_finetune():
+    from tests.test_clip import tiny_clip, TINY
+    clip = tiny_clip()
+    trainable, frozen = clip.add_lora(r=2, alpha=4.0, targets=("QKV", "O"))
+    assert trainable == len(list(clip.parameters()))
+    base_snap = {n: p.numpy().copy()
+                 for n, p in clip._parameters.items()
+                 if not n.endswith(("lora_A", "lora_B"))}
+    opt = optim.Adam(clip.parameters(), lr=5e-2)
+    img = np.random.randn(1, 3, 32, 32).astype(np.float32)
+    text = np.zeros((2, TINY["text_tokens"]), np.int64)
+    text[:, 0] = 1
+    text[0, 1], text[1, 1] = 7, 9
+    text[:, 2] = 63
+    target = np.array([1], np.int64)
+    losses = [clip.finetune_step(img, text, target, opt) for _ in range(10)]
+    assert losses[-1] < losses[0]
+    for n, a in base_snap.items():
+        np.testing.assert_array_equal(clip._parameters[n].numpy(), a,
+                                      err_msg=n)
+    assert clip.merge_lora() > 0
+
+
 def test_apply_merge_on_generic_module():
     np.random.seed(3)
 
