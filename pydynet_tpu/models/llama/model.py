@@ -537,12 +537,16 @@ class Llama(nn.Module):
             return (n * w).astype(x.dtype)
 
         def forward_logits_one(weights, ck, cv, tokens, pos,
-                               all_positions=False):
+                               all_positions=False, last_idx=None):
             """tokens (B, L) at absolute pos; ck/cv (layers, B, S, Hkv, hd).
             One transformer forward as a scan over the layer axis; returns
             (last-position logits (B, V) f32, ck, cv) — or (B, L, V) with
             ``all_positions`` (the speculative-decoding verifier needs the
-            argmax at every drafted position)."""
+            argmax at every drafted position).  ``last_idx`` (traced i32)
+            reads the logits at local position ``last_idx - 1`` instead of
+            the last row — the bucketed-prefill hook: tokens past it are
+            padding whose cache rows sit strictly above the decode position
+            and are rewritten before any later query can attend them."""
             B, L = tokens.shape
             h = weights["tok"][tokens]
             cos = jax.lax.dynamic_slice_in_dim(weights["cos"], pos, L)
@@ -590,13 +594,20 @@ class Llama(nn.Module):
             h, (ck, cv) = jax.lax.scan(layer, h, (layer_w, ck, cv),
                                        unroll=True)
             h = rms(h, weights["norm"])
-            hl = h if all_positions else h[:, -1]
+            if all_positions:
+                hl = h
+            elif last_idx is None:
+                hl = h[:, -1]
+            else:
+                hl = jax.lax.dynamic_slice_in_dim(
+                    h, jnp.asarray(last_idx, jnp.int32) - 1, 1, 1)[:, 0]
             logits = (hl @ weights["head_w"]).astype(jnp.float32) \
                 + weights["head_b"].astype(jnp.float32)
             return logits, ck, cv
 
-        def forward_tokens(weights, ck, cv, tokens, pos):
-            logits, ck, cv = forward_logits_one(weights, ck, cv, tokens, pos)
+        def forward_tokens(weights, ck, cv, tokens, pos, last_idx=None):
+            logits, ck, cv = forward_logits_one(weights, ck, cv, tokens, pos,
+                                                last_idx=last_idx)
             return jnp.argmax(logits, axis=-1).astype(tokens.dtype), ck, cv
 
         self._xla_forward_logits = forward_logits_one
@@ -605,8 +616,8 @@ class Llama(nn.Module):
         self._xla_forward_tokens = forward_tokens
 
         @jax.jit
-        def prefill(weights, ck, cv, tokens, pos):
-            return forward_tokens(weights, ck, cv, tokens, pos)
+        def prefill(weights, ck, cv, tokens, pos, last_idx=None):
+            return forward_tokens(weights, ck, cv, tokens, pos, last_idx)
 
         @partial(jax.jit, static_argnames=("n_steps",),
                  donate_argnames=("ck", "cv"))
@@ -638,12 +649,18 @@ class Llama(nn.Module):
 
         @partial(jax.jit, static_argnames=("top_k", "top_p", "rep"))
         def prefill_sample(weights, ck, cv, tokens, pos, key, temperature,
-                           top_k, top_p, rep):
-            logits, ck, cv = fwd(weights, ck, cv, tokens, pos)
-            B = tokens.shape[0]
+                           top_k, top_p, rep, last_idx=None):
+            logits, ck, cv = fwd(weights, ck, cv, tokens, pos,
+                                 last_idx=last_idx)
+            B, L = tokens.shape
             seen = jnp.zeros((B, V), bool)
             if rep is not None:  # prompt tokens count as seen
-                seen = seen.at[jnp.arange(B)[:, None], tokens].set(True)
+                # bucketed prefill: positions past last_idx are padding and
+                # must not feed the repetition penalty
+                valid = jnp.ones((L,), bool) if last_idx is None \
+                    else jnp.arange(L) < last_idx
+                seen = seen.at[jnp.arange(B)[:, None], tokens].max(
+                    jnp.broadcast_to(valid, tokens.shape))
             key, sub = jax.random.split(key)
             nxt = sample_logits(logits, sub, temperature, top_k, top_p,
                                 seen, rep)
@@ -1053,25 +1070,29 @@ class Llama(nn.Module):
         Dkp = lane_pad_dim(Hkv * hd)  # narrow-KV cache width (GQA)
 
         @partial(jax.jit, static_argnames=("n_steps",))
-        def prefill_decode(weights, prompt, n_steps):
+        def prefill_decode(weights, prompt, n_steps, last_idx=None):
             """Whole sequence in ONE dispatch: allocate caches, prefill the
             prompt (XLA path), then the fused-kernel decode scan.  Returns
-            (1+n_steps, B) tokens including the prefill token."""
+            (1+n_steps, B) tokens including the prefill token.  ``last_idx``
+            (traced) marks the true prompt length when ``prompt`` is
+            bucket-padded; decode starts there."""
             B = prompt.shape[0]
             dt = weights["tok"].dtype
             narrow = bool(_narrow_kw(weights))
             width = Dkp if narrow else Dp
             ck5 = jnp.zeros((N, B, S, Hkv, hd), dt)  # XLA-path KV layout
             cv5 = jnp.zeros((N, B, S, Hkv, hd), dt)
-            tok, ck5, cv5 = forward_tokens(weights, ck5, cv5, prompt, 0)
+            tok, ck5, cv5 = forward_tokens(weights, ck5, cv5, prompt, 0,
+                                           last_idx)
             ck = pad_cache_lanes(self._kv_flat(ck5, narrow), width)
             cv = pad_cache_lanes(self._kv_flat(cv5, narrow), width)
+            pos0 = prompt.shape[1] if last_idx is None else last_idx
             if B == 1:
                 ck, cv, toks = decode_chunk(weights, ck, cv, tok,
-                                            prompt.shape[1], n_steps)
+                                            pos0, n_steps)
             else:
                 ck, cv, toks = decode_chunk_batched(weights, ck, cv, tok,
-                                                    prompt.shape[1], n_steps)
+                                                    pos0, n_steps)
             return jnp.concatenate([tok[None], toks], axis=0)
 
         return (decode_chunk, prefill_decode, decode_chunk_batched,
@@ -1101,7 +1122,8 @@ class Llama(nn.Module):
                  chunk: int = DECODE_CHUNK, dtype=None, fused=None,
                  quant=None, temperature: float = 0.0, top_k: int = None,
                  top_p: float = None, seed: int = 0,
-                 repetition_penalty: float = None, kv_quant=None):
+                 repetition_penalty: float = None, kv_quant=None,
+                 bucket_prefill: bool = True):
         """Greedy generation; yields (B,1) id tensors one token at a time
         like the reference (model.py:258-269), while computing CHUNK tokens
         per compiled on-device scan, with the next chunk dispatched before
@@ -1131,7 +1153,15 @@ class Llama(nn.Module):
         the per-step KV streaming that dominates batched long-context
         decode.  Lossy like ``quant``: near-tie tokens may differ from
         the bf16 stream (hardware-gated by majority agreement in
-        bench.py)."""
+        bench.py).
+
+        ``bucket_prefill`` (default on) pads the prompt to the next
+        power-of-two length before the prefill dispatch, so arbitrary
+        prompt lengths share a handful of compiled prefill executables
+        (a fresh length otherwise costs a full XLA compile — ~20-40 s
+        through the remote tunnel).  Token-exact: the logits are read at
+        the true last position, and every padded cache row sits strictly
+        above the decode position until the step that rewrites it."""
         if self._decode_fns is None:
             self._decode_fns = self._make_decode_fns()
         prefill, decode_chunk = self._decode_fns
@@ -1169,6 +1199,16 @@ class Llama(nn.Module):
         if fused and self._fused_chunk_fn is None:
             self._fused_chunk_fn = self._make_fused_decode_fns()
 
+        # bucketed prefill: pad the prompt to the next power of two (>= 8)
+        # so prefill executables land on a handful of reusable shapes
+        Lp = min(max(1 << (L - 1).bit_length(), 8), self.max_seq_len) \
+            if bucket_prefill else L
+        if Lp > L:
+            ids_pad = np.pad(input_ids, ((0, 0), (0, Lp - L)))
+            last_idx = jnp.int32(L)
+        else:
+            ids_pad, last_idx = input_ids, None
+
         # a short request must not compile/execute a full default-size
         # chunk (a 24-token ask on the XLA:CPU path was paying a 512-step
         # scan compile): cap at the next power of two of the actual need,
@@ -1183,8 +1223,8 @@ class Llama(nn.Module):
             # sampled path threads key/seen state through regular chunks)
             prefill_decode = self._fused_chunk_fn[1]
             toks = prefill_decode(weights,
-                                  jnp.asarray(input_ids, jnp.int32),
-                                  total - L - 1)
+                                  jnp.asarray(ids_pad, jnp.int32),
+                                  total - L - 1, last_idx)
             for row in np.asarray(toks):
                 yield Tensor._wrap(row[:, None], cpu, False)
             return
@@ -1201,11 +1241,12 @@ class Llama(nn.Module):
             rep = (float(repetition_penalty)
                    if repetition_penalty is not None else None)
             tok, ck, cv, rkey, seen = prefill_s(
-                weights, ck, cv, jnp.asarray(input_ids, jnp.int32), 0,
-                rkey, tvec, top_k, top_p, rep)
+                weights, ck, cv, jnp.asarray(ids_pad, jnp.int32), 0,
+                rkey, tvec, top_k, top_p, rep, last_idx)
         else:
             tok, ck, cv = prefill(weights, ck, cv,
-                                  jnp.asarray(input_ids, jnp.int32), 0)
+                                  jnp.asarray(ids_pad, jnp.int32), 0,
+                                  last_idx)
         if fused:
             # fused kernel uses flat lane-padded (N, S, W) caches
             # ((N, B, S, W) batched); W is the narrow Hkv*hd width under

@@ -137,7 +137,19 @@ def generate_speculative(model, input_ids, max_new_tokens: int, *,
         model._weights_cache[key] = weights
 
     ck, cv = model._empty_caches(1, weights["tok"].dtype)
-    tok, ck, cv = prefill(weights, ck, cv, jnp.asarray(ids, jnp.int32), 0)
+    # bucketed prefill (see Llama.generate): pad to the next power of two
+    # so prompt lengths share compiled prefill executables; the logits are
+    # read at the true last position and the padded cache rows sit above
+    # the decode position until rewritten
+    Lp = min(max(1 << (L - 1).bit_length(), 8), S)
+    if Lp > L:
+        ids_pad = np.pad(ids, ((0, 0), (0, Lp - L)))
+        tok, ck, cv = prefill(weights, ck, cv,
+                              jnp.asarray(ids_pad, jnp.int32), 0,
+                              jnp.int32(L))
+    else:
+        tok, ck, cv = prefill(weights, ck, cv, jnp.asarray(ids, jnp.int32),
+                              0)
 
     seq = jnp.zeros((S,), jnp.int32)
     seq = seq.at[:L].set(jnp.asarray(ids[0], jnp.int32))

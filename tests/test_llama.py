@@ -1159,3 +1159,55 @@ def test_speculative_lookup_draft_rule():
                 start = min(max(best + g, 0), S - K)
                 np.testing.assert_array_equal(got, seq[start:start + K],
                                               err_msg=f"{trial},{g},{K},{n}")
+
+
+def test_bucketed_prefill_token_exact_across_lengths():
+    """bucket_prefill (default on) must be token-identical to the unpadded
+    prefill for arbitrary prompt lengths — the padded cache rows sit above
+    the decode position until the step that rewrites them."""
+    model = tiny_model()
+    model.eval()
+    with pdn.no_grad():
+        for L in (1, 2, 3, 5, 8, 9, 13, 17):
+            ids = np.arange(1, L + 1, dtype=np.int64)[None, :] % 50
+            total = min(L + 10, CFG["max_seq_len"])
+            a = [int(t.numpy()[0, 0])
+                 for t in model.generate(ids, total, chunk=4)]
+            b = [int(t.numpy()[0, 0])
+                 for t in model.generate(ids, total, chunk=4,
+                                         bucket_prefill=False)]
+            assert a == b, (L, a, b)
+
+
+def test_bucketed_prefill_shares_executables():
+    """Prompt lengths 9 and 13 both bucket to 16 -> ONE compiled prefill."""
+    model = tiny_model()
+    model.eval()
+    prefill = model._decode_fns[0] if model._decode_fns else None
+    with pdn.no_grad():
+        list(model.generate(np.arange(1, 10)[None, :], 24, chunk=4))
+        prefill = model._decode_fns[0]
+        n0 = prefill._cache_size()
+        list(model.generate(np.arange(1, 14)[None, :], 24, chunk=4))
+        assert prefill._cache_size() == n0  # same 16-bucket executable
+        list(model.generate(np.arange(1, 20)[None, :], 28, chunk=4))
+        assert prefill._cache_size() == n0 + 1  # 32-bucket: one more
+
+
+def test_bucketed_prefill_sampling_and_repetition_penalty():
+    """Sampled streams (incl. repetition penalty, whose 'seen' mask must
+    ignore the pad tokens) are identical with and without bucketing."""
+    model = tiny_model()
+    model.eval()
+    ids = np.array([[1, 5, 9, 4, 7]])  # L=5 -> bucket 8
+    with pdn.no_grad():
+        for kw in (dict(temperature=1.0, seed=3),
+                   dict(temperature=0.9, seed=5, top_k=7),
+                   dict(temperature=1.0, seed=7, top_p=0.9,
+                        repetition_penalty=1.3)):
+            a = [int(t.numpy()[0, 0])
+                 for t in model.generate(ids, 22, chunk=4, **kw)]
+            b = [int(t.numpy()[0, 0])
+                 for t in model.generate(ids, 22, chunk=4,
+                                         bucket_prefill=False, **kw)]
+            assert a == b, (kw, a, b)
