@@ -136,9 +136,10 @@ def main(argv=None):
                   f"{round(n / elapsed)} tokens/s (beam={args.beams})")
             return n / elapsed
         if args.speculative:
-            if args.temperature and args.temperature > 0:
-                parser.error("--speculative is greedy-only")
-            spec_kw = dict(draft_k=args.draft_k, ngram=args.ngram)
+            spec_kw = dict(draft_k=args.draft_k, ngram=args.ngram,
+                           temperature=args.temperature or 0.0,
+                           top_k=args.top_k, top_p=args.top_p,
+                           seed=args.seed)
             if not args.no_warmup and model.device.kind == "accel":
                 model.generate_speculative(input_ids, args.max_new_tokens,
                                            **spec_kw)

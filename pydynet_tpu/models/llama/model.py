@@ -136,6 +136,17 @@ def sample_logits(logits, key, temperature, top_k=None, top_p=None,
     via ``jax.random.categorical``.  ``top_k``/``top_p`` are trace-time
     constants; the always-kept best token makes top_p=0 equal greedy.
     """
+    logits = filter_logits(logits, temperature, top_k, top_p, seen,
+                           repetition_penalty)
+    return jax.random.categorical(key, logits, axis=-1)
+
+
+def filter_logits(logits, temperature, top_k=None, top_p=None, seen=None,
+                  repetition_penalty=None):
+    """The filtering stage of :func:`sample_logits`: (B, V) f32 logits ->
+    temperature-scaled logits with every filtered-out token at -inf
+    (categorical over the result IS the sampling distribution — also used
+    directly by the speculative-sampling accept/residual math)."""
     if repetition_penalty is not None and seen is not None:
         pen = jnp.where(logits > 0, logits / repetition_penalty,
                         logits * repetition_penalty)
@@ -161,7 +172,7 @@ def sample_logits(logits, key, temperature, top_k=None, top_p=None,
         probs = jnp.exp(logits - lse)
         cutoff = _radix_cutoff(logits, probs, top_p, strict=True)
         logits = jnp.where(logits < cutoff, -jnp.inf, logits)
-    return jax.random.categorical(key, logits, axis=-1)
+    return logits
 
 
 def _mark_seen(seen, toks):
@@ -1312,17 +1323,23 @@ class Llama(nn.Module):
                 yield Tensor._wrap(row[:, None], cpu, False)
 
     def generate_speculative(self, input_ids, max_new_tokens: int,
-                             draft_k: int = 7, ngram: int = 3, dtype=None):
-        """Greedy generation with prompt-lookup speculative decoding
-        (B=1): draft K tokens by n-gram lookup over the stream so far,
-        verify them in ONE teacher-forced forward, keep the longest
-        correct prefix + the bonus token.  Token stream is bit-identical
-        to ``generate(temperature=0, fused=False)``; acceptance only
-        changes tokens/dispatch.  Returns ``(tokens (total-L,) i64,
-        stats dict)``.  See models/llama/speculative.py; extension beyond
-        the reference's one-token-per-forward generate
-        (llm/llama/model.py:258-269)."""
+                             draft_k: int = 7, ngram: int = 3, dtype=None,
+                             temperature: float = 0.0, top_k: int = None,
+                             top_p: float = None, seed: int = 0):
+        """Generation with prompt-lookup speculative decoding (B=1):
+        draft K tokens by n-gram lookup over the stream so far, verify
+        them in ONE teacher-forced forward, keep the longest accepted
+        prefix + one extra token.  Greedy (default) is bit-identical
+        to ``generate(temperature=0, fused=False)``; ``temperature > 0``
+        uses speculative SAMPLING — each emitted token follows EXACTLY
+        the filtered sampling distribution (equal in law to
+        ``generate(temperature=...)``, different random stream).
+        Returns ``(tokens (total-L,) i64, stats dict)``.  See
+        models/llama/speculative.py; extension beyond the reference's
+        one-token-per-forward generate (llm/llama/model.py:258-269)."""
         from .speculative import generate_speculative
         return generate_speculative(self, input_ids, max_new_tokens,
                                     draft_k=draft_k, ngram=ngram,
+                                    temperature=temperature, top_k=top_k,
+                                    top_p=top_p, seed=seed,
                                     dtype=dtype)

@@ -53,11 +53,55 @@ def lookup_draft(seq, n, K: int, g: int):
     return jax.lax.dynamic_slice(seq, (dstart,), (K,))
 
 
-def build_spec_chunk(model, K: int, g: int):
+def spec_accept_extra(logits, draft, key, temperature, top_k, top_p):
+    """One speculative-SAMPLING acceptance step (Leviathan et al. with a
+    deterministic draft): ``logits`` (K+1, V) f32 at positions n..n+K,
+    ``draft`` (K,).  Returns ``(toks (K+1,), a)``: ``toks[:a]`` are the
+    accepted drafts and ``toks[a]`` the extra emitted token — the residual
+    draw at the first rejection, or the bonus draw when all K accept.
+
+    With a point-mass draft q = delta(draft_j), accepting with probability
+    p_j(draft_j) and otherwise sampling from p_j with draft_j masked out
+    (renormalized) emits EXACTLY p_j at every position — the filtered
+    sampling distribution is preserved, speculation only changes
+    tokens/dispatch."""
+    import jax
+    import jax.numpy as jnp
+
+    from .model import filter_logits
+
+    K = draft.shape[0]
+    V = logits.shape[-1]
+    f = filter_logits(logits, temperature, top_k, top_p)     # (K+1, V)
+    logp = f - jax.scipy.special.logsumexp(f, -1, keepdims=True)
+    kacc, kres = jax.random.split(key)
+    u = jax.random.uniform(kacc, (K,))
+    p_draft = jnp.exp(logp[jnp.arange(K), draft])
+    a = jnp.sum(jnp.cumprod((u < p_draft).astype(jnp.int32)),
+                dtype=jnp.int32)  # leading accepts
+    row = logp[a]
+    da = draft[jnp.minimum(a, K - 1)]
+    # residual (p - q)+ renormalized = p without the rejected draft token;
+    # at a == K the row is the untouched bonus distribution p_K
+    row = jnp.where((a < K) & (jnp.arange(V) == da), -jnp.inf, row)
+    extra = jax.random.categorical(kres, row).astype(draft.dtype)
+    toks = jnp.concatenate([draft, jnp.zeros((1,), draft.dtype)])
+    # positions > a are never final (rewritten before read); filling them
+    # with `extra` keeps the write one fixed-shape dynamic_update_slice
+    toks = jnp.where(jnp.arange(K + 1) < a, toks, extra)
+    return toks, a
+
+
+def build_spec_chunk(model, K: int, g: int, top_k=None, top_p=None,
+                     sampling: bool = False):
     """Compile the speculative decode loop for draft length ``K`` and
     n-gram size ``g``.  Returns ``spec_chunk(weights, ck, cv, seq, n0,
-    limit) -> (ck, cv, seq, n, iters, accepted)`` where ``seq`` is the
-    (S,) i32 sequence buffer holding the stream in positions [0, n)."""
+    limit[, key, temperature]) -> (ck, cv, seq, n, iters, accepted[,
+    key])`` where ``seq`` is the (S,) i32 sequence buffer holding the
+    stream in positions [0, n).  ``sampling=True`` verifies by the
+    accept/residual rule of :func:`spec_accept_extra` (temperature is
+    traced; top_k/top_p are trace-time constants like the plain sampled
+    decode)."""
     import jax
     import jax.numpy as jnp
 
@@ -68,7 +112,8 @@ def build_spec_chunk(model, K: int, g: int):
     assert 1 <= g < S and 1 <= K <= S - 2, (g, K, S)
 
     @functools.partial(jax.jit, donate_argnames=("ck", "cv", "seq"))
-    def spec_chunk(weights, ck, cv, seq, n0, limit):
+    def spec_chunk(weights, ck, cv, seq, n0, limit, key=None,
+                   temperature=None):
         limit = jnp.minimum(jnp.asarray(limit, jnp.int32), np.int32(S))
 
         def cond(c):
@@ -78,34 +123,44 @@ def build_spec_chunk(model, K: int, g: int):
             return n + K + 1 <= limit
 
         def body(c):
-            ck, cv, seq, n, it, acc = c
+            ck, cv, seq, n, it, acc, key = c
             draft = lookup_draft(seq, n, K, g)
-            # ---- verify: one teacher-forced forward over [last, draft];
-            # am[j] is the target's token for position n+j ----
+            # ---- verify: one teacher-forced forward over [last, draft] ----
             last = jax.lax.dynamic_slice(seq, (n - 1,), (1,))
             toks_in = jnp.concatenate([last, draft])[None]  # (1, K+1)
             logits, ck, cv = fwd_all(weights, ck, cv, toks_in, n - 1)
-            am = jnp.argmax(logits, -1)[0].astype(seq.dtype)  # (K+1,)
-            a = jnp.sum(jnp.cumprod(
-                (draft == am[:K]).astype(jnp.int32)),
-                dtype=jnp.int32)  # leading accepts
+            if sampling:
+                key, sub = jax.random.split(key)
+                toks, a = spec_accept_extra(logits[0], draft, sub,
+                                            temperature, top_k, top_p)
+                toks = toks.astype(seq.dtype)
+            else:
+                # am[j] is the target's greedy token for position n+j
+                toks = jnp.argmax(logits, -1)[0].astype(seq.dtype)  # (K+1,)
+                a = jnp.sum(jnp.cumprod(
+                    (draft == toks[:K]).astype(jnp.int32)),
+                    dtype=jnp.int32)  # leading accepts
             # all K+1 verified tokens land in seq; only [n, n+a] are
             # final — the rest is rewritten before anything reads it
-            seq = jax.lax.dynamic_update_slice(seq, am, (n,))
-            return ck, cv, seq, n + a + 1, it + 1, acc + a
+            seq = jax.lax.dynamic_update_slice(seq, toks, (n,))
+            return ck, cv, seq, n + a + 1, it + 1, acc + a, key
 
-        ck, cv, seq, n, it, acc = jax.lax.while_loop(
+        if key is None:
+            key = jax.random.PRNGKey(0)  # unused by the greedy body
+        ck, cv, seq, n, it, acc, key = jax.lax.while_loop(
             cond, body,
             (ck, cv, seq, jnp.asarray(n0, jnp.int32), jnp.int32(0),
-             jnp.int32(0)))
-        return ck, cv, seq, n, it, acc
+             jnp.int32(0), key))
+        return ck, cv, seq, n, it, acc, key
 
     return spec_chunk
 
 
 def generate_speculative(model, input_ids, max_new_tokens: int, *,
-                         draft_k: int = 7, ngram: int = 3, dtype=None):
-    """Greedy generation with prompt-lookup speculation (B=1).
+                         draft_k: int = 7, ngram: int = 3, dtype=None,
+                         temperature: float = 0.0, top_k: int = None,
+                         top_p: float = None, seed: int = 0):
+    """Generation with prompt-lookup speculation (B=1).
 
     Returns ``(tokens, stats)``: ``tokens`` is the (total - L,) i64 array
     of generated ids — BIT-IDENTICAL to ``generate(temperature=0,
@@ -113,7 +168,17 @@ def generate_speculative(model, input_ids, max_new_tokens: int, *,
     verified, so acceptance only affects speed) — and ``stats`` reports
     ``{iterations, accepted_drafts, tokens, tokens_per_dispatch}``.
     ``max_new_tokens`` bounds the TOTAL length (reference quirk,
-    model.py:259)."""
+    model.py:259).
+
+    ``temperature > 0`` switches the verifier to speculative SAMPLING
+    (:func:`spec_accept_extra`): every emitted token is distributed
+    exactly by the filtered sampling distribution (temperature /
+    top_k / top_p), deterministic under ``seed`` — but it is a different
+    random stream than ``generate(temperature=...)``'s one-draw-per-step
+    scan, so the two sampled streams are equal in LAW, not token-for-
+    token.  top_k=1 (or temperature=0) degenerates to the exact greedy
+    stream."""
+    import jax
     import jax.numpy as jnp
 
     ids = np.asarray(input_ids)
@@ -129,6 +194,13 @@ def generate_speculative(model, input_ids, max_new_tokens: int, *,
     if model._decode_fns is None:
         model._decode_fns = model._make_decode_fns()
     prefill, decode_chunk = model._decode_fns
+    sampling = temperature is not None and temperature > 0
+    if sampling:
+        if model._sample_fns is None:
+            model._sample_fns = model._make_sample_fns()
+        prefill_s, decode_s = model._sample_fns
+        rkey = jax.random.PRNGKey(seed)
+        tvec = jnp.float32(temperature)
 
     key = (np.dtype(dtype).name if dtype else "native", False, None)
     weights = model._weights_cache.get(key)
@@ -142,33 +214,48 @@ def generate_speculative(model, input_ids, max_new_tokens: int, *,
     # read at the true last position and the padded cache rows sit above
     # the decode position until rewritten
     Lp = min(max(1 << (L - 1).bit_length(), 8), S)
-    if Lp > L:
-        ids_pad = np.pad(ids, ((0, 0), (0, Lp - L)))
-        tok, ck, cv = prefill(weights, ck, cv,
-                              jnp.asarray(ids_pad, jnp.int32), 0,
-                              jnp.int32(L))
+    ids_pad = np.pad(ids, ((0, 0), (0, Lp - L))) if Lp > L else ids
+    last_idx = jnp.int32(L) if Lp > L else None
+    if sampling:
+        tok, ck, cv, rkey, _ = prefill_s(
+            weights, ck, cv, jnp.asarray(ids_pad, jnp.int32), 0, rkey,
+            tvec, top_k, top_p, None, last_idx)
     else:
-        tok, ck, cv = prefill(weights, ck, cv, jnp.asarray(ids, jnp.int32),
-                              0)
+        tok, ck, cv = prefill(weights, ck, cv,
+                              jnp.asarray(ids_pad, jnp.int32), 0, last_idx)
 
     seq = jnp.zeros((S,), jnp.int32)
     seq = seq.at[:L].set(jnp.asarray(ids[0], jnp.int32))
     seq = seq.at[L].set(tok[0].astype(jnp.int32))
 
-    skey = (draft_k, ngram)
+    skey = (draft_k, ngram, bool(sampling), top_k, top_p)
     spec = model._spec_fns.get(skey)
     if spec is None:
-        spec = model._spec_fns[skey] = build_spec_chunk(model, draft_k,
-                                                        ngram)
-    ck, cv, seq, n, it, acc = spec(weights, ck, cv, seq, L + 1, total)
+        spec = model._spec_fns[skey] = build_spec_chunk(
+            model, draft_k, ngram, top_k=top_k, top_p=top_p,
+            sampling=sampling)
+    if sampling:
+        rkey, sub = jax.random.split(rkey)
+        ck, cv, seq, n, it, acc, _ = spec(weights, ck, cv, seq, L + 1,
+                                          total, sub, tvec)
+    else:
+        ck, cv, seq, n, it, acc, _ = spec(weights, ck, cv, seq, L + 1,
+                                          total)
 
     n = int(n)
-    rem = total - n  # < K+1 tail: plain greedy steps
+    rem = total - n  # < K+1 tail: plain single-token steps
     if rem > 0:
-        # decode_chunk takes the position OF last (row n-1 is unwritten:
-        # the spec loop only caches rows for tokens it has fed back)
+        # the decode chunks take the position OF last (row n-1 is
+        # unwritten: the spec loop only caches rows for tokens it fed back)
         last = jnp.asarray(seq[n - 1], jnp.int32).reshape(1)
-        ck, cv, toks = decode_chunk(weights, ck, cv, last, n - 1, rem)
+        if sampling:
+            V = model.vocab_size
+            seen = jnp.zeros((1, V), bool)
+            ck, cv, toks, rkey, seen = decode_s(
+                weights, ck, cv, last, n - 1, rkey, tvec, rem, top_k,
+                top_p, None, seen)
+        else:
+            ck, cv, toks = decode_chunk(weights, ck, cv, last, n - 1, rem)
         seq = seq.at[n:n + rem].set(toks[:, 0].astype(jnp.int32))
 
     out = np.asarray(seq)[L:total].astype(np.int64)

@@ -1211,3 +1211,79 @@ def test_bucketed_prefill_sampling_and_repetition_penalty():
                  for t in model.generate(ids, 22, chunk=4,
                                          bucket_prefill=False, **kw)]
             assert a == b, (kw, a, b)
+
+
+def test_speculative_sampling_topk1_equals_greedy():
+    """top_k=1 makes the filtered distribution one-hot: the speculative
+    sampler must reproduce the exact greedy stream at any temperature."""
+    model = tiny_model()
+    model.eval()
+    ids = np.array([[1, 5, 9, 5, 9, 5, 9]])
+    total = 30
+    with pdn.no_grad():
+        greedy = [int(t.numpy()[0, 0])
+                  for t in model.generate(ids, total, chunk=4)]
+        toks, stats = model.generate_speculative(
+            ids, total, draft_k=4, ngram=2, temperature=5.0, top_k=1,
+            seed=11)
+    assert toks.tolist() == greedy, (toks.tolist(), greedy)
+    assert stats["tokens"] == total - ids.shape[1]
+
+
+def test_speculative_sampling_determinism_and_law():
+    model = tiny_model()
+    model.eval()
+    ids = np.array([[1, 5, 9, 5, 9]])
+    with pdn.no_grad():
+        a, sa = model.generate_speculative(ids, 24, draft_k=3, ngram=2,
+                                           temperature=1.0, seed=3)
+        b, _ = model.generate_speculative(ids, 24, draft_k=3, ngram=2,
+                                          temperature=1.0, seed=3)
+        c, _ = model.generate_speculative(ids, 24, draft_k=3, ngram=2,
+                                          temperature=1.0, seed=4)
+    assert a.tolist() == b.tolist()
+    assert a.tolist() != c.tolist()
+    assert len(a) == 24 - ids.shape[1]
+    assert all(0 <= t < CFG["vocab_size"] for t in a.tolist())
+
+
+def test_spec_accept_extra_preserves_distribution():
+    """Monte-Carlo check of the accept/residual rule: the marginal of the
+    token emitted at position 0 (and at position 1, conditioned on it
+    being emitted) must equal the filtered softmax of that position's
+    logits — the speculative-sampling exactness theorem for point-mass
+    drafts."""
+    import jax
+    import jax.numpy as jnp
+    from pydynet_tpu.models.llama.model import filter_logits
+    from pydynet_tpu.models.llama.speculative import spec_accept_extra
+
+    rng = np.random.default_rng(0)
+    V, K = 11, 3
+    logits = jnp.asarray(rng.standard_normal((K + 1, V)) * 2.0,
+                         jnp.float32)
+    # drafts with real acceptance probability (the rows' argmax tokens);
+    # a filtered-out draft would make every acceptance test vacuous
+    draft = jnp.argmax(logits[:K], -1).astype(jnp.int32)
+    temperature, top_p = 1.3, 0.9
+
+    run = jax.jit(jax.vmap(
+        lambda k: spec_accept_extra(logits, draft, k, temperature,
+                                    None, top_p)))
+    N = 40000
+    keys = jax.random.split(jax.random.PRNGKey(42), N)
+    toks, a = run(keys)
+    toks, a = np.asarray(toks), np.asarray(a)
+
+    f = filter_logits(logits, jnp.float32(temperature), None, top_p)
+    p = np.asarray(jax.nn.softmax(f, -1))  # (K+1, V) target distributions
+
+    emp0 = np.bincount(toks[:, 0], minlength=V) / N
+    assert np.abs(emp0 - p[0]).max() < 0.015, (emp0, p[0])
+
+    m = a >= 1  # position 1 emitted
+    emp1 = np.bincount(toks[m, 1], minlength=V) / m.sum()
+    assert np.abs(emp1 - p[1]).max() < 0.02, (emp1, p[1])
+
+    # filtered-out tokens never emitted
+    assert p[0][np.unique(toks[:, 0])].min() > 0
