@@ -166,3 +166,32 @@ def test_flash_attention_on_chip():
         d = np.abs(np.asarray(a) - np.asarray(b))
         s = max(1.0, float(np.abs(np.asarray(b)).max()))
         assert d.max() < 3e-2 * s, (d.max(), s)
+
+
+def test_bucketed_prefill_on_chip():
+    """Bucketed vs unpadded prefill through the FUSED whole-request path
+    on silicon (the CPU suite can only cover the XLA path): identical
+    token streams for an odd prompt length."""
+    import pydynet_tpu as pdn
+
+    _, dev = _models()
+    ids = np.array([[1, 5, 9, 4, 7]])  # L=5 -> bucket 8
+    with pdn.no_grad():
+        a = [int(t.numpy()[0, 0]) for t in dev.generate(ids, 24)]
+        b = [int(t.numpy()[0, 0])
+             for t in dev.generate(ids, 24, bucket_prefill=False)]
+    assert a == b, (a, b)
+
+
+def test_speculative_on_chip():
+    """Speculative greedy on silicon == the plain greedy stream (XLA
+    path, f32 weights: bit-identical verification is the contract)."""
+    import pydynet_tpu as pdn
+
+    _, dev = _models()
+    ids = np.array([[1, 5, 9, 5, 9, 5, 9]])
+    with pdn.no_grad():
+        greedy = [int(t.numpy()[0, 0])
+                  for t in dev.generate(ids, 40, fused=False)]
+        toks, stats = dev.generate_speculative(ids, 40, draft_k=4, ngram=2)
+    assert toks.tolist() == greedy, (toks.tolist(), greedy, stats)
