@@ -289,3 +289,56 @@ def test_foreach_threads_prng_like_per_call_loop():
     for (n, p1), (_, p2) in zip(net1._parameters.items(),
                                 net2._parameters.items()):
         assert np.allclose(p1.numpy(), p2.numpy(), atol=1e-6), n
+
+
+def test_grad_accumulation_microbatches_under_jit():
+    """Gradient accumulation needs no dedicated API: K microbatch
+    backward() calls accumulate into .grad (reference tape semantics),
+    one optimizer step applies them — and the whole thing jit-compiles as
+    ONE program.  Scaling each microloss by 1/K makes the update equal to
+    the full-batch step exactly."""
+    from pydynet_tpu import nn, optim
+
+    np.random.seed(21)
+    X = np.random.randn(24, 6)
+    Y = np.random.randn(24, 3)
+    K = 4
+
+    def build():
+        np.random.seed(5)
+        net = nn.Sequential(nn.Linear(6, 8), nn.Tanh(), nn.Linear(8, 3))
+        opt = optim.SGD(net.parameters(), lr=0.1, momentum=0.0,
+                        nesterov=False)
+        return net, opt
+
+    net1, opt1 = build()
+
+    def accum_step(xs, ys):
+        opt1.zero_grad()
+        for i in range(K):  # python loop: unrolled into the trace
+            loss = pdn.nn.functional.mse_loss(net1(xs[i]), ys[i]) / K
+            loss.backward()
+        opt1.step()
+        return loss
+
+    js = pdn.jit(accum_step, state=(net1, opt1))
+    for _ in range(3):
+        js(pdn.Tensor(X.reshape(K, 6, 6)), pdn.Tensor(Y.reshape(K, 6, 3)))
+
+    net2, opt2 = build()
+
+    def full_step(x, y):
+        opt2.zero_grad()
+        loss = pdn.nn.functional.mse_loss(net2(x), y)
+        loss.backward()
+        opt2.step()
+        return loss
+
+    jf = pdn.jit(full_step, state=(net2, opt2))
+    for _ in range(3):
+        jf(pdn.Tensor(X), pdn.Tensor(Y))
+
+    for (n, p1), (_, p2) in zip(net1._parameters.items(),
+                                net2._parameters.items()):
+        np.testing.assert_allclose(p1.numpy(), p2.numpy(), rtol=1e-10,
+                                   atol=1e-12, err_msg=n)
