@@ -140,6 +140,9 @@ def main(argv=None):
                            temperature=args.temperature or 0.0,
                            top_k=args.top_k, top_p=args.top_p,
                            seed=args.seed)
+            if args.dtype == "bfloat16":
+                import jax.numpy as jnp
+                spec_kw["dtype"] = jnp.bfloat16
             if not args.no_warmup and model.device.kind == "accel":
                 model.generate_speculative(input_ids, args.max_new_tokens,
                                            **spec_kw)

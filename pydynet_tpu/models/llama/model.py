@@ -181,6 +181,22 @@ def _mark_seen(seen, toks):
     return seen.at[jnp.arange(seen.shape[0]), toks].set(True)
 
 
+def bucket_prompt(input_ids, L, max_seq_len):
+    """Bucketed-prefill padding shared by ``Llama.generate`` and
+    ``generate_speculative`` (one copy of a correctness-critical rule):
+    pad the prompt to the next power of two (floor 8, capped at
+    ``max_seq_len``) so prompt lengths share a handful of compiled prefill
+    executables.  Token-exact with unpadded prefill BECAUSE the pair is
+    kept together: logits are read at the TRUE last position
+    (``last_idx``) and the padded cache rows sit above the decode position
+    until rewritten.  Returns ``(ids_padded, last_idx)``;
+    ``last_idx is None`` means no padding was needed."""
+    Lp = min(max(1 << (L - 1).bit_length(), 8), max_seq_len)
+    if Lp > L:
+        return np.pad(input_ids, ((0, 0), (0, Lp - L))), jnp.int32(L)
+    return input_ids, None
+
+
 class FeedForward(nn.Module):
     """SwiGLU feed-forward (reference model.py:49-58)."""
 
@@ -973,7 +989,21 @@ class Llama(nn.Module):
                 nkw = dict(nkw, sk=sk, sv=sv)
             sbb = batched_sb(ck.shape[2], ck.shape[1], ck.shape[3],
                              ck.dtype.itemsize,
-                             multiple=128 if kv8 else 16) or sb
+                             multiple=128 if kv8 else 16)
+            if not sbb:
+                S_ = ck.shape[2]
+                if kv8 and sb % 128 != 0 and sb != S_:
+                    # the generic sb fallback would slice the scale
+                    # plane's minormost S axis at non-128-multiple
+                    # offsets, which Mosaic refuses to lower (sb == S is
+                    # fine: one whole-axis block, no mid-axis slicing) —
+                    # fail with the constraint instead of an obscure
+                    # Mosaic lowering error
+                    raise ValueError(
+                        f"kv_quant='int8' needs a max_seq_len ({S_}) "
+                        f"that is <=256 or has a 128-multiple divisor "
+                        f"<=256; pad max_seq_len to a multiple of 128")
+                sbb = sb
             out = fused_decode_token_batched(
                 p, h0, weights["cosD"], weights["sinD"], weights["rot"],
                 weights["hmask_pad"], weights["norm2"], weights["wq"],
@@ -1210,15 +1240,8 @@ class Llama(nn.Module):
         if fused and self._fused_chunk_fn is None:
             self._fused_chunk_fn = self._make_fused_decode_fns()
 
-        # bucketed prefill: pad the prompt to the next power of two (>= 8)
-        # so prefill executables land on a handful of reusable shapes
-        Lp = min(max(1 << (L - 1).bit_length(), 8), self.max_seq_len) \
-            if bucket_prefill else L
-        if Lp > L:
-            ids_pad = np.pad(input_ids, ((0, 0), (0, Lp - L)))
-            last_idx = jnp.int32(L)
-        else:
-            ids_pad, last_idx = input_ids, None
+        ids_pad, last_idx = (bucket_prompt(input_ids, L, self.max_seq_len)
+                             if bucket_prefill else (input_ids, None))
 
         # a short request must not compile/execute a full default-size
         # chunk (a 24-token ask on the XLA:CPU path was paying a 512-step

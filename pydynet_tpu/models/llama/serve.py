@@ -97,6 +97,8 @@ class LlamaServer:
             model._fused_chunk_fn = model._make_fused_decode_fns()
         fused_step_batched = model._fused_chunk_fn[6]
         forward_tokens = model._xla_forward_tokens
+        forward_logits = model._xla_forward_logits
+        sampling = self.sampling
 
         w = model._weights_cache.get(("serve", dtype))
         if w is None:
@@ -148,10 +150,14 @@ class LlamaServer:
                             ((0, width - D), (0, width - D)))
 
         @partial(jax.jit, donate_argnums=(1, 2, 3))
-        def admit_many(w, ck, cv, tok, prompts, pos0, slots):
+        def admit_many(w, ck, cv, tok, prompts, pos0, slots, key,
+                       temperature):
             """Prefill a WAVE of k same-length requests into slots
             ``slots`` at absolute rows [pos0, pos0+L) of the shared cache
-            in ONE program; returns their first greedy tokens (k,).
+            in ONE program; returns their first tokens (k,) — greedy
+            argmax, or sampled exactly like ``generate(temperature=...)``'s
+            prefill when the server samples (key/temperature unused on a
+            greedy server).
             pos0/slots are traced — compiles once per (k, L); the caller
             buckets k to powers of two to bound that.  (Per-request admit
             dispatches cost ~15 ms each through the remote tunnel and
@@ -166,7 +172,12 @@ class LlamaServer:
             k, L = prompts.shape
             ck1 = jnp.zeros((N, k, S, Hkv, hd), cdt)
             cv1 = jnp.zeros((N, k, S, Hkv, hd), cdt)
-            tok1, ck1, cv1 = forward_tokens(w, ck1, cv1, prompts, 0)
+            if sampling:
+                logits1, ck1, cv1 = forward_logits(w, ck1, cv1, prompts, 0)
+                tok1 = sample_logits(logits1, key, temperature,
+                                     self._top_k, self._top_p)
+            else:
+                tok1, ck1, cv1 = forward_tokens(w, ck1, cv1, prompts, 0)
             fk = pad_cache_lanes(model._kv_flat(ck1, narrow), width)
             fv = pad_cache_lanes(model._kv_flat(cv1, narrow), width)
             if k == 1:  # _kv_flat squeezes the unit batch axis
@@ -248,6 +259,7 @@ class LlamaServer:
         self._admit_many, self._decode = admit_many, decode
         self._decode_sampled = decode_sampled
         self._jnp = jnp
+        self._split = jax.random.split
 
     # ------------------------------ API ------------------------------ #
     def submit(self, prompt_ids, max_new_tokens: int = 256) -> int:
@@ -303,9 +315,11 @@ class LlamaServer:
                 i += k
                 prompts = np.array([r.prompt for _, r in sub], np.int32)
                 slots = np.array([s for s, _ in sub], np.int32)
+                self._key, akey = self._split(self._key)
                 tok1, self._ck, self._cv, self._tok = self._admit_many(
                     self._w, self._ck, self._cv, self._tok,
-                    jnp.asarray(prompts), pos0, jnp.asarray(slots))
+                    jnp.asarray(prompts), pos0, jnp.asarray(slots),
+                    akey, jnp.float32(self._temp))
                 for s, _ in sub:
                     self._starts[s] = pos0
                 waves.append(sub)

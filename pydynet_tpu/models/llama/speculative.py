@@ -209,13 +209,10 @@ def generate_speculative(model, input_ids, max_new_tokens: int, *,
         model._weights_cache[key] = weights
 
     ck, cv = model._empty_caches(1, weights["tok"].dtype)
-    # bucketed prefill (see Llama.generate): pad to the next power of two
-    # so prompt lengths share compiled prefill executables; the logits are
-    # read at the true last position and the padded cache rows sit above
-    # the decode position until rewritten
-    Lp = min(max(1 << (L - 1).bit_length(), 8), S)
-    ids_pad = np.pad(ids, ((0, 0), (0, Lp - L))) if Lp > L else ids
-    last_idx = jnp.int32(L) if Lp > L else None
+    # bucketed prefill — the pad/last_idx pairing is correctness-critical
+    # and shared with Llama.generate via one helper
+    from .model import bucket_prompt
+    ids_pad, last_idx = bucket_prompt(ids, L, S)
     if sampling:
         tok, ck, cv, rkey, _ = prefill_s(
             weights, ck, cv, jnp.asarray(ids_pad, jnp.int32), 0, rkey,

@@ -38,6 +38,17 @@ def make_mesh(axes: dict, devices=None) -> Mesh:
     return Mesh(dev_array, tuple(axes.keys()))
 
 
+def _cluster_env_present() -> bool:
+    """True when env markers of a multi-process launcher are present (TPU
+    pod metadata, Slurm, Open MPI, ...).  Env-var probes only — never
+    initialises the XLA backend."""
+    try:
+        from jax._src.clusters import ClusterEnv
+        return any(c.is_env_present() for c in ClusterEnv._cluster_types)
+    except Exception:  # private API moved: assume a cluster, fail loud
+        return True
+
+
 def initialize_distributed(coordinator_address=None, num_processes=None,
                            process_id=None, **kw):
     """Join a multi-host (multi-process) TPU job.
@@ -47,20 +58,41 @@ def initialize_distributed(coordinator_address=None, num_processes=None,
     ``initialize_distributed()`` in every process is enough; elsewhere pass
     coordinator/process info explicitly.  After this, ``jax.devices()``
     spans the whole job and meshes built from it cross hosts.  Safe to call
-    in a single-process job (no-op).
+    in a single-process job (no-op).  Must run before ANY other JAX call
+    (even ``jax.devices()``/``jax.process_count()`` initialise the local
+    XLA backend, after which joining a job is impossible) — call it first
+    thing in ``main``.
 
     The reference framework is single-process (SURVEY.md §2.6: no
     distributed layer); this is the TPU-native extension slot for it.
     """
-    if jax.process_count() > 1:
-        return  # already initialized
+    # jax.distributed.is_initialized is a pure state check (global_state
+    # .client is not None), unlike jax.process_count() which initialises
+    # the XLA backend and would make initialize() below raise for everyone.
+    if jax.distributed.is_initialized():
+        return
     try:
         jax.distributed.initialize(coordinator_address, num_processes,
                                    process_id, **kw)
-    except (ValueError, RuntimeError):
+    except ValueError:
+        # Auto-detect found no cluster and no coordinator was given: a
+        # plain single-process run.  Only swallow when the caller didn't
+        # claim a multi-process job.
         if num_processes not in (None, 1):
             raise
-        # single-process run with no coordinator configured: fine as-is
+    except RuntimeError:
+        # "must be called before any JAX calls that might initialise the
+        # XLA backend."  Whether that is fatal depends on whether there is
+        # a job to join: silently degrading a pod job to N independent
+        # single-host processes is the worst failure mode, so re-raise
+        # whenever the caller claimed one (explicit args) or the
+        # environment shows one (TPU pod / Slurm / MPI markers — a pure
+        # env-var probe, no backend touch).  A genuinely single-process
+        # run that already used JAX stays a no-op.
+        if (coordinator_address is not None
+                or num_processes not in (None, 1)
+                or _cluster_env_present()):
+            raise
 
 
 def make_hybrid_mesh(ici_axes: dict, dcn_axes: dict, devices=None) -> Mesh:

@@ -190,6 +190,12 @@ def test_hybrid_mesh_helpers():
 
     initialize_distributed()  # must not raise in a single-process job
 
+    # ...but a claimed multi-process job must fail LOUD when called after
+    # the backend initialised (silent single-host degradation is the
+    # worst failure mode on a pod)
+    with pytest.raises(RuntimeError, match="before any JAX calls"):
+        initialize_distributed("10.0.0.1:1234", 2, 0)
+
 
 def test_llama_spmd_train_step_loss_decreases():
     mesh = make_mesh({"dp": 4, "tp": 2})

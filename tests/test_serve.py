@@ -101,6 +101,30 @@ def test_server_sampled_deterministic(interp_kernels):
     assert all(0 <= x < CFG["vocab_size"] for t in a for x in t)
 
 
+def test_server_sampled_first_token_is_sampled(interp_kernels):
+    """The ADMISSION token must follow the sampling distribution too:
+    a sampled server's tokens[0] may not be the deterministic greedy
+    argmax independent of seed (regression: admit_many always used the
+    argmax prefill)."""
+    from pydynet_tpu.models.llama.serve import LlamaServer
+
+    np.random.seed(13)
+    model = Llama(**CFG)
+    model.eval()
+    firsts = set()
+    for seed in range(6):
+        with pdn.no_grad():
+            srv = LlamaServer(model, batch_size=1, chunk=2, eos_id=-1,
+                              temperature=5.0, seed=seed)
+            rid = srv.submit([1, 5, 9], max_new_tokens=2)
+            done = srv.run()
+        firsts.add(done[rid].tokens[0])
+    # at temperature 5 over a 256-way random-init softmax, six seeds
+    # collapsing to one token has probability ~(1/V)^5 — a fixed argmax
+    # (the regression) is the only realistic way this set stays size 1
+    assert len(firsts) > 1, firsts
+
+
 def test_server_eos_frees_slot(interp_kernels):
     """A request whose stream hits EOS finishes early (EOS not emitted)
     and its slot serves the next queued request."""
