@@ -93,6 +93,10 @@ def main(argv=None):
                         default=None,
                         help="weight-only int8 for the fused decode path "
                         "(int8-head: lm_head only, the measured win)")
+    parser.add_argument("--kv-quant", choices=["int8"], default=None,
+                        help="int8 KV cache for the fused decode path "
+                        "(2x context per HBM byte; mutually exclusive "
+                        "with --quant)")
     parser.add_argument("--speculative", action="store_true",
                         help="prompt-lookup speculative decoding (greedy "
                         "only; token stream identical, repeated text "
@@ -170,6 +174,8 @@ def main(argv=None):
             gen_kwargs["chunk"] = args.chunk
         if args.quant:
             gen_kwargs["quant"] = args.quant
+        if args.kv_quant:
+            gen_kwargs["kv_quant"] = args.kv_quant
         if args.temperature and args.temperature > 0:
             gen_kwargs.update(temperature=args.temperature, seed=args.seed,
                               top_k=args.top_k, top_p=args.top_p,

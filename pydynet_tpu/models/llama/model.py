@@ -1217,9 +1217,13 @@ class Llama(nn.Module):
             raise ValueError("quant requires the fused B=1 decode path")
         if kv_quant not in (None, "int8"):
             raise ValueError(f"unsupported kv_quant mode: {kv_quant!r}")
-        if kv_quant and not (fused and B > 1):
-            raise ValueError("kv_quant requires the fused batched (B>1) "
-                             "decode path")
+        if kv_quant and not fused:
+            raise ValueError("kv_quant requires the fused decode path")
+        if kv_quant and quant:
+            raise ValueError("kv_quant and (weight) quant are mutually "
+                             "exclusive: the int8-KV mode runs in the "
+                             "batched kernel, which has no weight-int8 "
+                             "path")
         key = (np.dtype(dtype).name if dtype else "native", bool(fused),
                quant)
         weights = self._weights_cache.get(key)
@@ -1297,13 +1301,20 @@ class Llama(nn.Module):
                 # int8 rows + per-row scales; the (q, s) tuple structure is
                 # the static switch that puts the batched kernel in its
                 # kv_int8 mode (halves KV streaming, the dominant HBM
-                # traffic of batched long-context decode)
+                # traffic of batched long-context decode).  B=1 runs the
+                # batched kernel too (its kv_int8 machinery at B=1): the
+                # throughput is weight-streaming-bound there anyway, and
+                # the win is 2x context per HBM byte.
                 from ...ops.decode_step import quantize_kv
+                if B == 1:  # _kv_flat squeezed the unit batch axis
+                    ck, cv = ck[:, None], cv[:, None]
                 ck, cv = quantize_kv(ck), quantize_kv(cv)
             if sampling:
-                decode_s = self._fused_chunk_fn[3 if B == 1 else 4]
+                decode_s = self._fused_chunk_fn[
+                    3 if B == 1 and not kv_quant else 4]
             else:
-                decode_chunk = self._fused_chunk_fn[0 if B == 1 else 2]
+                decode_chunk = self._fused_chunk_fn[
+                    0 if B == 1 and not kv_quant else 2]
 
         pos = L
         first_tok = tok  # prefill result: synced after the first decode

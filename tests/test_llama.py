@@ -456,13 +456,29 @@ def test_generate_kv_quant_plumbing():
     np.testing.assert_array_equal(a[0], base[0])  # f32 prefill untouched
     np.testing.assert_array_equal(np.stack(a), np.stack(base))
 
-    with pytest.raises(ValueError):  # B=1 has no batched kernel
-        next(iter(model.generate(np.array([[1, 2]]), 8, fused=True,
-                                 kv_quant="int8")))
+    # B=1 routes through the batched kernel's kv_int8 mode (the win is
+    # context-per-HBM-byte; B=1 throughput is weight-streaming-bound)
+    dsk.fused_decode_token_batched = functools.partial(orig, interpret=True)
+    try:
+        model._fused_chunk_fn = None
+        with pdn.no_grad():
+            base1 = [t.numpy() for t in model.generate(ids[:1], 14, chunk=5,
+                                                       fused=False)]
+            a1 = [t.numpy() for t in model.generate(ids[:1], 14, chunk=5,
+                                                    fused=True,
+                                                    kv_quant="int8")]
+    finally:
+        dsk.fused_decode_token_batched = orig
+        model._fused_chunk_fn = None
+    np.testing.assert_array_equal(np.stack(a1), np.stack(base1))
+
     with pytest.raises(ValueError):
         next(iter(model.generate(ids, 8, fused=False, kv_quant="int8")))
     with pytest.raises(ValueError):
         next(iter(model.generate(ids, 8, fused=True, kv_quant="fp4")))
+    with pytest.raises(ValueError):  # weight-int8 + kv-int8: no kernel
+        next(iter(model.generate(ids[:1], 8, fused=True, quant="int8",
+                                 kv_quant="int8")))
 
 
 def test_generate_batched_fused_matches_xla():
