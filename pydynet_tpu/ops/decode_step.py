@@ -38,6 +38,20 @@ from jax.experimental.pallas import tpu as pltpu
 _Z = np.int32(0)  # int32 index-map literal (x64 would inject i64)
 
 
+def _check_tiling(V, vt, S=None, sb=None):
+    """Clear errors for bad vocab/KV tilings — ``pick_vt``/``pick_sb``
+    return 0 for shapes with no valid tiling, and a bare ``V % vt``
+    assert would surface as ZeroDivisionError."""
+    if vt <= 0 or V % vt or vt % 128:
+        raise ValueError(
+            f"no valid vocab tiling: V={V} needs a 128-multiple divisor "
+            f"(got vt={vt}; see pick_vt)")
+    if S is not None and (sb <= 0 or S % sb or sb % 16):
+        raise ValueError(
+            f"no valid KV block size: S={S} needs a 16-multiple divisor "
+            f"(got sb={sb}; see pick_sb)")
+
+
 def _rms(x, w):
     """f32 RMSNorm used identically by all three kernels (eps pinned here
     so the kernels cannot drift numerically)."""
@@ -116,7 +130,7 @@ def lm_head_argmax(h, w, b, vt: int = 3200, interpret=False):
     h (1, D); w (D, V); b (1, V); V must be a multiple of ``vt`` (itself a
     multiple of 128).  Returns int32 (1, 1)."""
     D, V = w.shape
-    assert V % vt == 0 and vt % 128 == 0, (V, vt)  # (D, vt) lane alignment
+    _check_tiling(V, vt)  # (D, vt) lane alignment
     n_tiles = V // vt
     return pl.pallas_call(
         functools.partial(_lm_head_kernel, vt=vt, n_tiles=n_tiles),
@@ -411,9 +425,14 @@ def _token_kernel(idx_ref,  # scalar prefetch: (2,) i32 = [pos, tok]
             ff = (g * jax.nn.sigmoid(g)) * u
             h_new = z + jnp.dot(ff.astype(cdtype), down_w[0],
                                 preferred_element_type=jnp.float32)
-        h_state[:] = jnp.where(l == n_layers - 1,
-                               rms(h_new, final_norm[:].astype(jnp.float32)),
-                               h_new)
+        h_state[:] = h_new
+
+        # final RMSNorm only where it's consumed (the last layer step) —
+        # a jnp.where would evaluate the full rms() on every layer step
+        # and discard N-1 of them
+        @pl.when(l == n_layers - 1)
+        def _final_norm():
+            h_state[:] = rms(h_new, final_norm[:].astype(jnp.float32))
 
     @pl.when(l >= n_layers)
     def _head():
@@ -851,9 +870,12 @@ def _token_kernel_batched(idx_ref,  # scalar prefetch: (1,) i32 = [pos]
         ff = (g * jax.nn.sigmoid(g)) * u
         h_new = z + jnp.dot(ff.astype(cdtype), down_w[0],
                             preferred_element_type=jnp.float32)
-        h_state[:] = jnp.where(l == n_layers - 1,
-                               rms(h_new, final_norm[:].astype(jnp.float32)),
-                               h_new)
+        h_state[:] = h_new
+
+        # final RMSNorm only on the last layer step (see B=1 kernel)
+        @pl.when(l == n_layers - 1)
+        def _final_norm():
+            h_state[:] = rms(h_new, final_norm[:].astype(jnp.float32))
 
     @pl.when(l >= n_layers)
     def _head():
@@ -926,8 +948,7 @@ def fused_decode_token_batched(pos, h0, cosr, sinr, rot, hmask, final_norm,
         sg = pick_sg(B, H)
     assert B % sg == 0 and 1 <= sg <= B, (B, sg)
     assert h0.shape == (B, D), (h0.shape, B, D)
-    assert V % vt == 0 and vt % 128 == 0, (V, vt)
-    assert S % sb == 0 and sb % 16 == 0, (S, sb)
+    _check_tiling(V, vt, S, sb)
     assert Dp % 128 == 0 and Dp >= D, (Dp, D)
     assert CW % 128 == 0, CW
     if narrow:
@@ -1221,8 +1242,7 @@ def fused_decode_token(pos, tok, emb, cosr, sinr, rot, hmask, final_norm,
     qhead = head_s is not None
     narrow = egqa is not None
     assert qlayers == (s_ffn is not None)
-    assert V % vt == 0 and vt % 128 == 0, (V, vt)
-    assert S % sb == 0 and sb % 16 == 0, (S, sb)
+    _check_tiling(V, vt, S, sb)
     assert Dp % 128 == 0 and Dp >= D, (Dp, D)
     assert CW % 128 == 0, CW
     if narrow:

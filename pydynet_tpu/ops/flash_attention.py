@@ -17,6 +17,12 @@ Block sizes are picked from (L, d) against a ~4MB VMEM budget.
 
 Shapes that don't tile (L % block != 0) fall back to the XLA einsum
 composite with the analytic softmax gradient.
+
+Computes the reference's causal scaled-dot-product attention (reference
+llm/llama/model.py:113-118: scores = q @ k^T / sqrt(hd) + causal mask,
+softmax, @ v) as a deliberate TPU redesign: blockwise streaming instead
+of the materialized (L, L) score matrix; routed via nn/functional.py's
+scaled_dot_product_attention.
 """
 from __future__ import annotations
 
@@ -30,6 +36,8 @@ import numpy as np
 _Z = np.int32(0)  # index-map literal: x64 would make a bare 0 an i64
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+from .decode_step import lane_pad_dim  # one home for the 128-lane round-up
 
 
 def mha_reference(q, k, v, mask=None, scale=None):
@@ -52,7 +60,7 @@ def pick_blocks(L: int, d: int, itemsize: int = 4):
 
     Larger K blocks amortize DMA issue latency; the double-buffered window
     costs 2 buffers x 2 operands x block_k x d_pad bytes."""
-    dp = -(-d // 128) * 128
+    dp = lane_pad_dim(d)
     budget = 4 * 1024 * 1024
     bk = 512
     while bk > 128 and (4 * bk * dp * itemsize > budget or L % bk):
@@ -388,7 +396,7 @@ def _to_heads(x):
     (zero lanes contribute 0 to every dot product — exact)."""
     B, L, H, d = x.shape
     x = x.transpose(0, 2, 1, 3).reshape(B * H, L, d)
-    dp = -(-d // 128) * 128
+    dp = lane_pad_dim(d)
     if dp != d:
         x = jnp.pad(x, ((0, 0), (0, 0), (0, dp - d)))
     return x
@@ -452,17 +460,18 @@ def _fa_bwd(scale, block_q, block_k, interpret, res, do):
     block_q, block_k = _resolve_blocks(L, d, block_q, block_k)
 
     if o is None:  # fallback path: analytic softmax gradient in XLA
+        # accumulate like mha_reference: at least f32, never BELOW the
+        # input precision (f64 inputs must yield f64-exact gradients)
+        acc = jnp.promote_types(q.dtype, jnp.float32)
         s = jnp.einsum("blhd,bmhd->bhlm", q, k,
-                       preferred_element_type=jnp.float32) * scale
-        p = jax.nn.softmax(s + _causal_mask(L), axis=-1)
-        do32 = do.astype(jnp.float32)
-        dv = jnp.einsum("bhlm,blhd->bmhd", p, do32)
-        dp = jnp.einsum("blhd,bmhd->bhlm", do32, v.astype(jnp.float32))
+                       preferred_element_type=acc) * scale
+        p = jax.nn.softmax(s + _causal_mask(L).astype(acc), axis=-1)
+        doa = do.astype(acc)
+        dv = jnp.einsum("bhlm,blhd->bmhd", p, doa)
+        dp = jnp.einsum("blhd,bmhd->bhlm", doa, v.astype(acc))
         ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-        dq = jnp.einsum("bhlm,bmhd->blhd", ds,
-                        k.astype(jnp.float32)) * scale
-        dk = jnp.einsum("bhlm,blhd->bmhd", ds,
-                        q.astype(jnp.float32)) * scale
+        dq = jnp.einsum("bhlm,bmhd->blhd", ds, k.astype(acc)) * scale
+        dk = jnp.einsum("bhlm,blhd->bmhd", ds, q.astype(acc)) * scale
         return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
 
     dq, dk, dv = _fa_backward(_to_heads(q), _to_heads(k), _to_heads(v), o,

@@ -157,6 +157,27 @@ def test_flash_attention_custom_vjp_matches_reference_grads():
         assert np.allclose(gf, gr, atol=2e-4), np.abs(gf - gr).max()
 
 
+def test_flash_attention_fallback_f64_grad_precision():
+    """The non-tiling fallback must keep f64 inputs at f64 accumulation
+    (regression: hardcoded f32 gave only ~1e-7-accurate grads while the
+    primal was f64-exact, defeating strict central-difference checks)."""
+    rng = np.random.default_rng(3)
+    B, L, H, d = 1, 7, 2, 16  # L=7 never tiles -> fallback path
+    q = jnp.asarray(rng.standard_normal((B, L, H, d)), jnp.float64)
+    k = jnp.asarray(rng.standard_normal((B, L, H, d)), jnp.float64)
+    v = jnp.asarray(rng.standard_normal((B, L, H, d)), jnp.float64)
+    mask = jnp.where(
+        jnp.arange(L)[:, None] >= jnp.arange(L)[None, :], 0.0, -jnp.inf)
+
+    g_flash = jax.grad(
+        lambda *a: fa.flash_attention_causal(*a).sum(), (0, 1, 2))(q, k, v)
+    g_ref = jax.grad(
+        lambda *a: fa.mha_reference(*a, mask).sum(), (0, 1, 2))(q, k, v)
+    for gf, gr in zip(g_flash, g_ref):
+        assert gf.dtype == jnp.float64
+        assert np.allclose(gf, gr, atol=1e-12), np.abs(gf - gr).max()
+
+
 def test_sdpa_functional_tape_node():
     import pydynet_tpu as pdn
     import pydynet_tpu.nn.functional as F
