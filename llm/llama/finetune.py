@@ -62,6 +62,9 @@ def main(argv=None):
     parser.add_argument("--tokenizer", type=str,
                         default="llm/llama/data/tokenizer.model.np")
     parser.add_argument("--random-init", action="store_true")
+    parser.add_argument("--clip-norm", type=float, default=None,
+                        help="global-norm gradient clipping inside the "
+                        "compiled step (nn.utils.clip_grad_norm_)")
     args = parser.parse_args(argv)
 
     tokenizer = Tokenizer(args.tokenizer)
@@ -102,7 +105,8 @@ def main(argv=None):
     done = 0
     for b in boundaries:
         n = b - done
-        losses = model.finetune_steps(input_ids, target_ids, optimizer, n)
+        losses = model.finetune_steps(input_ids, target_ids, optimizer, n,
+                                      clip_norm=args.clip_norm)
         done = b
         print(f"step={done:04d}, loss={float(losses[n - 1].item()):.6f}")
 

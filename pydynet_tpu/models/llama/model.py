@@ -434,17 +434,19 @@ class Llama(nn.Module):
         return {path + ".weight": m for path, m in iter_named_modules(self)
                 if isinstance(m, LoRALinear)}
 
-    def _ensure_ft_step(self, optimizer, start_pos, criterion):
+    def _ensure_ft_step(self, optimizer, start_pos, criterion,
+                        clip_norm=None):
         """Build (or reuse) the jitted forward+backward+update step.
 
         Cache key: everything ``inner`` closes over besides the traced
-        tensors — a changed optimizer, start_pos or criterion must
-        recompile, not silently reuse the old closure (builtin Loss
+        tensors — a changed optimizer, start_pos, criterion or clip_norm
+        must recompile, not silently reuse the old closure (builtin Loss
         modules key by (type, reduction) so fresh per-call instances
         don't recompile every step)."""
         from ...nn.modules.loss import criterion_cache_key
 
-        key = (optimizer, start_pos, criterion_cache_key(criterion))
+        key = (optimizer, start_pos, criterion_cache_key(criterion),
+               clip_norm)
         if criterion is None:
             criterion = nn.CrossEntropyLoss()
         self.train(True)
@@ -456,6 +458,8 @@ class Llama(nn.Module):
                 B, L, V = logits.shape
                 loss = criterion(logits.reshape(B * L, V), tgt)
                 loss.backward()
+                if clip_norm is not None:
+                    nn.utils.clip_grad_norm_(optimizer.params, clip_norm)
                 optimizer.step()
                 return loss
 
@@ -464,13 +468,17 @@ class Llama(nn.Module):
         return self._ft_step
 
     def finetune_step(self, input_ids, target_ids, optimizer, criterion=None,
-                      start_pos: int = 0, sync: bool = True):
+                      start_pos: int = 0, sync: bool = True,
+                      clip_norm: float = None):
         """One compiled fine-tune step; same signature/semantics as the
         reference (model.py:226-252), but the whole
         forward+backward+optimizer update is a single XLA program.
         ``sync=False`` returns the loss as a device Tensor without the
-        host round trip (call ``.item()`` when a float is needed)."""
-        step = self._ensure_ft_step(optimizer, start_pos, criterion)
+        host round trip (call ``.item()`` when a float is needed).
+        ``clip_norm`` applies global-norm gradient clipping
+        (nn.utils.clip_grad_norm_) inside the compiled step."""
+        step = self._ensure_ft_step(optimizer, start_pos, criterion,
+                                    clip_norm)
         inp = Tensor(np.asarray(input_ids), device=self.device)
         tgt = Tensor(np.asarray(target_ids).reshape(-1), dtype=np.int64,
                      device=self.device)
@@ -481,7 +489,8 @@ class Llama(nn.Module):
         return loss  # async: device scalar Tensor, no host round trip
 
     def finetune_steps(self, input_ids, target_ids, optimizer, n_steps: int,
-                       criterion=None, start_pos: int = 0):
+                       criterion=None, start_pos: int = 0,
+                       clip_norm: float = None):
         """``n_steps`` fine-tune steps on the SAME (input, target) pair as
         ONE compiled program (``jit.foreach`` — a ``lax.scan`` over the
         per-step program).  Equivalent to calling :meth:`finetune_step`
@@ -493,7 +502,8 @@ class Llama(nn.Module):
         Extension beyond the reference CLI loop
         (/root/reference/llm/llama/finetune.py:47-56), which dispatches
         per step; trajectories are identical."""
-        step = self._ensure_ft_step(optimizer, start_pos, criterion)
+        step = self._ensure_ft_step(optimizer, start_pos, criterion,
+                                    clip_norm)
         inp = np.asarray(input_ids)
         tgt = np.asarray(target_ids).reshape(-1)
         inp_b = np.broadcast_to(inp, (n_steps,) + inp.shape)

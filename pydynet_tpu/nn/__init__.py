@@ -3,3 +3,4 @@ from .parameter import Parameter
 from . import init
 from . import parameter
 from . import functional
+from . import utils

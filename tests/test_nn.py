@@ -315,3 +315,77 @@ def test_module_state_dict_methods():
     net2.load_state_dict(sd)
     for n, p in net._parameters.items():
         assert np.allclose(p.numpy(), net2._parameters[n].numpy()), n
+
+
+def test_clip_grad_norm():
+    """nn.utils.clip_grad_norm_: global-norm cap, torch contract (pre-clip
+    norm returned, 1e-6 guard, inf norm), identical eager and under
+    pdn.jit (the clip traces into the fused train step)."""
+    np.random.seed(3)
+    net = nn.Linear(4, 3)
+    X = pdn.Tensor(np.random.randn(8, 4))
+
+    def step():
+        for p in net.parameters():
+            p.zero_grad()
+        loss = F.mse_loss(net(X), pdn.Tensor(np.zeros((8, 3))))
+        loss.backward()
+        total = nn.utils.clip_grad_norm_(net.parameters(), 0.1)
+        return total
+
+    total = float(step())
+    gn = np.sqrt(sum(float((np.asarray(p.grad) ** 2).sum())
+                     for p in net.parameters()))
+    assert total > 0.1  # unclipped norm was larger...
+    assert abs(gn - 0.1) < 1e-4  # ...and the post-clip global norm is cap
+
+    # inf norm: caps the max |g|
+    for p in net.parameters():
+        p.zero_grad()
+    loss = F.mse_loss(net(X), pdn.Tensor(np.ones((8, 3)) * 9))
+    loss.backward()
+    nn.utils.clip_grad_norm_(net.parameters(), 0.05, norm_type=np.inf)
+    mx = max(float(np.abs(np.asarray(p.grad)).max())
+             for p in net.parameters())
+    assert mx <= 0.05 + 1e-7
+
+    # value clip
+    for p in net.parameters():
+        p.zero_grad()
+    loss = F.mse_loss(net(X), pdn.Tensor(np.ones((8, 3)) * 9))
+    loss.backward()
+    nn.utils.clip_grad_value_(net.parameters(), 0.01)
+    for p in net.parameters():
+        assert float(np.abs(np.asarray(p.grad)).max()) <= 0.01
+
+    # full train step with clip: pdn.jit trajectory matches eager
+    # bitwise (the clip traces into the fused step), and the cap bites
+    np.random.seed(5)
+    nets = [nn.Linear(4, 3), None]
+    np.random.seed(5)
+    nets[1] = nn.Linear(4, 3)
+    Y = pdn.Tensor(np.zeros((8, 3)))
+
+    def make_step(net, opt):
+        def train_step():
+            opt.zero_grad()
+            loss = F.mse_loss(net(X), Y)
+            loss.backward()
+            nn.utils.clip_grad_norm_(net.parameters(), 0.1)
+            opt.step()
+            return loss
+        return train_step
+
+    opt0 = pdn.optim.SGD(nets[0].parameters(), lr=0.5)
+    opt1 = pdn.optim.SGD(nets[1].parameters(), lr=0.5)
+    eager_step = make_step(nets[0], opt0)
+    jit_step = pdn.jit(make_step(nets[1], opt1),
+                       state=[*nets[1].parameters(), opt1])
+    el = [float(eager_step().item()) for _ in range(5)]
+    jl = [float(jit_step().item()) for _ in range(5)]
+    # XLA may reassociate the fused f64 program: identical to last-ulps
+    np.testing.assert_allclose(el, jl, rtol=1e-14)
+    assert jl[-1] < jl[0]
+    for p0, p1 in zip(nets[0].parameters(), nets[1].parameters()):
+        np.testing.assert_allclose(p0.numpy(), p1.numpy(), rtol=1e-13,
+                                   atol=1e-15)
