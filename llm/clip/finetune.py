@@ -49,6 +49,9 @@ def main(argv=None):
                         default="llm/clip/data/finetuned_clip_params.npz")
     parser.add_argument("--weights-dir", type=str, default="llm/clip/data")
     parser.add_argument("--random-init", action="store_true")
+    parser.add_argument("--clip-norm", type=float, default=None,
+                        help="global-norm gradient clipping inside the "
+                        "compiled step (nn.utils.clip_grad_norm_)")
     parser.add_argument("--no-cuda", action="store_true",
                         help="Run on the CPU platform")
     args = parser.parse_args(argv)
@@ -86,7 +89,8 @@ def main(argv=None):
 
     optimizer = optim.Adam(model.parameters(), lr=args.lr)
     for step in range(1, args.steps + 1):
-        loss = model.finetune_step(image, text, target, optimizer)
+        loss = model.finetune_step(image, text, target, optimizer,
+                                   clip_norm=args.clip_norm)
         if step == 1 or step % 5 == 0 or step == args.steps:
             print(f"step={step:04d}, loss={loss:.6f}")
 

@@ -271,14 +271,17 @@ class CLIP(nn.Module):
         return trainable_count, frozen_count
 
     def finetune_step(self, image, text_tokens, target_ids, optimizer,
-                      criterion=None):
-        """One compiled fine-tune step (reference model.py:219-243)."""
-        # recompile when the optimizer OR criterion changes (both live in
-        # the closure); builtin Loss modules key by (type, reduction) so a
-        # fresh instance per call doesn't recompile every step
+                      criterion=None, clip_norm=None):
+        """One compiled fine-tune step (reference model.py:219-243).
+        ``clip_norm`` applies global-norm gradient clipping
+        (nn.utils.clip_grad_norm_) inside the compiled step."""
+        # recompile when the optimizer, criterion OR clip_norm changes
+        # (all live in the closure); builtin Loss modules key by (type,
+        # reduction) so a fresh instance per call doesn't recompile every
+        # step
         from ...nn.modules.loss import criterion_cache_key
 
-        key = (optimizer, criterion_cache_key(criterion))
+        key = (optimizer, criterion_cache_key(criterion), clip_norm)
         if criterion is None:
             criterion = nn.CrossEntropyLoss()
         self.train(True)
@@ -289,6 +292,8 @@ class CLIP(nn.Module):
                 logits = self(img, txt)
                 loss = criterion(logits, tgt)
                 loss.backward()
+                if clip_norm is not None:
+                    nn.utils.clip_grad_norm_(optimizer.params, clip_norm)
                 optimizer.step()
                 return loss
 
