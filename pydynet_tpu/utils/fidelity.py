@@ -80,8 +80,13 @@ def _fused_setup(model, prompt_ids, dtype, quant, kv_quant=None):
     ck = pad_cache_lanes(model._kv_flat(ck5, narrow), width)
     cv = pad_cache_lanes(model._kv_flat(cv5, narrow), width)
     if kv_quant:
+        # kv_int8 lives in the batched kernel at ANY B (generate routes
+        # B=1 through it too); keep the unit batch axis _kv_flat squeezed
+        if B == 1:
+            ck, cv = ck[:, None], cv[:, None]
         ck, cv = quantize_kv(ck), quantize_kv(cv)
-    fused_step = model._fused_chunk_fn[5 if B == 1 else 6]
+    fused_step = model._fused_chunk_fn[
+        5 if B == 1 and not kv_quant else 6]
     return w, ck, cv, tok0, fused_step
 
 

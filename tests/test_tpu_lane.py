@@ -97,6 +97,22 @@ def test_fused_batched_kernel_kv_int8_on_chip():
     assert checked > 0 and ok, (checked, ok)
 
 
+def test_fused_b1_kv_int8_on_chip():
+    """B=1 kv_quant='int8' (routed through the batched kernel's int8-KV
+    machinery — the 2x-context-per-HBM-byte mode) on silicon."""
+    import jax.numpy as jnp
+
+    from pydynet_tpu.utils import fidelity
+
+    cpu, dev = _models()
+    ids = np.array([[1, 5, 9]])
+    truth, margins, tops = fidelity.greedy_truth(cpu, ids, STEPS)
+    checked, ok = fidelity.gate_fused_argmax(dev, ids, truth, margins, tops,
+                                             dtype=jnp.bfloat16,
+                                             kv_quant="int8", min_agree=0.6)
+    assert checked > 0 and ok, (checked, ok)
+
+
 def test_fused_gqa_narrow_kernel_on_chip():
     """Narrow-KV GQA variant (egqa expansion in-kernel) on silicon."""
     import jax.numpy as jnp
