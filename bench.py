@@ -167,6 +167,8 @@ def main():
             # full-layer int8), so majority agreement is the right gate
             ("batched-b4-kvint8", STORIES15M,
              {"B": 4, "kv_quant": "int8", "min_agree": 0.6}),
+            ("b1-kvint8", STORIES15M,
+             {"kv_quant": "int8", "min_agree": 0.6}),
             ("gqa-6q2kv-narrow", GQA_15M, {}),
             ("logits-head-f32", STORIES15M, {"kind": "logits"}),
             ("stories110m-b1", STORIES110M, {}),
