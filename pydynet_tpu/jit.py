@@ -139,6 +139,7 @@ class _JitFunction:
             self._batch_sharding = NamedSharding(mesh, P(batch_axis))
             self._state_shardings = self._resolve_shard_rules(
                 mesh, shard_rules or [])
+        self._donate_state = donate_state
         donate = (0,) if donate_state else ()
         self._compiled = jax.jit(self._pure, static_argnums=(2, 3),
                                  donate_argnums=donate)
@@ -257,8 +258,16 @@ class _JitFunction:
                     # tensors there and tag them so device checks pass
                     val = leaf._data
                     if self._mesh is not None and val.ndim >= 1:
-                        # shard the leading (batch) dim over the mesh
-                        val = jax.device_put(val, self._batch_sharding)
+                        # shard the leading (batch) dim over the mesh —
+                        # but only when it divides: non-batch args (per-
+                        # class weights, masks) would either crash the
+                        # device_put or get a semantically wrong dim-0
+                        # sharding that GSPMD must undo; replicate those
+                        dp = self._mesh.shape.get(self._batch_axis, 1)
+                        val = jax.device_put(
+                            val, self._batch_sharding
+                            if val.shape[0] % dp == 0
+                            else self._rep_sharding)
                     elif target is not None and isinstance(val, jax.Array) \
                             and val.committed and val.devices() != {target}:
                         val = jax.device_put(val, target)
@@ -286,12 +295,27 @@ class _JitFunction:
         try:
             new_state, raw_out = self._compiled(
                 state_vals, dyn_leaves, dyn_mask, packed_static)
-        except Exception:
+        except Exception as e:
             # tracing failed midway: restore concrete state
             for t, v in zip(sts, state_vals):
                 if isinstance(t._data, jax.core.Tracer):
                     t._data = v
                 t._grad = None
+            # a RUNTIME failure of an already-compiled call (device OOM,
+            # lost collective) may have consumed the donated state
+            # buffers — there is nothing left to restore; fail with the
+            # recovery options instead of letting every later use die
+            # with a bare "Array has been deleted"
+            if self._donate_state and any(
+                    isinstance(v, jax.Array) and v.is_deleted()
+                    for v in state_vals):
+                raise RuntimeError(
+                    "pdn.jit step failed after its donated state buffers "
+                    "were consumed; the attached state tensors are no "
+                    "longer valid. Reload them from a checkpoint "
+                    "(utils.checkpoint), or build the jit with "
+                    "donate_state=False to keep state recoverable at the "
+                    "cost of 2x state memory.") from e
             raise
         finally:
             # drop tape nodes created during tracing (they hold tracers)
@@ -379,8 +403,14 @@ def _foreach(self, *args, **kwargs):
         if isinstance(leaf, Tensor):
             val = leaf._data
             if self._mesh is not None and np.ndim(val) >= 2:
-                # (steps, batch, ...): shard the per-step batch axis
-                val = jax.device_put(val, step_batch_sharding)
+                # (steps, batch, ...): shard the per-step batch axis when
+                # it divides; replicate non-batch-shaped args (see
+                # __call__)
+                dp = self._mesh.shape.get(self._batch_axis, 1)
+                val = jax.device_put(
+                    val, step_batch_sharding
+                    if np.shape(val)[1] % dp == 0
+                    else self._rep_sharding)
             elif target is not None and isinstance(val, jax.Array) \
                     and val.committed and val.devices() != {target}:
                 val = jax.device_put(val, target)
@@ -410,11 +440,19 @@ def _foreach(self, *args, **kwargs):
     try:
         new_state, raw_out = self._scan_compiled(
             state_vals, dyn_leaves, dyn_mask, packed_static)
-    except Exception:
+    except Exception as e:
         for t, v in zip(sts, state_vals):
             if isinstance(t._data, jax.core.Tracer):
                 t._data = v
             t._grad = None
+        if self._donate_state and any(
+                isinstance(v, jax.Array) and v.is_deleted()
+                for v in state_vals):  # see __call__
+            raise RuntimeError(
+                "pdn.jit foreach failed after its donated state buffers "
+                "were consumed; the attached state tensors are no longer "
+                "valid. Reload them from a checkpoint, or build the jit "
+                "with donate_state=False.") from e
         raise
     finally:
         if Graph.size() > tape_len:

@@ -35,6 +35,11 @@ def _kv_dim(cfg):
         (cfg["dim"] // cfg["n_heads"])
 
 
+# per-layer (leading layer-axis) parameter names, one array per matrix
+LAYER_KEYS = ("wq", "wk", "wv", "wo", "gate", "up", "down",
+              "in_norm", "post_norm")
+
+
 def init_params(rng: np.random.RandomState, cfg, dtype=jnp.float32):
     """Layer-stacked parameter pytree (matches the decode-path layout)."""
     V, D, F, N = (cfg["vocab_size"], cfg["dim"], cfg["ffn_dim"],
@@ -48,6 +53,12 @@ def init_params(rng: np.random.RandomState, cfg, dtype=jnp.float32):
     hd = D // cfg["n_heads"]
     inv_freq = 1.0 / (10000**(np.arange(0, hd, 2)[:hd // 2] / hd))
     freqs = np.outer(np.arange(cfg["max_seq_len"]), inv_freq)
+    # per-matrix arrays (NOT fused qkv/gate-up like the single-chip decode
+    # layout, models/llama/model.py:_weights): GSPMD shards the last axis
+    # of each array in equal contiguous blocks, so only a per-matrix
+    # layout keeps every tp shard a whole block of heads / ffn columns —
+    # a fused (D, D+2*Dkv) matrix would split across the q|k|v boundaries
+    # and force per-layer reshards instead of the Megatron schedule
     return {
         "tok": w(V, D),
         "cos": jnp.asarray(np.cos(freqs), dtype),
@@ -55,9 +66,12 @@ def init_params(rng: np.random.RandomState, cfg, dtype=jnp.float32):
         "norm": jnp.ones((D,), dtype),
         "head_w": w(D, V),
         "head_b": jnp.zeros((V,), dtype),
-        "wqkv": w(N, D, D + 2 * Dkv),  # q | k | v (k/v narrower under GQA)
+        "wq": w(N, D, D),
+        "wk": w(N, D, Dkv),  # narrower under GQA
+        "wv": w(N, D, Dkv),
         "wo": w(N, D, D),
-        "wgu": w(N, D, 2 * F),
+        "gate": w(N, D, F),
+        "up": w(N, D, F),
         "down": w(N, F, D),
         "in_norm": jnp.ones((N, D), dtype),
         "post_norm": jnp.ones((N, D), dtype),
@@ -65,18 +79,23 @@ def init_params(rng: np.random.RandomState, cfg, dtype=jnp.float32):
 
 
 def param_shardings(mesh: Mesh):
-    """Megatron-style PartitionSpecs per parameter."""
+    """Megatron-style PartitionSpecs per parameter (replicated where the
+    mesh has no ``tp`` axis — dp-only meshes are legitimate)."""
+    tp = _ax(mesh, "tp")
     specs = {
-        "tok": P("tp", None),          # vocab-sharded embedding
+        "tok": P(tp, None),            # vocab-sharded embedding
         "cos": P(),
         "sin": P(),
         "norm": P(),
-        "head_w": P(None, "tp"),       # column-parallel lm head
-        "head_b": P("tp"),
-        "wqkv": P(None, None, "tp"),   # column-parallel fused QKV
-        "wo": P(None, "tp", None),     # row-parallel output proj
-        "wgu": P(None, None, "tp"),    # column-parallel gate/up
-        "down": P(None, "tp", None),   # row-parallel down proj
+        "head_w": P(None, tp),         # column-parallel lm head
+        "head_b": P(tp),
+        "wq": P(None, None, tp),       # column-parallel: whole query heads
+        "wk": P(None, None, tp),       # column-parallel kv (narrow if GQA)
+        "wv": P(None, None, tp),
+        "wo": P(None, tp, None),       # row-parallel output proj
+        "gate": P(None, None, tp),     # column-parallel gate/up
+        "up": P(None, None, tp),
+        "down": P(None, tp, None),     # row-parallel down proj
         "in_norm": P(),
         "post_norm": P(),
     }
@@ -101,23 +120,21 @@ def _rope(x, cos, sin):
 
 
 def layer_dense(h, W, cos, sin, mask, cfg):
-    """One pre-norm transformer layer over fused-layout weights ``W``
-    (wqkv/wo/wgu/down/in_norm/post_norm).  Shared by the GSPMD training
-    forward below and the pipeline-parallel stage body
+    """One pre-norm transformer layer over per-matrix weights ``W``
+    (wq/wk/wv/wo/gate/up/down/in_norm/post_norm).  Shared by the GSPMD
+    training forward below and the pipeline-parallel stage body
     (``pipeline._layer_body``) so the two paths cannot drift.  Supports
-    GQA (cfg["n_kv_heads"] < n_heads): narrower k/v segments in the fused
-    qkv matmul, KV heads repeated to their query groups."""
+    GQA (cfg["n_kv_heads"] < n_heads): narrower wk/wv, KV heads repeated
+    to their query groups."""
     B, L, D = h.shape
     H = cfg["n_heads"]
     hd = D // H
     Hkv = cfg.get("n_kv_heads", H)
-    Dkv = Hkv * hd
     g = H // Hkv
     hn = _rms(h, W["in_norm"])
-    qkv = hn @ W["wqkv"]
-    q = qkv[..., :D].reshape(B, L, H, hd)
-    k = qkv[..., D:D + Dkv].reshape(B, L, Hkv, hd)
-    v = qkv[..., D + Dkv:].reshape(B, L, Hkv, hd)
+    q = (hn @ W["wq"]).reshape(B, L, H, hd)
+    k = (hn @ W["wk"]).reshape(B, L, Hkv, hd)
+    v = (hn @ W["wv"]).reshape(B, L, Hkv, hd)
     q, k = _rope(q, cos, sin), _rope(k, cos, sin)
     if g > 1:
         k, v = jnp.repeat(k, g, axis=2), jnp.repeat(v, g, axis=2)
@@ -126,8 +143,7 @@ def layer_dense(h, W, cos, sin, mask, cfg):
     att = jnp.einsum("bhlm,bmhd->blhd", p, v).reshape(B, L, D)
     z = h + att @ W["wo"]
     zn = _rms(z, W["post_norm"])
-    gu = zn @ W["wgu"]
-    gate, up = jnp.split(gu, 2, axis=-1)
+    gate, up = zn @ W["gate"], zn @ W["up"]
     return z + ((gate * jax.nn.sigmoid(gate)) * up) @ W["down"]
 
 
@@ -153,8 +169,7 @@ def forward_logits(params, tokens, cfg, remat: bool = False):
     def layer(h, xs):
         return body(h, xs, cos, sin, mask, cfg), None
 
-    layer_w = {k: params[k] for k in ("wqkv", "wo", "wgu", "down",
-                                      "in_norm", "post_norm")}
+    layer_w = {k: params[k] for k in LAYER_KEYS}
     h, _ = jax.lax.scan(layer, h, layer_w)
     h = _rms(h, params["norm"])
     return h @ params["head_w"] + params["head_b"]
@@ -167,16 +182,24 @@ def loss_fn(params, tokens, targets, cfg, remat: bool = False):
     return jnp.mean(nll)
 
 
+def _ax(mesh: Mesh, name: str):
+    """Axis name if the mesh has it, else None (replicated) — lets the
+    decode/train helpers run on dp-only or tp-only meshes."""
+    return name if name in mesh.axis_names else None
+
+
 def cache_shardings(mesh: Mesh, cfg=None):
     """KV caches (N, B, S, Hkv, hd): batch sharded over dp, heads over tp.
     When GQA leaves fewer KV heads than tp ranks (Hkv % tp != 0 —
     NamedSharding placement requires exact divisibility), the head axis is
     replicated instead; attention stays correct, GSPMD reshards as
-    needed."""
+    needed.  Axes absent from the mesh are replicated (a dp-only batched
+    decode is a legitimate configuration)."""
     tp = mesh.shape.get("tp", 1)
     hkv = (cfg or {}).get("n_kv_heads")
-    head = "tp" if (hkv is None or tp <= 1 or hkv % tp == 0) else None
-    return named_sharding(mesh, None, "dp", None, head, None)
+    head = _ax(mesh, "tp") \
+        if (hkv is None or tp <= 1 or hkv % tp == 0) else None
+    return named_sharding(mesh, None, _ax(mesh, "dp"), None, head, None)
 
 
 def forward_tokens(params, ck, cv, tokens, pos, cfg):
@@ -193,7 +216,6 @@ def forward_tokens(params, ck, cv, tokens, pos, cfg):
     H, D, S = cfg["n_heads"], cfg["dim"], cfg["max_seq_len"]
     hd = D // H
     Hkv = cfg.get("n_kv_heads", H)
-    Dkv = Hkv * hd
     g = H // Hkv
     h = params["tok"][tokens]
     cos = jax.lax.dynamic_slice_in_dim(params["cos"], pos, L)
@@ -207,10 +229,9 @@ def forward_tokens(params, ck, cv, tokens, pos, cfg):
     def layer(h, xs):
         W, ck_i, cv_i = xs
         hn = _rms(h, W["in_norm"])
-        qkv = hn @ W["wqkv"]
-        q = qkv[..., :D].reshape(B, L, H, hd)
-        k = qkv[..., D:D + Dkv].reshape(B, L, Hkv, hd)
-        v = qkv[..., D + Dkv:].reshape(B, L, Hkv, hd)
+        q = (hn @ W["wq"]).reshape(B, L, H, hd)
+        k = (hn @ W["wk"]).reshape(B, L, Hkv, hd)
+        v = (hn @ W["wv"]).reshape(B, L, Hkv, hd)
         q, k = _rope(q, cos, sin), _rope(k, cos, sin)
         ck_i = jax.lax.dynamic_update_slice(ck_i, k, (zero, pos32, zero,
                                                       zero))
@@ -224,13 +245,11 @@ def forward_tokens(params, ck, cv, tokens, pos, cfg):
         att = jnp.einsum("bhlm,bmhd->blhd", p, vv).reshape(B, L, D)
         z = h + att @ W["wo"]
         zn = _rms(z, W["post_norm"])
-        gu = zn @ W["wgu"]
-        gate, up = jnp.split(gu, 2, axis=-1)
+        gate, up = zn @ W["gate"], zn @ W["up"]
         return z + ((gate * jax.nn.sigmoid(gate)) * up) @ W["down"], \
             (ck_i, cv_i)
 
-    layer_w = {k: params[k] for k in ("wqkv", "wo", "wgu", "down",
-                                      "in_norm", "post_norm")}
+    layer_w = {k: params[k] for k in LAYER_KEYS}
     h, (ck, cv) = jax.lax.scan(layer, h, (layer_w, ck, cv))
     h = _rms(h, params["norm"])
     logits = h[:, -1] @ params["head_w"] + params["head_b"]
@@ -241,7 +260,7 @@ def make_decode_fns(mesh: Mesh, cfg):
     """Compiled SPMD (prefill, decode) pair over a dp x tp mesh."""
     p_sh = param_shardings(mesh)
     c_sh = cache_shardings(mesh, cfg)
-    tok_sh = named_sharding(mesh, "dp", None)
+    tok_sh = named_sharding(mesh, _ax(mesh, "dp"), None)
 
     @partial(jax.jit,
              in_shardings=(p_sh, c_sh, c_sh, tok_sh, None),
@@ -278,11 +297,18 @@ def generate(params, prompt, max_new_tokens: int, mesh: Mesh, cfg,
     hd = D // H
     Hkv = cfg.get("n_kv_heads", H)
     B, L = prompt.shape
+    if L + max_new_tokens - 1 > S:
+        # dynamic_slice/dynamic_update_slice CLAMP rather than error, so
+        # decoding past the cache end would silently reuse the last
+        # rotary row and overwrite cache slot S-1 — fail loud instead
+        raise ValueError(
+            f"prompt length {L} + max_new_tokens {max_new_tokens} - 1 "
+            f"exceeds max_seq_len {S}")
     c_sh = cache_shardings(mesh, cfg)
     ck = jax.device_put(jnp.zeros((N, B, S, Hkv, hd), dtype), c_sh)
     cv = jax.device_put(jnp.zeros((N, B, S, Hkv, hd), dtype), c_sh)
     prompt = jax.device_put(jnp.asarray(prompt, jnp.int32),
-                            named_sharding(mesh, "dp", None))
+                            named_sharding(mesh, _ax(mesh, "dp"), None))
 
     prefill, decode = make_decode_fns(mesh, cfg)
     tok, ck, cv = prefill(params, ck, cv, prompt, 0)
@@ -303,7 +329,7 @@ def make_train_step(mesh: Mesh, cfg, lr: float = 1e-3, remat: bool = False):
     memory.
     """
     p_sh = param_shardings(mesh)
-    batch_sh = named_sharding(mesh, "dp", None)
+    batch_sh = named_sharding(mesh, _ax(mesh, "dp"), None)
     scalar_sh = named_sharding(mesh)
 
     @partial(jax.jit,

@@ -18,7 +18,22 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["make_mesh", "make_hybrid_mesh", "initialize_distributed",
-           "named_sharding", "shard", "replicate", "P", "Mesh"]
+           "named_sharding", "shard", "replicate", "shard_map", "P",
+           "Mesh"]
+
+try:  # jax >= 0.8: stable top-level API (kwarg check_rep became check_vma)
+    from jax import shard_map as _shard_map
+
+    def shard_map(f, **kw):
+        """One version-compat shim for the whole package; call sites use
+        the jax>=0.8 ``check_vma`` kwarg name."""
+        return _shard_map(f, **kw)
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map as _shard_map_legacy
+
+    def shard_map(f, **kw):
+        kw["check_rep"] = kw.pop("check_vma", True)
+        return _shard_map_legacy(f, **kw)
 
 
 def make_mesh(axes: dict, devices=None) -> Mesh:
@@ -77,8 +92,13 @@ def initialize_distributed(coordinator_address=None, num_processes=None,
     except ValueError:
         # Auto-detect found no cluster and no coordinator was given: a
         # plain single-process run.  Only swallow when the caller didn't
-        # claim a multi-process job.
-        if num_processes not in (None, 1):
+        # claim a multi-process job in ANY form (an explicit coordinator
+        # or process id is such a claim — jax raises ValueError when the
+        # companion args are missing, and swallowing that would silently
+        # degrade the pod job to independent single-host processes).
+        if (num_processes not in (None, 1)
+                or coordinator_address is not None
+                or process_id not in (None, 0)):
             raise
     except RuntimeError:
         # "must be called before any JAX calls that might initialise the
@@ -122,8 +142,14 @@ def make_hybrid_mesh(ici_axes: dict, dcn_axes: dict, devices=None) -> Mesh:
                     f"(jax.process_count()==1)")
         return make_mesh({**dcn_axes, **ici_axes}, devices)
     from jax.experimental import mesh_utils
+
+    # create_hybrid_device_mesh takes SAME-RANK shapes (elementwise
+    # product = result shape), so pad each side with 1s in the other's
+    # slots: result rank/order matches ``names`` (dcn-major)
+    ici = tuple(ici_axes.values())
+    dcn = tuple(dcn_axes.values())
     dev_array = mesh_utils.create_hybrid_device_mesh(
-        tuple(ici_axes.values()), tuple(dcn_axes.values()), devices=devices)
+        (1,) * len(dcn) + ici, dcn + (1,) * len(ici), devices=devices)
     return Mesh(dev_array, names)
 
 

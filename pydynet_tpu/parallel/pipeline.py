@@ -26,21 +26,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .mesh import Mesh, named_sharding, P
-
-try:  # jax >= 0.8 top-level export; fall back to the experimental path
-    from jax import shard_map as _shard_map
-
-    def shard_map(f, **kw):
-        return _shard_map(f, **kw)
-except ImportError:  # pragma: no cover
-    from jax.experimental.shard_map import shard_map as _shard_map_legacy
-
-    def shard_map(f, **kw):
-        # call sites use the jax>=0.8 kwarg name; the legacy API calls the
-        # same replication check check_rep
-        kw["check_rep"] = kw.pop("check_vma", True)
-        return _shard_map_legacy(f, **kw)
+from .mesh import Mesh, named_sharding, P, shard_map
 
 
 def pipeline_apply(stage_fn, stage_params, x_mb, *, axis: str = "pp",
@@ -88,33 +74,13 @@ def pipeline_apply(stage_fn, stage_params, x_mb, *, axis: str = "pp",
 # --------------------------------------------------------------------- #
 #                 Llama over a (dp, pp[, tp]) mesh                       #
 # --------------------------------------------------------------------- #
-FUSED_LAYER_KEYS = ("wqkv", "wo", "wgu", "down", "in_norm", "post_norm")
-# tp needs the fused QKV / gate-up matrices split so the head (column) and
-# row dimensions can carry a "tp" PartitionSpec axis each
-TP_LAYER_KEYS = ("wq", "wk", "wv", "wo", "gate", "up", "down",
-                 "in_norm", "post_norm")
+# llama_spmd's per-matrix layout is already tp-shardable as-is: column
+# blocks of each matrix are contiguous heads / ffn columns, so sharding
+# the last axis over "tp" is exactly Megatron column parallelism
+from .llama_spmd import LAYER_KEYS
+
 _TP_COL = ("wq", "wk", "wv", "gate", "up")   # column-parallel (heads / ffn)
 _TP_ROW = ("wo", "down")                     # row-parallel (psum after)
-
-
-def split_tp_layer_params(params):
-    """``llama_spmd`` fused layout -> separate per-matrix keys for tp.
-
-    ``wqkv`` (N, D, D+2*Dkv) -> ``wq`` (N, D, D) + ``wk``/``wv``
-    (N, D, Dkv) (Dkv = D for MHA, Hkv*hd for GQA); ``wgu`` (N, D, 2F) ->
-    ``gate``/``up`` (N, D, F).  Column blocks of each matrix are contiguous
-    heads, so sharding the last axis over ``tp`` is exactly Megatron column
-    parallelism."""
-    D = params["wqkv"].shape[1]
-    Dkv = (params["wqkv"].shape[2] - D) // 2
-    F = params["wgu"].shape[2] // 2
-    out = {k: v for k, v in params.items() if k not in ("wqkv", "wgu")}
-    out["wq"] = params["wqkv"][..., :D]
-    out["wk"] = params["wqkv"][..., D:D + Dkv]
-    out["wv"] = params["wqkv"][..., D + Dkv:]
-    out["gate"] = params["wgu"][..., :F]
-    out["up"] = params["wgu"][..., F:]
-    return out
 
 
 def _kv_sharded(cfg, tp_size: int) -> bool:
@@ -129,7 +95,7 @@ def _tp_stage_specs(cfg=None, tp_size: int = 1):
     """shard_map in_specs for tp-split stage-stacked layer params."""
     kv_shard = cfg is None or _kv_sharded(cfg, tp_size)
     spec = {}
-    for k in TP_LAYER_KEYS:
+    for k in LAYER_KEYS:
         if k in _TP_COL:
             if k in ("wk", "wv") and not kv_shard:
                 spec[k] = P("pp")  # kv heads replicated across tp
@@ -151,12 +117,11 @@ def prepare_pp_params(params, mesh: Mesh, n_stages: int, cfg=None):
     ``n_kv_heads``); MHA layouts may omit it."""
     if "tp" in mesh.axis_names and mesh.shape["tp"] > 1:
         tp_size = mesh.shape["tp"]
-        split = split_tp_layer_params(params)
-        if cfg is None and split["wk"].shape[-1] != split["wq"].shape[-1]:
+        if cfg is None and params["wk"].shape[-1] != params["wq"].shape[-1]:
             raise ValueError(
                 "GQA layout detected (narrow wk): pass cfg= to "
                 "prepare_pp_params so kv heads can be placed across tp")
-        params = stack_stages(split, n_stages, pp_keys=TP_LAYER_KEYS)
+        params = stack_stages(params, n_stages)
         specs = _tp_stage_specs(cfg, tp_size)
         return {k: jax.device_put(
             v, named_sharding(mesh, *specs.get(k, P())))
@@ -164,7 +129,7 @@ def prepare_pp_params(params, mesh: Mesh, n_stages: int, cfg=None):
     return shard_stage_params(stack_stages(params, n_stages), mesh)
 
 
-def stack_stages(params, n_stages: int, pp_keys=FUSED_LAYER_KEYS):
+def stack_stages(params, n_stages: int, pp_keys=LAYER_KEYS):
     """Reshape layer-stacked (N, ...) per-layer params to (P, N/P, ...)."""
     out = dict(params)
     for k in pp_keys:
@@ -175,7 +140,7 @@ def stack_stages(params, n_stages: int, pp_keys=FUSED_LAYER_KEYS):
     return out
 
 
-def shard_stage_params(params, mesh: Mesh, pp_keys=FUSED_LAYER_KEYS):
+def shard_stage_params(params, mesh: Mesh, pp_keys=LAYER_KEYS):
     """Place stage-stacked params: stage axis over ``pp``, rest replicated."""
     out = {}
     for k, v in params.items():
@@ -272,15 +237,13 @@ def pp_forward_logits(params, tokens, cfg, mesh: Mesh, microbatches: int,
     if tp:
         assert cfg["n_heads"] % mesh.shape["tp"] == 0, \
             (cfg["n_heads"], mesh.shape["tp"])
-        layer_keys = TP_LAYER_KEYS
         stage_in_spec = _tp_stage_specs(cfg, mesh.shape["tp"])
         body = partial(_layer_body_tp, tp_axis="tp",
                        kv_shard=_kv_sharded(cfg, mesh.shape["tp"]))
     else:
-        layer_keys = FUSED_LAYER_KEYS
-        stage_in_spec = {k: P("pp") for k in layer_keys}
+        stage_in_spec = {k: P("pp") for k in LAYER_KEYS}
         body = _layer_body
-    stage_params = {k: params[k] for k in layer_keys}
+    stage_params = {k: params[k] for k in LAYER_KEYS}
 
     h_mb = h.reshape((M, B // M) + h.shape[1:])
 

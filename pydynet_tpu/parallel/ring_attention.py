@@ -21,15 +21,9 @@ import math
 
 import jax
 import jax.numpy as jnp
-try:  # jax >= 0.8: stable top-level API (check_rep became check_vma)
-    from jax import shard_map as _shard_map
-
-    def shard_map(f, **kw):
-        kw["check_vma"] = kw.pop("check_rep", True)
-        return _shard_map(f, **kw)
-except ImportError:  # older jax
-    from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
+
+from .mesh import shard_map  # one version-compat shim for the package
 
 
 def _local_ring(q, k, v, *, axis_name: str, causal: bool, scale: float):
@@ -54,9 +48,9 @@ def _local_ring(q, k, v, *, axis_name: str, causal: bool, scale: float):
         sblk = jnp.einsum("blhd,bmhd->bhlm", qf,
                           kb.astype(jnp.float32))  # (B,H,Lloc,Lloc)
         if causal:
-            allowed = jnp.where(j < idx, True,
-                                jnp.where(j == idx, True, False))
-            blk_mask = jnp.where(j == idx, tri, allowed)
+            # diagonal block: intra-block causal; upstream (j < idx):
+            # fully visible; downstream: fully masked
+            blk_mask = jnp.where(j == idx, tri, j < idx)
             sblk = jnp.where(blk_mask[None, None], sblk, neg)
 
         m_new = jnp.maximum(m, jnp.max(sblk, -1, keepdims=True))
@@ -98,5 +92,5 @@ def ring_attention(q, k, v, mesh: Mesh, axis_name: str = "sp",
         functools.partial(_local_ring, axis_name=axis_name, causal=causal,
                           scale=scale),
         mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
-        check_rep=False)
+        check_vma=False)
     return fn(q, k, v)

@@ -63,6 +63,37 @@ def test_data_parallel_state_actually_sharded():
     assert len(w.sharding.device_set) == 8  # replicated over the mesh
 
 
+def test_mesh_jit_non_batch_arg_replicated():
+    """A rank>=1 arg whose dim 0 does NOT divide the dp size (per-class
+    weights, masks) must be replicated, not force-sharded (regression:
+    device_put crashed on non-divisible leading dims)."""
+    np.random.seed(4)
+    X = np.random.randn(16, 6)
+    Y = np.random.randn(16, 3)
+    cw = np.array([0.5, 1.0, 2.0])  # (3,): not divisible by dp=8
+
+    def build_and_run(mesh):
+        np.random.seed(7)
+        net = pdn.nn.Linear(6, 3)
+        opt = pdn.optim.SGD(net.parameters(), lr=0.1)
+
+        def step(x, y, w):
+            opt.zero_grad()
+            err = pdn.square(net(x) - y) * w
+            loss = pdn.mean(err)
+            loss.backward()
+            opt.step()
+            return loss
+
+        js = pdn.jit(step, state=(net, opt), mesh=mesh)
+        return [float(js(pdn.Tensor(X), pdn.Tensor(Y),
+                         pdn.Tensor(cw)).item()) for _ in range(3)]
+
+    ref = build_and_run(None)
+    got = build_and_run(make_mesh({"dp": 8}))
+    assert np.allclose(ref, got, rtol=1e-6), (ref, got)
+
+
 def test_foreach_composes_with_mesh():
     """Round-3: pdn.jit(step, mesh=...).foreach(Xb, Yb) — whole-epoch
     fusion AND dp sharding in ONE GSPMD program — must match the per-call
