@@ -208,43 +208,108 @@ class _JitFunction:
         return new_state, raw_out
 
     # -- host-side call ----------------------------------------------------
-    def __call__(self, *args, **kwargs):
+    def _place_state(self, fallback_args=None):
+        """Collect current state arrays and co-locate them.
+
+        With ``mesh=``: place each per its resolved sharding (replicated
+        by default; tensor-parallel via shard_rules) once — later calls
+        see already-sharded outputs and the put is a no-op.  Without:
+        co-locate ALL state on one device — model parameters define the
+        target (first non-flexible leaf), falling back to the first
+        Tensor among ``fallback_args``; stragglers (PRNG key, optimizer
+        scalars, buffers created before a .to() move) are device_put
+        there once.  Returns ``(state_vals, target, target_dev)``."""
         sts = self._state_tensors
         state_vals = [t._data for t in sts]
-
-        # Co-locate ALL state on one device: model parameters define the
-        # target (first non-flexible leaf — typically a Module weight), and
-        # any straggler (PRNG key, optimizer lr/t scalars, buffers created
-        # before a .to(device) move) is device_put there once; after the
-        # first call the returned state is already resident.
         target = None
-        for t, flex in zip(sts, self._state_flexible):
-            if not flex:
-                target = t.device.jax_device
-                break
-        if target is None:
-            for a in jax.tree.leaves(
-                    (args, kwargs),
-                    is_leaf=lambda x: isinstance(x, Tensor)):
-                if isinstance(a, Tensor):
-                    target = a.device.jax_device
-                    break
         if self._mesh is not None:
-            # SPMD: place state per its resolved sharding (replicated by
-            # default; tensor-parallel via shard_rules) once — later calls
-            # see already-sharded outputs and the put is a no-op
             for i, v in enumerate(state_vals):
                 want = self._state_shardings[i]
                 if isinstance(v, jax.Array) and v.sharding != want:
                     state_vals[i] = jax.device_put(v, want)
-            target = None
-        elif target is not None:
-            for i, v in enumerate(state_vals):
-                if isinstance(v, jax.Array) and v.committed \
-                        and v.devices() != {target}:
-                    state_vals[i] = jax.device_put(v, target)
+        else:
+            for t, flex in zip(sts, self._state_flexible):
+                if not flex:
+                    target = t.device.jax_device
+                    break
+            if target is None and fallback_args is not None:
+                for a in jax.tree.leaves(
+                        fallback_args,
+                        is_leaf=lambda x: isinstance(x, Tensor)):
+                    if isinstance(a, Tensor):
+                        target = a.device.jax_device
+                        break
+            if target is not None:
+                for i, v in enumerate(state_vals):
+                    if isinstance(v, jax.Array) and v.committed \
+                            and v.devices() != {target}:
+                        state_vals[i] = jax.device_put(v, target)
         from .device import Device as _Device
-        target_dev = _Device(target) if target is not None else None
+        return (state_vals, target,
+                _Device(target) if target is not None else None)
+
+    def _run_compiled(self, compiled, state_vals, dyn_leaves, dyn_mask,
+                      packed_static, what: str):
+        """Dispatch one compiled program, with the shared failure
+        protocol (restore traced state, drop tracer tape nodes, name the
+        donated-state recovery options) and the state write-back."""
+        sts = self._state_tensors
+        tape_len = Graph.size()
+        try:
+            new_state, raw_out = compiled(state_vals, dyn_leaves, dyn_mask,
+                                          packed_static)
+        except Exception as e:
+            # tracing failed midway: restore concrete state
+            for t, v in zip(sts, state_vals):
+                if isinstance(t._data, jax.core.Tracer):
+                    t._data = v
+                t._grad = None
+            # a RUNTIME failure of an already-compiled call (device OOM,
+            # lost collective) may have consumed the donated state
+            # buffers — there is nothing left to restore; fail with the
+            # recovery options instead of letting every later use die
+            # with a bare "Array has been deleted"
+            if self._donate_state and any(
+                    isinstance(v, jax.Array) and v.is_deleted()
+                    for v in state_vals):
+                raise RuntimeError(
+                    f"pdn.jit {what} failed after its donated state "
+                    "buffers were consumed; the attached state tensors "
+                    "are no longer valid. Reload them from a checkpoint "
+                    "(utils.checkpoint), or build the jit with "
+                    "donate_state=False to keep state recoverable at the "
+                    "cost of 2x state memory.") from e
+            raise
+        finally:
+            # drop tape nodes created during tracing (they hold tracers)
+            if Graph.size() > tape_len:
+                for node in Graph.node_list[tape_len:]:
+                    node._inputs = ()
+                    node._backward_fn = None
+                del Graph.node_list[tape_len:]
+
+        for t, v in zip(sts, new_state):
+            t._data = v
+            t._grad = None
+        return raw_out
+
+    def _unwrap_outputs(self, trace_key, raw_out, what: str):
+        template = self._out_templates.get(trace_key)
+        if template is None:
+            raise RuntimeError(
+                "pdn.jit internal error: no output template recorded for "
+                f"this {what} signature (the template key diverged from "
+                "jax's trace cache key). Please report; as a workaround, "
+                "construct a fresh pdn.jit for this call pattern.")
+        out_tree, tensor_mask, devices = template
+        wrapped = [
+            Tensor._wrap(v, dev, False) if is_t else v
+            for v, is_t, dev in zip(raw_out, tensor_mask, devices)
+        ]
+        return jax.tree.unflatten(out_tree, wrapped)
+
+    def __call__(self, *args, **kwargs):
+        state_vals, target, target_dev = self._place_state((args, kwargs))
 
         leaves, treedef = jax.tree.flatten(
             (args, kwargs), is_leaf=lambda x: isinstance(x, Tensor))
@@ -290,58 +355,9 @@ class _JitFunction:
                      tuple(_aval_key(v) for v in dyn_leaves),
                      dyn_mask, packed_static)
         self._trace_key = trace_key
-
-        tape_len = Graph.size()
-        try:
-            new_state, raw_out = self._compiled(
-                state_vals, dyn_leaves, dyn_mask, packed_static)
-        except Exception as e:
-            # tracing failed midway: restore concrete state
-            for t, v in zip(sts, state_vals):
-                if isinstance(t._data, jax.core.Tracer):
-                    t._data = v
-                t._grad = None
-            # a RUNTIME failure of an already-compiled call (device OOM,
-            # lost collective) may have consumed the donated state
-            # buffers — there is nothing left to restore; fail with the
-            # recovery options instead of letting every later use die
-            # with a bare "Array has been deleted"
-            if self._donate_state and any(
-                    isinstance(v, jax.Array) and v.is_deleted()
-                    for v in state_vals):
-                raise RuntimeError(
-                    "pdn.jit step failed after its donated state buffers "
-                    "were consumed; the attached state tensors are no "
-                    "longer valid. Reload them from a checkpoint "
-                    "(utils.checkpoint), or build the jit with "
-                    "donate_state=False to keep state recoverable at the "
-                    "cost of 2x state memory.") from e
-            raise
-        finally:
-            # drop tape nodes created during tracing (they hold tracers)
-            if Graph.size() > tape_len:
-                for node in Graph.node_list[tape_len:]:
-                    node._inputs = ()
-                    node._backward_fn = None
-                del Graph.node_list[tape_len:]
-
-        for t, v in zip(sts, new_state):
-            t._data = v
-            t._grad = None
-
-        template = self._out_templates.get(trace_key)
-        if template is None:
-            raise RuntimeError(
-                "pdn.jit internal error: no output template recorded for "
-                "this call signature (the template key diverged from jax's "
-                "trace cache key). Please report; as a workaround, construct "
-                "a fresh pdn.jit for this call pattern.")
-        out_tree, tensor_mask, devices = template
-        wrapped = [
-            Tensor._wrap(v, dev, False) if is_t else v
-            for v, is_t, dev in zip(raw_out, tensor_mask, devices)
-        ]
-        return jax.tree.unflatten(out_tree, wrapped)
+        raw_out = self._run_compiled(self._compiled, state_vals, dyn_leaves,
+                                     dyn_mask, packed_static, "step")
+        return self._unwrap_outputs(trace_key, raw_out, "call")
 
 
 def _foreach(self, *args, **kwargs):
@@ -365,29 +381,11 @@ def _foreach(self, *args, **kwargs):
     steps axis — is sharded over ``batch_axis``, so a whole dp-sharded
     epoch runs as one GSPMD program.
     """
-    sts = self._state_tensors
-    state_vals = [t._data for t in sts]
-    target = None
+    state_vals, target, target_dev = self._place_state()
     if self._mesh is not None:
-        for i, v in enumerate(state_vals):
-            want = self._state_shardings[i]
-            if isinstance(v, jax.Array) and v.sharding != want:
-                state_vals[i] = jax.device_put(v, want)
         from jax.sharding import NamedSharding, PartitionSpec as P
         step_batch_sharding = NamedSharding(
             self._mesh, P(None, self._batch_axis))
-    else:
-        for t, flex in zip(sts, self._state_flexible):
-            if not flex:
-                target = t.device.jax_device
-                break
-        if target is not None:
-            for i, v in enumerate(state_vals):
-                if isinstance(v, jax.Array) and v.committed \
-                        and v.devices() != {target}:
-                    state_vals[i] = jax.device_put(v, target)
-    from .device import Device as _Device
-    target_dev = _Device(target) if target is not None else None
 
     leaves, treedef = jax.tree.flatten(
         (args, kwargs), is_leaf=lambda x: isinstance(x, Tensor))
@@ -435,47 +433,10 @@ def _foreach(self, *args, **kwargs):
                  tuple(_aval_key(v) for v in dyn_leaves),
                  dyn_mask, packed_static)
     self._trace_key = trace_key
-
-    tape_len = Graph.size()
-    try:
-        new_state, raw_out = self._scan_compiled(
-            state_vals, dyn_leaves, dyn_mask, packed_static)
-    except Exception as e:
-        for t, v in zip(sts, state_vals):
-            if isinstance(t._data, jax.core.Tracer):
-                t._data = v
-            t._grad = None
-        if self._donate_state and any(
-                isinstance(v, jax.Array) and v.is_deleted()
-                for v in state_vals):  # see __call__
-            raise RuntimeError(
-                "pdn.jit foreach failed after its donated state buffers "
-                "were consumed; the attached state tensors are no longer "
-                "valid. Reload them from a checkpoint, or build the jit "
-                "with donate_state=False.") from e
-        raise
-    finally:
-        if Graph.size() > tape_len:
-            for node in Graph.node_list[tape_len:]:
-                node._inputs = ()
-                node._backward_fn = None
-            del Graph.node_list[tape_len:]
-
-    for t, v in zip(sts, new_state):
-        t._data = v
-        t._grad = None
-
-    template = self._out_templates.get(trace_key)
-    if template is None:
-        raise RuntimeError(
-            "pdn.jit internal error: no output template recorded for this "
-            "foreach signature.")
-    out_tree, tensor_mask, devices = template
-    wrapped = [
-        Tensor._wrap(v, dev, False) if is_t else v
-        for v, is_t, dev in zip(raw_out, tensor_mask, devices)
-    ]
-    return jax.tree.unflatten(out_tree, wrapped)
+    raw_out = self._run_compiled(self._scan_compiled, state_vals,
+                                 dyn_leaves, dyn_mask, packed_static,
+                                 "foreach")
+    return self._unwrap_outputs(trace_key, raw_out, "foreach")
 
 
 _JitFunction.foreach = _foreach
