@@ -174,6 +174,7 @@ class TextEncoder(nn.Module):
             [Transformer(n_dim, n_head, mlp_dim) for _ in range(n_layer)])
         self.post_norm = CLIPLayerNorm((n_dim,), 1e-5, dtype=np.float32)
         self.proj = nn.Linear(n_dim, final_dim, bias=False, dtype=np.float32)
+        self._mask_cache = {}  # (length, device) -> constant causal mask
 
     def forward(self, idx, position_emb):
         if not isinstance(idx, Tensor):
@@ -182,7 +183,13 @@ class TextEncoder(nn.Module):
             # raises 'incompatible devices' in eager mode
             idx = Tensor(np.asarray(idx), device=self.device)
         x = self.token_embed(idx) + position_emb
-        mask = build_attention_mask(x.shape[1]).to(x.device)
+        # cache the constant causal mask per (length, device) — like
+        # Llama's RoPE tables — instead of a host triu + transfer per call
+        key = (x.shape[1], x.device)
+        mask = self._mask_cache.get(key)
+        if mask is None:
+            mask = build_attention_mask(x.shape[1]).to(x.device)
+            self._mask_cache[key] = mask
         for block in self.transformers:
             x = block(x, mask)
         x = self.post_norm(x)

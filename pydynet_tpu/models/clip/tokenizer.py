@@ -93,9 +93,16 @@ class SimpleTokenizer:
                 vocab.append("".join(merge))
         else:
             merges = []
-        vocab.extend(["<|startoftext|>", "<|endoftext|>"])
 
         self.encoder = {tok: i for i, tok in enumerate(vocab)}
+        # specials at CLIP's positions: with the merges file the running
+        # length is exactly 49406; the offline byte-level fallback pins
+        # them there explicitly so the id space matches the documented
+        # 49408 contract (model.py pools the eot position by argmax of
+        # ids, which relies on eot being the HIGHEST id)
+        sot = len(vocab) if merges else 49406
+        self.encoder["<|startoftext|>"] = sot
+        self.encoder["<|endoftext|>"] = sot + 1
         self.decoder = {i: tok for tok, i in self.encoder.items()}
         self.bpe_ranks = dict(zip(merges, range(len(merges))))
         self.cache = {
@@ -154,7 +161,9 @@ class SimpleTokenizer:
         return bpe_tokens
 
     def decode(self, tokens) -> str:
-        text = "".join(self.decoder[int(t)] for t in tokens)
+        # ids with no vocab entry (possible under the offline fallback's
+        # sparse 49408-id space) decode to "" like the llama fallback
+        text = "".join(self.decoder.get(int(t), "") for t in tokens)
         data = bytearray(self.byte_decoder[c] for c in text
                          if c in self.byte_decoder)
         return data.decode("utf-8", errors="replace").replace("</w>", " ")

@@ -751,7 +751,10 @@ class Llama(nn.Module):
             return []
         W = int(num_beams)
 
-        key = ("beam", np.dtype(dtype).name if dtype else "native")
+        # same snapshot key as generate(fused=False)/generate_speculative:
+        # the pytree is byte-identical, so a separate "beam" key would
+        # keep a second full weight copy resident in HBM for nothing
+        key = (np.dtype(dtype).name if dtype else "native", False, None)
         weights = self._weights_cache.get(key)
         if weights is None:
             weights = self._weights(dtype)

@@ -100,6 +100,7 @@ class LlamaServer:
         forward_logits = model._xla_forward_logits
         sampling = self.sampling
 
+        self._dtype = dtype
         w = model._weights_cache.get(("serve", dtype))
         if w is None:
             w = model._fused_weights(dtype)
@@ -282,12 +283,14 @@ class LlamaServer:
                 continue
             req = self._queue[0]
             L = len(req.prompt)
-            if self.active == 0 and not plan \
-                    and (self._pos < L or self._pos >= self.S):
-                # idle server: jump (or rewind after exhaustion) so the
-                # prompt has past rows to land in — stale rows below the
-                # new start stay masked, so this is always safe when no
-                # other slot is mid-request
+            if self.active == 0 and not plan:
+                # idle server: reset the shared position to the prompt
+                # length so the request gets the WHOLE cache as headroom
+                # (stale rows are invisible — below the admission row
+                # they are masked by ``starts``, above the decode
+                # position the kernel's position bound hides them until
+                # rewritten), instead of inheriting the drained fleet's
+                # position and truncating early
                 self._pos = L
             if L > self._pos or self._pos >= self.S:
                 continue  # must land in past rows (see module doc)
@@ -349,10 +352,23 @@ class LlamaServer:
 
     _EXHAUSTED = object()  # _dispatch sentinel: cache end reached
 
+    def _refresh_weights(self):
+        """Re-fetch the weight snapshot when the model invalidated its
+        cache (finetune_step / add_lora / merge_lora / load_* all call
+        ``_weights_cache.clear()``) — otherwise the server would silently
+        keep serving the pre-update weights forever.  Requests already
+        mid-decode continue on the new weights from their next chunk."""
+        w = self.model._weights_cache.get(("serve", self._dtype))
+        if w is None:
+            w = self.model._fused_weights(self._dtype)
+            self.model._weights_cache[("serve", self._dtype)] = w
+        self._w = w
+
     def _dispatch(self, n: int = None):
         """Admit what fits, then *dispatch* one decode chunk — NO host
         readback.  Returns ``(toks_device, slots_snapshot)``, ``None``
         (nothing active), or ``_EXHAUSTED`` (cache end reached)."""
+        self._refresh_weights()
         self._try_admit()
         if self.active == 0:
             return None

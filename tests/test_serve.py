@@ -101,6 +101,27 @@ def test_server_sampled_deterministic(interp_kernels):
     assert all(0 <= x < CFG["vocab_size"] for t in a for x in t)
 
 
+def test_server_idle_rewind_gives_full_headroom(interp_kernels):
+    """A request admitted to a fully drained server must get the WHOLE
+    cache as headroom (regression: _pos inherited the previous run's
+    position and truncated the new request early)."""
+    from pydynet_tpu.models.llama.serve import LlamaServer
+
+    np.random.seed(14)
+    model = Llama(**CFG)  # max_seq_len 64
+    model.eval()
+    with pdn.no_grad():
+        srv = LlamaServer(model, batch_size=1, chunk=8, eos_id=-1)
+        r1 = srv.submit([1, 5, 9], max_new_tokens=40)
+        srv.run()
+        assert srv._pos > 20  # the first run really advanced the position
+        want = standalone(model, [2, 7, 3], 40)
+        r2 = srv.submit([2, 7, 3], max_new_tokens=40)
+        done = srv.run()
+    assert not done[r2].truncated
+    assert done[r2].tokens == want, (done[r2].tokens, want)
+
+
 def test_server_sampled_first_token_is_sampled(interp_kernels):
     """The ADMISSION token must follow the sampling distribution too:
     a sampled server's tokens[0] may not be the deterministic greedy
