@@ -550,10 +550,13 @@ class Tensor:
 
     # ---------------- autograd ----------------
     def backward(self, retain_graph: bool = False) -> None:
+        # exception contract matches the reference (core/tensor.py:346-351):
+        # ValueError for both the off-graph and non-scalar cases, and
+        # size-1 tensors of any shape count as scalars (size > 1 check)
         if self not in Graph.node_list:
-            raise AssertionError(
+            raise ValueError(
                 "AD failed because this tensor is not in the graph.")
-        if self.shape != ():
+        if self.size > 1:
             raise ValueError("backward should be called only on a scalar.")
 
         y_id = len(Graph.node_list) - 1
@@ -658,11 +661,41 @@ def _node(data, inputs: Sequence["Tensor"],
     return out
 
 
+def _partial_vjp(pure_fn, datas, inputs):
+    """``jax.vjp`` over only the ``requires_grad`` inputs.
+
+    Frozen operands (e.g. LoRA base weights, stop-grad buffers) are
+    closed over as constants, so their full-size cotangents — a wasted
+    (in, out) GEMM per frozen Linear per eager step — are never built
+    just to be discarded by the sweep.  Returns ``(out, vjp_full)``
+    where ``vjp_full(g)`` yields a full-arity tuple with ``None`` at the
+    non-differentiated slots."""
+    diff = tuple(i for i, t in enumerate(inputs) if t.requires_grad)
+    if len(diff) == len(inputs):
+        return jax.vjp(pure_fn, *datas)
+    idx = frozenset(diff)
+
+    def fn_subset(*sub):
+        it = iter(sub)
+        args = tuple(next(it) if i in idx else d
+                     for i, d in enumerate(datas))
+        return pure_fn(*args)
+
+    out, vjp = jax.vjp(fn_subset, *(datas[i] for i in diff))
+
+    def vjp_full(g):
+        it = iter(vjp(g))
+        return tuple(next(it) if i in idx else None
+                     for i in range(len(datas)))
+
+    return out, vjp_full
+
+
 def _vjp_node(pure_fn, *inputs: "Tensor") -> "Tensor":
     """Single-output node whose backward is jax.vjp of ``pure_fn``."""
     datas = tuple(t._data for t in inputs)
     if is_grad_enable() and builtins.any(t.requires_grad for t in inputs):
-        out_data, vjp = jax.vjp(pure_fn, *datas)
+        out_data, vjp = _partial_vjp(pure_fn, datas, inputs)
         return _node(out_data, inputs, lambda g, needs: vjp(g))
     return Tensor._wrap(pure_fn(*datas), inputs[0].device, False)
 
@@ -695,7 +728,7 @@ def wrap_pure(pure_fn, *inputs: "Tensor"):
                 Tensor._wrap(o, inputs[0].device, False) for o in outs)
         return Tensor._wrap(outs, inputs[0].device, False)
 
-    outs, vjp = jax.vjp(pure_fn, *datas)
+    outs, vjp = _partial_vjp(pure_fn, datas, inputs)
     if not isinstance(outs, tuple):
         return _node(outs, inputs, lambda g, needs: vjp(g))
 

@@ -114,7 +114,13 @@ class _PrefetchIter:
         self._q = queue.Queue(maxsize=depth)
         self._error = None
         self._stop = threading.Event()
-        source = _batches(loader)
+        # draw the epoch's index order on the CALLING thread: the sampler
+        # may consume the global np.random stream (RandomSampler), and
+        # the documented seed parity must not depend on how the worker
+        # thread interleaves with the main thread's own np.random draws —
+        # only the dataset fancy-index fetches run in the background
+        index_batches = list(loader.batch_sampler)
+        source = (loader.dataset[idx] for idx in index_batches)
 
         def offer(item) -> bool:
             while not self._stop.is_set():

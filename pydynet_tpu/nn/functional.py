@@ -72,6 +72,19 @@ def gelu(x: Tensor) -> Tensor:
     return x * tensor.sigmoid(1.702 * x)
 
 
+def dropout(x: Tensor, p: float, training: bool = True) -> Tensor:
+    """Inverted dropout (reference nn/modules/dropout.py:13-17 semantics);
+    mask drawn from the framework's device-side Generator so it stays
+    random inside jit-compiled train steps.  One home for the mask rule —
+    nn.Dropout and LoRALinear both route through here."""
+    if not training or p <= 0:
+        return x
+    from ..random import default_generator
+    keep = default_generator.uniform(x.shape, dtype=x.dtype) < (1 - p)
+    mask = Tensor._wrap(keep.astype(x.dtype) / (1 - p), x.device, False)
+    return x * mask
+
+
 def softmax(x: Tensor, axis=None) -> Tensor:
     with no_grad():
         max_ = x.max(axis, keepdims=True)

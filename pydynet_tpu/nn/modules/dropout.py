@@ -7,7 +7,7 @@ threaded through the compiled program functionally.
 """
 from .module import Module
 from ...core.tensor import Tensor
-from ... import random as _random
+from .. import functional as F
 
 
 class Dropout(Module):
@@ -18,13 +18,7 @@ class Dropout(Module):
         self.p = p
 
     def forward(self, x: Tensor) -> Tensor:
-        if self._train and self.p > 0:
-            keep = _random.default_generator.uniform(
-                x.shape, dtype=x.dtype) < (1 - self.p)
-            mask = Tensor._wrap(
-                keep.astype(x.dtype) / (1 - self.p), x.device, False)
-            return x * mask
-        return x
+        return F.dropout(x, self.p, training=self._train)
 
     def __repr__(self) -> str:
         return "{}(p={})".format(self.__class__.__name__, self.p)

@@ -34,7 +34,6 @@ from .. import init, functional as F
 from ...core.tensor import Tensor
 from ...special import zeros, empty
 from ...autograd import no_grad
-from ... import random as _random
 
 
 class LoRALinear(Module):
@@ -72,13 +71,7 @@ class LoRALinear(Module):
 
     def forward(self, x: Tensor) -> Tensor:
         y = F.linear(x, self.weight, self.bias)
-        d = x
-        if self._train and self.p_dropout > 0:
-            keep = _random.default_generator.uniform(
-                x.shape, dtype=x.dtype) < (1 - self.p_dropout)
-            mask = Tensor._wrap(
-                keep.astype(x.dtype) / (1 - self.p_dropout), x.device, False)
-            d = x * mask
+        d = F.dropout(x, self.p_dropout, training=self._train)
         return y + (d @ self.lora_A @ self.lora_B) * self.scaling
 
     def delta_array(self):

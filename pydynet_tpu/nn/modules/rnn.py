@@ -19,6 +19,7 @@ Cells remain usable standalone (Tensor math, differentiable per-step).
 import math
 from typing import List, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -44,7 +45,10 @@ def _lstm_step(x_t, h, c, Wx, Wh, b, H):
     if b is not None:
         lin = lin + b
     fio, g = lin[..., :3 * H], lin[..., 3 * H:]
-    sig = 1 / (1 + jnp.exp(-fio))
+    # jax.nn.sigmoid, NOT 1/(1+exp(-x)): the naive form's gradient is
+    # NaN where exp overflows (see nn/functional.py sigmoid note), and a
+    # single saturated gate would NaN-poison the whole backward
+    sig = jax.nn.sigmoid(fio)
     f, i, o = sig[..., :H], sig[..., H:2 * H], sig[..., 2 * H:]
     c = f * c + i * jnp.tanh(g)
     h = o * jnp.tanh(c)
@@ -55,7 +59,7 @@ def _gru_step(x_t, h, Wx1, Wh1, Wx2, Wh2, b1, b2, H):
     lin1 = x_t @ Wx1 + h @ Wh1
     if b1 is not None:
         lin1 = lin1 + b1
-    zr = 1 / (1 + jnp.exp(-lin1))
+    zr = jax.nn.sigmoid(lin1)  # stable gradient (see _lstm_step)
     z, r = zr[..., :H], zr[..., H:]
     lin2 = x_t @ Wx2 + (r * h) @ Wh2
     if b2 is not None:

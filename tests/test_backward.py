@@ -80,8 +80,20 @@ def test_backward_after_free_raises():
     x = pdn.Tensor(2.0, requires_grad=True)
     y = x * x
     y.backward()
-    with pytest.raises(AssertionError):
+    # reference exception contract (core/tensor.py:346-348): ValueError
+    with pytest.raises(ValueError, match="not in the graph"):
         y.backward()
+
+
+def test_backward_on_size_one_tensor():
+    """Reference parity (core/tensor.py:350): size-1 tensors of any shape
+    count as scalars for backward."""
+    t = pdn.Tensor(np.array([2.0]), requires_grad=True)
+    (t * 3).backward()
+    _close(t.grad, np.array([3.0]))
+    t2 = pdn.Tensor(np.ones(2), requires_grad=True) * 1
+    with pytest.raises(ValueError, match="scalar"):
+        t2.backward()
 
 
 def test_grad_accumulates_across_separate_losses():

@@ -219,3 +219,25 @@ def test_drivers_reject_malformed_hidden_state():
     h_ok = pdn.Tensor(np.random.randn(1, 3, 8))
     with pytest.raises(AssertionError, match="cell"):
         lstm(x, (h_ok, pdn.Tensor(np.random.randn(1, 8))))
+
+
+def test_lstm_gru_saturated_gate_finite_grads():
+    """Saturated gates (pre-activations < -88 in f32) must yield FINITE
+    gradients through the scan drivers (regression: the naive
+    1/(1+exp(-x)) sigmoid's backward produced 0*inf = NaN)."""
+    np.random.seed(21)
+    for cls in (nn.LSTM, nn.GRU):
+        net = cls(4, 4, dtype=np.float32)
+        for name, p in net._parameters.items():
+            if "bias" in name.lower() or name.endswith("b"):
+                p.data = p.data * 0 - 100.0  # drive every gate to -inf
+        x = pdn.Tensor(np.random.randn(3, 2, 4).astype(np.float32),
+                       requires_grad=True)
+        out = net(x)
+        out = out[0] if isinstance(out, tuple) else out
+        out.sum().backward()
+        for name, p in net._parameters.items():
+            g = p.grad
+            if g is not None:
+                assert np.isfinite(np.asarray(g)).all(), (cls.__name__, name)
+        assert np.isfinite(np.asarray(x.grad)).all(), cls.__name__

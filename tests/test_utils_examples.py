@@ -150,6 +150,27 @@ def test_dataloader_prefetch_matches_sequential():
     assert a == b
 
 
+def test_prefetch_shuffle_seed_parity_despite_main_thread_draws():
+    """The epoch permutation must be drawn on the CALLING thread at
+    iterator creation (regression: the worker pulled it from the global
+    np.random stream, racing any main-thread draws)."""
+    from pydynet_tpu.data import data_loader
+
+    X = np.arange(200).reshape(100, 2)
+    y = np.arange(100)
+
+    np.random.seed(33)
+    want = [by.tolist() for _, by in data_loader(X, y, 8, shuffle=True)]
+
+    np.random.seed(33)
+    loader = data_loader(X, y, 8, shuffle=True)
+    loader.prefetch = 2
+    it = iter(loader)
+    np.random.randn(1000)  # main-thread draw racing the worker
+    got = [by.tolist() for by in (b[1] for b in it)]
+    assert want == got
+
+
 def test_prefetch_iter_unblocks_on_early_exit():
     """Regression: breaking out of a prefetching DataLoader left the
     worker thread blocked on a full queue forever."""
