@@ -15,7 +15,7 @@ from .core import (Tensor, add, sub, mul, div, pow, matmul, abs, sum, mean,
                    min, max, argmax, argmin, maximum, minimum, exp, log,
                    sign, reshape, transpose, swapaxes, concat, sigmoid, tanh,
                    sqrt, square, vsplit, hsplit, dsplit, split, unsqueeze,
-                   squeeze, wrap_pure, Graph)
+                   squeeze, wrap_pure, remat_pure, Graph)
 from .special import zeros, ones, rand, randn, empty, uniform
 from .device import Device
 from .autograd import enable_grad, no_grad, is_grad_enable, set_grad_enabled
@@ -40,7 +40,7 @@ __all__ = [
     "unsqueeze", "squeeze", "zeros", "ones", "rand", "randn", "empty",
     "uniform", "Device", "enable_grad", "no_grad",
     # TPU-native extensions beyond the reference surface
-    "jit", "manual_seed", "Generator", "wrap_pure",
+    "jit", "manual_seed", "Generator", "wrap_pure", "remat_pure",
 ]
 
 __version__ = "0.2.0"

@@ -773,6 +773,22 @@ def wrap_pure(pure_fn, *inputs: "Tensor"):
     return out_tensors
 
 
+def remat_pure(pure_fn, *inputs: "Tensor"):
+    """``wrap_pure`` with activation rematerialization (``jax.checkpoint``).
+
+    TPU-native memory/compute trade (no reference analogue — the reference
+    keeps every NumPy intermediate alive): the node's VJP recomputes
+    ``pure_fn`` from its inputs during the reverse sweep instead of holding
+    its internal residuals.  Under ``pdn.jit`` this tells XLA to drop the
+    segment's activations from the live set — for an N-block model the
+    activation footprint falls from O(N·L·D) to O(L·D) + one extra forward
+    FLOP per block, the standard large-model finetuning trade (same policy
+    as ``parallel/llama_spmd.py`` ``remat=True``, here available to any
+    eager/tape composite).  Gradients are bit-identical to ``wrap_pure``.
+    """
+    return wrap_pure(jax.checkpoint(pure_fn), *inputs)
+
+
 # ====================================================================== #
 #                         arithmetic operators                           #
 # ====================================================================== #

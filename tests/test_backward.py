@@ -221,3 +221,53 @@ def test_wrap_pure_multi_output_partial_use():
     s, c = pdn.wrap_pure(lambda a: (jnp.sin(a), jnp.cos(a)), x)
     s.sum().backward()
     _close(x.grad, np.cos(x.numpy()))
+
+
+def test_remat_pure_matches_wrap_pure():
+    """remat_pure = wrap_pure + jax.checkpoint: identical values and grads
+    (the checkpoint only changes WHEN the segment recomputes, not what)."""
+    import jax.numpy as jnp
+
+    def g(a, b):
+        return jnp.tanh(a @ b) @ b.T
+
+    rng = np.random.default_rng(0)
+    a_np = rng.standard_normal((4, 5)).astype(np.float32)
+    b_np = rng.standard_normal((5, 6)).astype(np.float32)
+
+    a1 = pdn.Tensor(a_np, requires_grad=True)
+    b1 = pdn.Tensor(b_np, requires_grad=True)
+    pdn.wrap_pure(g, a1, b1).sum().backward()
+
+    a2 = pdn.Tensor(a_np, requires_grad=True)
+    b2 = pdn.Tensor(b_np, requires_grad=True)
+    pdn.remat_pure(g, a2, b2).sum().backward()
+
+    np.testing.assert_array_equal(np.asarray(a1.grad), np.asarray(a2.grad))
+    np.testing.assert_array_equal(np.asarray(b1.grad), np.asarray(b2.grad))
+
+
+def test_remat_pure_multi_output_under_jit():
+    """remat_pure composes with pdn.jit (checkpointed segment inside one
+    compiled train-step program) and with multi-output stash-and-fire."""
+    import jax.numpy as jnp
+
+    w_np = np.random.default_rng(1).standard_normal((3, 3)).astype(np.float32)
+
+    def make_step(remat):
+        w = pdn.Tensor(w_np.copy(), requires_grad=True)
+
+        def step(x):
+            op = pdn.remat_pure if remat else pdn.wrap_pure
+            s, c = op(lambda a: (jnp.sin(a @ w_np), jnp.cos(a)), x)
+            y = (s * c).sum() + (x @ w).sum()
+            y.backward()
+            return y, pdn.Tensor(w.grad, device=w.device)
+
+        return pdn.jit(step)
+
+    x_np = np.random.default_rng(2).standard_normal((2, 3)).astype(np.float32)
+    y0, g0 = make_step(False)(pdn.Tensor(x_np))
+    y1, g1 = make_step(True)(pdn.Tensor(x_np))
+    np.testing.assert_allclose(y0.item(), y1.item(), rtol=1e-6)
+    np.testing.assert_array_equal(g0.numpy(), g1.numpy())
