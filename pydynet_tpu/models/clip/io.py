@@ -65,6 +65,7 @@ class Params:
 
     def __init__(self, name: str, download_root: str = None) -> None:
         assert name in self.MODEL_URLS, f"Model {name} not supported."
+        model_url = self.MODEL_URLS[name]  # before the filename mangling
         name = name.replace("/", "-")
         if download_root is None:
             download_root = os.environ.get(
@@ -77,7 +78,7 @@ class Params:
                 "PYDYNET_TPU_ALLOW_DOWNLOAD") == "1":
             try:
                 print(f"Downloading {model_path}")
-                download(self.MODEL_URLS["ViT-B/32"], model_path)
+                download(model_url, model_path)
             except Exception as e:  # surface the reason, keep going to the
                 print(f"Download failed: {type(e).__name__}: {e}")  # raise
         self._tensors = None
@@ -173,13 +174,19 @@ def save_finetuned_parameters(model: CLIP, output_path: str):
         name: param.numpy()
         for name, param in model._parameters.items() if param.requires_grad
     }
-    np.savez(output_path, **params)
+    # file-object write: bare np.savez appends '.npz' to extensionless
+    # paths, breaking save/load round trips through the same path string
+    with open(output_path, "wb") as f:
+        np.savez(f, **params)
 
 
 @pdn.no_grad()
 def load_finetuned_parameters(model: CLIP, finetuned_path: str) -> CLIP:
-    weights = np.load(finetuned_path)
-    for name, param in model._parameters.items():
-        if name in weights:
-            param.data = weights[name]
+    if not os.path.exists(finetuned_path) \
+            and os.path.exists(finetuned_path + ".npz"):
+        finetuned_path += ".npz"  # blobs written by np.savez's auto-suffix
+    with np.load(finetuned_path) as weights:
+        for name, param in model._parameters.items():
+            if name in weights:
+                param.data = weights[name]
     return model

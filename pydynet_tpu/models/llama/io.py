@@ -6,6 +6,8 @@ arrays (q_proj.weight.T etc., io.py:9-39) onto the (in,out)-layout Linear
 weights; finetuned-parameter save/load round-trips ``_parameters`` entries
 that require grad (io.py:42-57).
 """
+import os
+
 import numpy as np
 
 import pydynet_tpu as pdn
@@ -30,7 +32,11 @@ def infer_config(model_path: str, max_seq_len: int = 1024,
     an MHA checkpoint with dim 4096 fits head_dim 64 AND 128) the choice
     is ambiguous and a ``UserWarning`` names the alternatives.
     """
-    w = np.load(model_path)
+    with np.load(model_path) as w:
+        return _infer_config(w, max_seq_len, max_batch_size, n_heads)
+
+
+def _infer_config(w, max_seq_len, max_batch_size, n_heads):
     vocab, dim = w["model.embed_tokens.weight"].shape
     n_layers = 0
     while f"model.layers.{n_layers}.self_attn.q_proj.weight" in w.files:
@@ -42,6 +48,13 @@ def infer_config(model_path: str, max_seq_len: int = 1024,
 
     if n_heads is None and "config.n_heads" in w.files:
         n_heads = int(w["config.n_heads"])
+    if n_heads is None and "config.n_kv_heads" in w.files:
+        # kv metadata alone also pins the split: head_dim = kv_rows / Hkv
+        n_kv = int(w["config.n_kv_heads"])
+        assert kv_rows % n_kv == 0, (kv_rows, n_kv)
+        head_dim = kv_rows // n_kv
+        assert dim % head_dim == 0, (dim, head_dim)
+        n_heads = dim // head_dim
     if n_heads is not None:
         assert dim % n_heads == 0, (dim, n_heads)
         head_dim = dim // n_heads
@@ -70,7 +83,7 @@ def infer_config(model_path: str, max_seq_len: int = 1024,
 
 @pdn.no_grad()
 def load_model(llama: Llama, model_path: str) -> Llama:
-    weight = np.load(model_path)
+    weight = np.load(model_path)  # closed at the end of the function
 
     def put(name, value):
         llama._parameters[name].data = np.ascontiguousarray(value)
@@ -96,6 +109,7 @@ def load_model(llama: Llama, model_path: str) -> Llama:
             put(f"layers.{i}.{ours}", value.T if transpose else value)
 
     put("norm.weight", weight["model.norm.weight"])
+    weight.close()
     llama._weights_cache.clear()
     return llama
 
@@ -106,14 +120,20 @@ def save_finetuned_parameters(model: Llama, output_path: str):
         name: param.numpy()
         for name, param in model._parameters.items() if param.requires_grad
     }
-    np.savez(output_path, **params)
+    # file-object write: bare np.savez appends '.npz' to extensionless
+    # paths, breaking save/load round trips through the same path string
+    with open(output_path, "wb") as f:
+        np.savez(f, **params)
 
 
 @pdn.no_grad()
 def load_finetuned_parameters(model: Llama, finetuned_path: str) -> Llama:
-    weights = np.load(finetuned_path)
-    for name, param in model._parameters.items():
-        if name in weights:
-            param.data = weights[name]
+    if not os.path.exists(finetuned_path) \
+            and os.path.exists(finetuned_path + ".npz"):
+        finetuned_path += ".npz"  # blobs written by np.savez's auto-suffix
+    with np.load(finetuned_path) as weights:
+        for name, param in model._parameters.items():
+            if name in weights:
+                param.data = weights[name]
     model._weights_cache.clear()
     return model

@@ -239,12 +239,14 @@ class Attention(nn.Module):
 
         cache_shape = (self.max_batch_size, max_seq_len, self.n_kv_heads,
                        self.head_dim)
+        # persistent=False: serving scratch, rebuilt by __init__ — kept
+        # out of state_dict/checkpoints (shape depends on max_batch_size)
         self.cache_k = nn.Parameter(pdn.special.zeros(cache_shape,
                                                       dtype=dtype),
-                                    requires_grad=False)
+                                    requires_grad=False, persistent=False)
         self.cache_v = nn.Parameter(pdn.special.zeros(cache_shape,
                                                       dtype=dtype),
-                                    requires_grad=False)
+                                    requires_grad=False, persistent=False)
 
     def __call__(self, x, start_pos: int, mask, freqs_cos, freqs_sin):
         B, L, _ = x.shape
@@ -328,8 +330,9 @@ class Llama(nn.Module):
         self.tok_embedding = nn.Embedding(vocab_size, embed_dim, dtype=dtype)
         freqs_cos, freqs_sin = compute_cos_sin_cache(self.head_dim,
                                                      max_seq_len, dtype=dtype)
-        self.freqs_cos = nn.Parameter(freqs_cos, False)
-        self.freqs_sin = nn.Parameter(freqs_sin, False)
+        # persistent=False: deterministic tables derived from the config
+        self.freqs_cos = nn.Parameter(freqs_cos, False, persistent=False)
+        self.freqs_sin = nn.Parameter(freqs_sin, False, persistent=False)
 
         self.layers = nn.ModuleList([
             TransformerBlock(embed_dim, n_heads, ffn_dim, max_seq_len,

@@ -35,6 +35,13 @@ class _LRScheduler:
         elif not hasattr(optimizer, "initial_lr"):
             raise AttributeError(
                 "last_epoch != -1 but optimizer has no 'initial_lr'")
+        else:
+            # resume: recursive schedulers (Cosine) derive lr(t) from
+            # lr(t-1) via get_last_lr(); seed it from the optimizer's
+            # restored lr so the construction-time step() doesn't crash
+            # (deliberate fix — the reference crashes on every
+            # last_epoch != -1 cosine resume, lr_scheduler.py analogue)
+            self._last_lr = optimizer.lr
         self._step_count = 0
         self._get_lr_called_within_step = False
         self.step()
@@ -55,6 +62,17 @@ class _LRScheduler:
 
     def get_last_lr(self) -> float:
         return self._last_lr
+
+    def state_dict(self) -> dict:
+        """Scheduler state for EXACT resume (PyTorch contract: everything
+        but the optimizer ref).  The recursive schedulers carry a lagged
+        ``_last_lr`` the reference semantics depend on, so resuming via
+        ``last_epoch=`` alone continues crash-free but not bit-exact;
+        restoring this dict (plus the optimizer's lr) is bit-exact."""
+        return {k: v for k, v in self.__dict__.items() if k != "optimizer"}
+
+    def load_state_dict(self, state: dict) -> None:
+        self.__dict__.update(state)
 
 
 class ExponentialLR(_LRScheduler):

@@ -214,6 +214,9 @@ def gate_fused_logits(model, prompt_ids, truth, *, dtype=None, quant=None,
     srt = np.sort(xla_lg, axis=-1)
     confident = _confident(srt[:, -1] - srt[:, -2], srt[:, -1], margin,
                            REL_MARGIN)
-    am_ok = bool(np.all(
+    # fail closed: with zero confident steps np.all([]) would be a vacuous
+    # pass, letting a kernel bug that only flips near-tie argmaxes through
+    # (same contract as gate_fused_argmax)
+    am_ok = bool(confident.any()) and bool(np.all(
         fused_lg[confident].argmax(-1) == xla_lg[confident].argmax(-1)))
     return diff, (diff < rel_tol * scale) and am_ok

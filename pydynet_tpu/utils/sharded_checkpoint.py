@@ -25,21 +25,12 @@ import numpy as np
 
 
 def _train_state(module, optimizer=None, step: int = None):
-    """The same dotted-name blob layout as utils.checkpoint, with raw
-    device-array leaves (shardings preserved)."""
-    blob = {"model." + k: p._data for k, p in module._parameters.items()}
-    if optimizer is not None:
-        blob["opt.lr"] = np.asarray(optimizer.lr)
-        for buf_name in ("v", "m", "G"):
-            bufs = getattr(optimizer, buf_name, None)
-            if isinstance(bufs, list):
-                for i, b in enumerate(bufs):
-                    blob[f"opt.{buf_name}.{i}"] = b._data
-        if hasattr(optimizer, "_t_tensor"):
-            blob["opt.t"] = optimizer._t_tensor._data
-    if step is not None:
-        blob["step"] = np.asarray(step)
-    return blob
+    """The dotted-name blob layout of utils.checkpoint (same key set, incl.
+    the non-persistent exclusion), with raw device-array leaves so each
+    leaf's sharding rides into Orbax."""
+    from .checkpoint import state_blob
+
+    return state_blob(module, optimizer, step, leaf=lambda p: p._data)
 
 
 def save_sharded(path: str, module, optimizer=None, step: int = None,
@@ -138,6 +129,8 @@ def load_sharded(path: str, module, optimizer=None, strict: bool = True):
 
     for name, param in module._parameters.items():
         key = "model." + name
+        if not getattr(param, "persistent", True):
+            continue  # scratch (e.g. caches in pre-split checkpoints)
         if key in restored:
             value = restored[key]
             if tuple(value.shape) != tuple(param.shape):

@@ -185,3 +185,43 @@ def test_zero_grad_via_optimizer():
     assert float(np.asarray(w.grad)[0]) != 0
     opt.zero_grad()
     assert float(np.asarray(w.grad)[0]) == 0
+
+
+def test_cosine_annealing_resume_mid_schedule():
+    """Resuming CosineAnnealingLR: last_epoch= alone continues crash-free
+    (the reference raises AttributeError on every non-t=0 resume); the
+    scheduler state_dict round trip is bit-exact (the reference-quirk
+    recursive stream depends on a lagged _last_lr that last_epoch= alone
+    cannot reconstruct)."""
+    import pydynet_tpu.nn as nn
+
+    net = nn.Linear(2, 2)
+    opt = optim.SGD(net.parameters(), lr=0.1)
+    sched = optim.lr_scheduler.CosineAnnealingLR(opt, T_max=10)
+    lrs = [opt.lr]
+    saved_state = None
+    for i in range(6):
+        sched.step()
+        lrs.append(opt.lr)
+        if i == 2:  # snapshot at epoch 3
+            saved_state = dict(sched.state_dict())
+
+    # 1) crash-free approximate resume from last_epoch alone
+    opt2 = optim.SGD(net.parameters(), lr=lrs[3])
+    opt2.initial_lr = 0.1
+    sched2 = optim.lr_scheduler.CosineAnnealingLR(opt2, T_max=10,
+                                                  last_epoch=3)
+    assert sched2.last_epoch == 4 and 0 < opt2.lr < lrs[3]
+
+    # 2) bit-exact resume via the scheduler state_dict
+    opt3 = optim.SGD(net.parameters(), lr=lrs[3])
+    opt3.initial_lr = 0.1
+    sched3 = optim.lr_scheduler.CosineAnnealingLR(opt3, T_max=10,
+                                                  last_epoch=3)
+    sched3.load_state_dict(saved_state)
+    opt3.lr = lrs[3]  # optimizer lr rides the optimizer checkpoint
+    resumed = []
+    for _ in range(3):
+        sched3.step()
+        resumed.append(opt3.lr)
+    np.testing.assert_allclose(resumed, lrs[4:7], rtol=1e-12)

@@ -1,5 +1,6 @@
 """utils (checkpoint/debug/profiler) + example smoke tests (CPU, tiny)."""
 
+import os
 import numpy as np
 import pytest
 
@@ -291,3 +292,74 @@ def test_checkpoint_moment_shape_mismatch_raises(tmp_path):
     opt2 = optim.Adam([list(net2.parameters())[1]], lr=1e-3)  # bias only
     with pytest.raises((ValueError, KeyError)):
         utils.load_checkpoint(path, net2, opt2)
+
+
+def test_checkpoint_skips_non_persistent_scratch(tmp_path):
+    """KV caches / RoPE tables (persistent=False) stay out of checkpoints,
+    so a train-config blob restores into a different serving config."""
+    from pydynet_tpu.models.llama.model import Llama
+
+    np.random.seed(0)
+    model = Llama(vocab_size=97, embed_dim=24, n_heads=2, ffn_dim=40,
+                  max_seq_len=32, max_batch_size=4, n_layers=2,
+                  dtype=np.float32)
+    sd = utils.state_dict(model)
+    assert not any("cache_k" in k or "cache_v" in k or "freqs_" in k
+                   for k in sd), sorted(sd)[:4]
+    path = str(tmp_path / "ck.npz")
+    utils.save_checkpoint(path, model)
+
+    # restore into a model built with a DIFFERENT max_batch_size/seq_len
+    np.random.seed(1)
+    model2 = Llama(vocab_size=97, embed_dim=24, n_heads=2, ffn_dim=40,
+                   max_seq_len=16, max_batch_size=1, n_layers=2,
+                   dtype=np.float32)
+    utils.load_checkpoint(path, model2)  # strict=True must pass
+    np.testing.assert_array_equal(
+        model2._parameters["tok_embedding.weight"].numpy(),
+        model._parameters["tok_embedding.weight"].numpy())
+
+
+def test_load_state_dict_rejects_unexpected_keys():
+    net = nn.Linear(2, 2)
+    state = utils.state_dict(net)
+    state["phantom.weight"] = np.zeros((2, 2), np.float32)
+    with pytest.raises(KeyError, match="unexpected"):
+        utils.load_state_dict(net, state, strict=True)
+    utils.load_state_dict(net, state, strict=False)  # intersection loads
+
+
+def test_checkpoint_extra_round_trip(tmp_path):
+    net = nn.Linear(2, 2)
+    path = str(tmp_path / "ck.npz")
+    utils.save_checkpoint(path, net, step=7,
+                          extra={"epoch": 3, "best_loss": 0.5})
+    net2 = nn.Linear(2, 2)
+    step, extra = utils.load_checkpoint(path, net2, with_extra=True)
+    assert step == 7
+    assert extra["epoch"] == 3 and abs(extra["best_loss"] - 0.5) < 1e-9
+    assert utils.read_extra(path)["epoch"] == 3
+
+
+def test_checkpoint_extensionless_path_round_trip(tmp_path):
+    """save_checkpoint writes EXACTLY the given path (no np.savez '.npz'
+    suffix surprise) and the llama/clip finetuned-io paths round-trip
+    extensionless too."""
+    from pydynet_tpu.models.llama import io as lio
+    from pydynet_tpu.models.llama.model import Llama
+
+    np.random.seed(0)
+    model = Llama(vocab_size=97, embed_dim=24, n_heads=2, ffn_dim=40,
+                  max_seq_len=16, max_batch_size=1, n_layers=1,
+                  dtype=np.float32)
+    p = str(tmp_path / "ft_blob")  # extensionless on purpose
+    lio.save_finetuned_parameters(model, p)
+    assert os.path.exists(p) and not os.path.exists(p + ".npz")
+    np.random.seed(1)
+    model2 = Llama(vocab_size=97, embed_dim=24, n_heads=2, ffn_dim=40,
+                   max_seq_len=16, max_batch_size=1, n_layers=1,
+                   dtype=np.float32)
+    lio.load_finetuned_parameters(model2, p)
+    np.testing.assert_array_equal(
+        model2._parameters["lm_head.weight"].numpy(),
+        model._parameters["lm_head.weight"].numpy())
