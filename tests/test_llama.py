@@ -728,6 +728,40 @@ def test_gqa_narrow_kv_batched_matches_xla():
         assert np.array_equal(a, b), (a, b)
 
 
+def test_gqa_narrow_kv_int8_compose_matches_xla():
+    """Narrow-KV GQA composed WITH kv_quant='int8' (the two cache layouts
+    must agree on the lane-padded narrow row width and the per-row scale
+    planes): token-exact vs the f32 XLA path on this CPU model."""
+    import functools
+
+    from pydynet_tpu.ops import decode_step as dsk
+
+    np.random.seed(25)
+    cfg = dict(vocab_size=256, embed_dim=128, n_heads=8, n_kv_heads=2,
+               ffn_dim=64, max_seq_len=32, max_batch_size=3, n_layers=2,
+               dtype=np.float32)
+    model = Llama(**cfg)
+    model.eval()
+    ids = np.array([[1, 5, 9], [2, 7, 3], [30, 20, 10]])
+    with pdn.no_grad():
+        want = [t.numpy() for t in model.generate(ids, 14, chunk=5,
+                                                  fused=False)]
+    orig = dsk.fused_decode_token_batched
+    dsk.fused_decode_token_batched = functools.partial(orig, interpret=True)
+    try:
+        model._fused_chunk_fn = None
+        with pdn.no_grad():
+            got = [t.numpy() for t in model.generate(ids, 14, chunk=5,
+                                                     fused=True,
+                                                     kv_quant="int8")]
+    finally:
+        dsk.fused_decode_token_batched = orig
+        model._fused_chunk_fn = None
+    assert len(got) == len(want)
+    for a, b in zip(got, want):
+        assert np.array_equal(a, b), (a, b)
+
+
 def test_infer_config_from_checkpoint_shapes(tmp_path):
     """io.infer_config recovers the architecture (incl. GQA kv heads) from
     an HF-named npz, so the CLI runs any converted checkpoint without
