@@ -163,6 +163,12 @@ def main():
             ("b1-int8", STORIES15M, {"quant": "int8", "min_agree": 0.6}),
             ("batched-b4", STORIES15M, {"B": 4}),
             ("batched-b32", STORIES15M, {"B": 32}),
+            # weight int8 through the batched kernel (round-3 late): head
+            # argmax-gated like b1-int8-head, full-layer majority-gated
+            ("batched-b4-int8head", STORIES15M,
+             {"B": 4, "quant": "int8-head"}),
+            ("batched-b4-int8", STORIES15M,
+             {"B": 4, "quant": "int8", "min_agree": 0.6}),
             # int8 KV cache: per-row quantization noise is genuine (like
             # full-layer int8), so majority agreement is the right gate
             ("batched-b4-kvint8", STORIES15M,

@@ -995,9 +995,16 @@ class Llama(nn.Module):
             from ...ops.decode_step import (batched_sb,
                                             fused_decode_token_batched)
 
+            qhead = "head_s" in weights
+            qlayers = "s_attn" in weights
             nkw = _narrow_kw(weights)
-            wk_ = weights["wk_n"] if nkw else weights["wk"]
-            wv_ = weights["wv_n"] if nkw else weights["wv"]
+            narrow = bool(nkw)  # nkw later also carries the kv_int8 scales
+
+            def W(name):
+                if narrow and name in ("wk", "wv"):
+                    return weights[name + "_n"]
+                return weights[name + "_q"] if qlayers else weights[name]
+
             h0 = weights["tok"][tok].astype(jnp.float32)  # (B, D)
             kv8 = isinstance(ck, tuple)
             if kv8:
@@ -1022,12 +1029,14 @@ class Llama(nn.Module):
                 sbb = sb
             out = fused_decode_token_batched(
                 p, h0, weights["cosD"], weights["sinD"], weights["rot"],
-                weights["hmask_pad"], weights["norm2"], weights["wq"],
-                wk_, wv_, weights["wo"], weights["gate_w"], weights["up_w"],
-                weights["down"], weights["in_norm2"], weights["post_norm2"],
-                weights["head_w"], weights["head_b2"], ck, cv,
+                weights["hmask_pad"], weights["norm2"], W("wq"),
+                W("wk"), W("wv"), W("wo"), W("gate_w"), W("up_w"),
+                W("down"), weights["in_norm2"], weights["post_norm2"],
+                weights["head_wq"] if qhead else weights["head_w"],
+                weights["head_b2"], ck, cv,
                 vt=vt, sb=sbb, emit_logits=emit_logits, starts=starts,
-                **nkw)
+                s_attn=weights.get("s_attn"), s_ffn=weights.get("s_ffn"),
+                head_s=weights.get("head_s"), **nkw)
             if kv8:
                 o, ck, cv, sk, sv = out
                 return o, (ck, sk), (cv, sv)
@@ -1188,8 +1197,11 @@ class Llama(nn.Module):
         host->TPU dispatch latency).  ``max_new_tokens`` bounds the TOTAL
         sequence length (reference quirk).  ``dtype=jnp.bfloat16`` runs the
         weights/caches in bf16 with f32 softmax/norm/logits.
-        ``quant="int8"`` (B=1 fused path only) additionally stores matmul
-        weights as int8 with per-channel scales — halves decode HBM traffic.
+        ``quant="int8"`` (fused paths, any B; "int8-head" for just the
+        lm_head) additionally stores matmul weights as int8 with
+        per-channel scales — halves the weight HBM traffic, which
+        dominates decode at small-to-mid B (batched activations quantize
+        per row).
         Deliberate fix vs the reference: its decode feeds token L at
         start_pos L+1, leaving cache slot L zeroed (model.py:259-265); we
         decode at the correct positions.
@@ -1229,17 +1241,16 @@ class Llama(nn.Module):
         if fused is None:
             fused = self.device.kind == "accel" \
                 and self._fused_decode_supported()
-        if quant is not None and not (fused and B == 1):
-            raise ValueError("quant requires the fused B=1 decode path")
+        if quant is not None and not fused:
+            raise ValueError("quant requires the fused decode path")
         if kv_quant not in (None, "int8"):
             raise ValueError(f"unsupported kv_quant mode: {kv_quant!r}")
         if kv_quant and not fused:
             raise ValueError("kv_quant requires the fused decode path")
         if kv_quant and quant:
             raise ValueError("kv_quant and (weight) quant are mutually "
-                             "exclusive: the int8-KV mode runs in the "
-                             "batched kernel, which has no weight-int8 "
-                             "path")
+                             "exclusive (int8 caches and int8 weights "
+                             "disagree on the kernel's compute dtype)")
         key = (np.dtype(dtype).name if dtype else "native", bool(fused),
                quant)
         weights = self._weights_cache.get(key)

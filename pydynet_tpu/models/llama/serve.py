@@ -59,12 +59,18 @@ class LlamaServer:
     quantized by the same ``quantize_kv`` scheme after the position-shift
     rotation) — half the KV footprint, so 2x the slots or context per
     HBM byte.  Lossy at near-tie tokens, like ``generate(kv_quant=...)``.
+
+    ``quant="int8"``/``"int8-head"`` stores the matmul weights int8 with
+    per-channel scales (the batched kernel's weight-int8 path, round-3
+    late): the shared weight stream — still the dominant HBM traffic at
+    small-to-mid fleet sizes — halves.  Mutually exclusive with
+    ``kv_quant``.
     """
 
     def __init__(self, model, batch_size: int = 8, dtype=None,
                  chunk: int = 128, eos_id: int = 2, temperature: float = 0.0,
                  top_k: int = None, top_p: float = None, seed: int = 0,
-                 kv_quant=None):
+                 kv_quant=None, quant=None):
         # chunk trades slot-recycle latency (a finished request's slot is
         # reused at the next chunk boundary, one chunk late under run()'s
         # pipeline) against per-chunk dispatch+readback overhead; through
@@ -81,6 +87,11 @@ class LlamaServer:
             "serving uses the batched whole-token kernel (shape constraints)"
         if kv_quant not in (None, "int8"):
             raise ValueError(f"unsupported kv_quant mode: {kv_quant!r}")
+        if quant not in (None, "int8", "int8-head"):
+            raise ValueError(f"unsupported quant mode: {quant!r}")
+        if quant and kv_quant:
+            raise ValueError("quant and kv_quant are mutually exclusive "
+                             "(see Llama.generate)")
         model.eval()
         self.model = model
         self.B = batch_size
@@ -101,10 +112,10 @@ class LlamaServer:
         sampling = self.sampling
 
         self._dtype = dtype
-        w = model._weights_cache.get(("serve", dtype))
+        w = model._weights_cache.get(("serve", dtype, quant))
         if w is None:
-            w = model._fused_weights(dtype)
-            model._weights_cache[("serve", dtype)] = w
+            w = model._fused_weights(dtype, quant)
+            model._weights_cache[("serve", dtype, quant)] = w
         self._w = w
         narrow = "egqa" in w and "s_attn" not in w
         self._narrow = narrow

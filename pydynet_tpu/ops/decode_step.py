@@ -485,7 +485,8 @@ def _token_kernel_batched(idx_ref,  # scalar prefetch: (1,) i32 = [pos]
                           batch: int, emit_logits: bool = False,
                           dkp: int = None, narrow: bool = False,
                           with_starts: bool = False, kv_int8: bool = False,
-                          sg: int = None):
+                          sg: int = None, qlayers: bool = False,
+                          qhead: bool = False):
     """Batched variant of ``_token_kernel``: the hidden state is (B, D), so
     every weight matrix streams from HBM ONCE per token for the whole batch
     (the vmapped fallback re-streams weights per row), and the qkv/ffn/head
@@ -510,7 +511,16 @@ def _token_kernel_batched(idx_ref,  # scalar prefetch: (1,) i32 = [pos]
     [starts[b], pos].  Slots recycled for a new request at the shared
     position keep stale rows below their start invisible; RoPE scores
     depend only on relative distance, so a request shifted to start at
-    position ``starts[b]`` decodes the same tokens it would from 0."""
+    position ``starts[b]`` decodes the same tokens it would from 0.
+
+    Weight-only int8 (``qlayers`` / ``qhead``, same scale layout as
+    ``_token_kernel``): activations quantize PER ROW (each sample gets its
+    own symmetric scale — one shared scale would let one outlier sample
+    crush the whole batch's precision), weights feed the MXU int8 as
+    stored, and the int32 result rescales by (B, 1) row scales x (1, M)
+    channel scales.  Weight bytes amortize over B, so the relative win
+    shrinks with B — but the weight stream still dominates batched decode
+    at small-to-mid B (README bandwidth accounting)."""
     rest = list(rest)
     cosk_blk = sink_blk = rotk = egqa = None
     cosk_row = sink_row = None
@@ -521,6 +531,13 @@ def _token_kernel_batched(idx_ref,  # scalar prefetch: (1,) i32 = [pos]
         del rest[0:4]
     if with_starts:
         starts = rest.pop(0)
+    s_attn = s_ffn = head_s = hq8 = hsx = None
+    if qlayers:
+        s_attn, s_ffn = rest[0], rest[1]
+        del rest[0:2]
+    if qhead:
+        head_s = rest.pop(0)
+        hq8, hsx = rest.pop(-2), rest.pop(-1)  # scratch, appended last
     # remaining: aliased cache INPUT refs (unused; the kernel works on the
     # aliased output refs), then outputs, then scratch in declaration order
     del rest[0:4 if kv_int8 else 2]
@@ -552,11 +569,31 @@ def _token_kernel_batched(idx_ref,  # scalar prefetch: (1,) i32 = [pos]
     pos = idx_ref[0]
     B = batch
     scale = 1.0 / math.sqrt(dim // n_heads)
-    cdtype = wq.dtype  # weight compute dtype (cache dtype under kv_int8
-    pad = dpad - dim   # is int8, so kbuf.dtype would be wrong here)
+    # compute dtype for the attention/cast sites: the weight dtype, except
+    # when the weights themselves are int8 (qlayers) — then the cache/attn
+    # math runs at the cache dtype (kbuf); kv_int8 is the converse case
+    # (int8 caches, real-dtype weights), and the two modes are exclusive
+    assert not (qlayers and kv_int8)
+    cdtype = kbuf.dtype if qlayers else wq.dtype
+    pad = dpad - dim
     cw = dkp if narrow else dpad  # KV-cache row width
 
     rms = _rms
+
+    def qvec_b(x32):
+        """Per-row symmetric int8 quantization of (B, K) f32 activations —
+        the multiplicative form of the B=1 kernel's qvec, so each row's
+        math is bit-identical to the B=1 path."""
+        amax = jnp.maximum(jnp.max(jnp.abs(x32), axis=1, keepdims=True),
+                           1e-30)  # (B, 1)
+        xq = jnp.round(x32 * (127.0 / amax)).astype(jnp.int8)
+        return xq, amax * (1.0 / 127.0)
+
+    def qmm_b(xq, wref, sref, r, sx):
+        """int8 (B,K) x int8 (K,M) -> int32 MXU matmul, rescaled to f32 by
+        the per-row activation scales x the weight's channel-scale row."""
+        acc = jnp.dot(xq, wref[0], preferred_element_type=jnp.int32)
+        return acc.astype(jnp.float32) * (sref[0, r:r + 1, :] * sx)
 
     @pl.when(l == 0)
     def _():
@@ -598,10 +635,17 @@ def _token_kernel_batched(idx_ref,  # scalar prefetch: (1,) i32 = [pos]
             rsk_dma.start(); rsv_dma.start()
 
         h = h_state[:]  # (B, D) f32
-        hn = rms(h, in_norm[0].astype(jnp.float32)).astype(cdtype)
-        q = jnp.dot(hn, wq[0], preferred_element_type=jnp.float32)
-        k = jnp.dot(hn, wk[0], preferred_element_type=jnp.float32)
-        v = jnp.dot(hn, wv[0], preferred_element_type=jnp.float32)
+        hn32 = rms(h, in_norm[0].astype(jnp.float32))
+        if qlayers:
+            xq8, sxh = qvec_b(hn32)
+            q = qmm_b(xq8, wq, s_attn, 0, sxh)
+            k = qmm_b(xq8, wk, s_attn, 1, sxh)
+            v = qmm_b(xq8, wv, s_attn, 2, sxh)
+        else:
+            hn = hn32.astype(cdtype)
+            q = jnp.dot(hn, wq[0], preferred_element_type=jnp.float32)
+            k = jnp.dot(hn, wk[0], preferred_element_type=jnp.float32)
+            v = jnp.dot(hn, wv[0], preferred_element_type=jnp.float32)
 
         cos = cos_row[:]  # (1, D) broadcasts over rows
         sin = sin_row[:]
@@ -862,14 +906,25 @@ def _token_kernel_batched(idx_ref,  # scalar prefetch: (1,) i32 = [pos]
             wsk_dma.wait()
             wsv_dma.wait()
 
-        z = h + jnp.dot(att.astype(cdtype), wo[0],
-                        preferred_element_type=jnp.float32)
-        zn = rms(z, post_norm[0].astype(jnp.float32)).astype(cdtype)
-        g = jnp.dot(zn, gate_w[0], preferred_element_type=jnp.float32)
-        u = jnp.dot(zn, up_w[0], preferred_element_type=jnp.float32)
-        ff = (g * jax.nn.sigmoid(g)) * u
-        h_new = z + jnp.dot(ff.astype(cdtype), down_w[0],
+        if qlayers:
+            aq, asx = qvec_b(att)
+            z = h + qmm_b(aq, wo, s_attn, 3, asx)
+            zn32 = rms(z, post_norm[0].astype(jnp.float32))
+            zq, zsx = qvec_b(zn32)
+            g = qmm_b(zq, gate_w, s_ffn, 0, zsx)
+            u = qmm_b(zq, up_w, s_ffn, 1, zsx)
+            ff = (g * jax.nn.sigmoid(g)) * u
+            fq, fsx = qvec_b(ff)
+            h_new = z + qmm_b(fq, down_w, s_attn, 4, fsx)
+        else:
+            z = h + jnp.dot(att.astype(cdtype), wo[0],
                             preferred_element_type=jnp.float32)
+            zn = rms(z, post_norm[0].astype(jnp.float32)).astype(cdtype)
+            g = jnp.dot(zn, gate_w[0], preferred_element_type=jnp.float32)
+            u = jnp.dot(zn, up_w[0], preferred_element_type=jnp.float32)
+            ff = (g * jax.nn.sigmoid(g)) * u
+            h_new = z + jnp.dot(ff.astype(cdtype), down_w[0],
+                                preferred_element_type=jnp.float32)
         h_state[:] = h_new
 
         # final RMSNorm only on the last layer step (see B=1 kernel)
@@ -880,9 +935,22 @@ def _token_kernel_batched(idx_ref,  # scalar prefetch: (1,) i32 = [pos]
     @pl.when(l >= n_layers)
     def _head():
         t = l - np.int32(n_layers)
-        hb = h_state[:].astype(head_w.dtype)  # (B, D)
-        logits = jnp.dot(hb, head_w[:], preferred_element_type=jnp.float32) \
-            + head_b[:].astype(jnp.float32)  # (B, VT)
+        if qhead:
+            @pl.when(t == 0)
+            def _():
+                xq0, sx0 = qvec_b(h_state[:])
+                hq8[:] = xq0
+                hsx[:] = sx0
+
+            acc = jnp.dot(hq8[:], head_w[:],
+                          preferred_element_type=jnp.int32)
+            logits = acc.astype(jnp.float32) \
+                * (head_s[:].astype(jnp.float32) * hsx[:])
+        else:
+            hb = h_state[:].astype(head_w.dtype)  # (B, D)
+            logits = jnp.dot(hb, head_w[:],
+                             preferred_element_type=jnp.float32)
+        logits = logits + head_b[:].astype(jnp.float32)  # (B, VT)
         if emit_logits:
             out0[:] = logits  # sampling mode: see _token_kernel
         else:
@@ -907,7 +975,8 @@ def fused_decode_token_batched(pos, h0, cosr, sinr, rot, hmask, final_norm,
                                interpret=False, emit_logits: bool = False,
                                cosk=None, sink=None, rotk=None, egqa=None,
                                starts=None, sk=None, sv=None,
-                               sg: int = None):
+                               sg: int = None,
+                               s_attn=None, s_ffn=None, head_s=None):
     """Batched greedy decode step: ONE Pallas launch for B rows.
 
     ``h0`` (B, D) f32 is the already-gathered previous-token embedding
@@ -938,6 +1007,13 @@ def fused_decode_token_batched(pos, h0, cosr, sinr, rot, hmask, final_norm,
     V = head_w.shape[1]
     narrow = egqa is not None
     kv_int8 = sk is not None
+    qlayers = s_attn is not None
+    qhead = head_s is not None
+    assert qlayers == (s_ffn is not None)
+    assert not (qlayers and narrow), \
+        "narrow KV + full-layer int8 unsupported (expanded layout)"
+    assert not ((qlayers or qhead) and kv_int8), \
+        "weight int8 and KV int8 are mutually exclusive"
     if kv_int8:
         assert sv is not None and ck.dtype == jnp.int8 \
             and cv.dtype == jnp.int8, (ck.dtype, cv.dtype)
@@ -1025,6 +1101,15 @@ def fused_decode_token_batched(pos, h0, cosr, sinr, rot, hmask, final_norm,
     if with_starts:
         in_specs += [full(B, 1)]  # per-row attention lower bounds (serving)
         extra_ops += (jnp.asarray(starts, jnp.int32).reshape(B, 1),)
+    if qlayers:
+        in_specs += [
+            lspec(8, D),     # s_attn (rows: q, k, v, o, down)
+            lspec(8, F),     # s_ffn (rows: gate, up)
+        ]
+        extra_ops += (s_attn, s_ffn)
+    if qhead:
+        in_specs += [vocab_tile(1)]  # head_s
+        extra_ops += (head_s,)
     n_caches = 4 if kv_int8 else 2
     in_specs += [any_spec] * n_caches   # ck, cv[, sk, sv]
     cache_op = 1 + len(in_specs) - n_caches  # ck operand idx incl. prefetch
@@ -1061,7 +1146,10 @@ def fused_decode_token_batched(pos, h0, cosr, sinr, rot, hmask, final_norm,
             pltpu.VMEM((B, 1), jnp.int32),         # bidx
             pltpu.SemaphoreType.DMA((8 if kv_int8 else 4,)),  # rsem
             pltpu.SemaphoreType.DMA((8 if kv_int8 else 4,)),  # wsem
-        ],
+        ] + ([
+            pltpu.VMEM((B, D), jnp.int8),       # hq8 (quantized final hidden)
+            pltpu.VMEM((B, 1), jnp.float32),    # hsx (per-row scales)
+        ] if qhead else []),
     )
 
     kernel = functools.partial(_token_kernel_batched, n_layers=N, n_heads=H,
@@ -1069,7 +1157,7 @@ def fused_decode_token_batched(pos, h0, cosr, sinr, rot, hmask, final_norm,
                                sb=sb, batch=B, emit_logits=emit_logits,
                                dkp=CW, narrow=narrow,
                                with_starts=with_starts, kv_int8=kv_int8,
-                               sg=sg)
+                               sg=sg, qlayers=qlayers, qhead=qhead)
     # clamp: surplus chunk steps past the cache end must stay in bounds
     # (see fused_decode_token)
     idx = jnp.minimum(jnp.asarray(pos, jnp.int32),

@@ -409,10 +409,55 @@ def test_generate_int8_quant_plumbing():
     np.testing.assert_array_equal(np.asarray(lg0), np.asarray(lg8))
 
     with pytest.raises(ValueError):
-        next(iter(model.generate(np.array([[1, 2], [3, 4]]), 8,
-                                 fused=True, quant="int8")))
-    with pytest.raises(ValueError):
         next(iter(model.generate(ids, 8, fused=False, quant="int8")))
+
+
+def test_generate_batched_quant_plumbing():
+    """Weight int8 through the BATCHED whole-token kernel (round-3 late:
+    previously B=1 only): generate(B>1, quant="int8"/"int8-head") runs in
+    interpret mode, is deterministic, keeps the full-precision prefill
+    token, and composes with sampling's emit_logits head."""
+    import functools
+
+    from pydynet_tpu.ops import decode_step as dsk
+
+    np.random.seed(31)
+    model = Llama(vocab_size=256, embed_dim=32, n_heads=2, ffn_dim=64,
+                  max_seq_len=32, max_batch_size=3, n_layers=2,
+                  dtype=np.float32)
+    model.eval()
+    ids = np.array([[1, 5, 9], [2, 7, 3], [30, 20, 10]])
+
+    with pdn.no_grad():
+        base = [t.numpy() for t in model.generate(ids, 12, chunk=4,
+                                                  fused=False)]
+
+    orig = dsk.fused_decode_token_batched
+    dsk.fused_decode_token_batched = functools.partial(orig, interpret=True)
+    try:
+        for q in ("int8-head", "int8"):
+            model._fused_chunk_fn = None
+            with pdn.no_grad():
+                a = [t.numpy() for t in model.generate(ids, 12, chunk=4,
+                                                       fused=True, quant=q)]
+                b = [t.numpy() for t in model.generate(ids, 12, chunk=4,
+                                                       fused=True, quant=q)]
+            assert len(a) == 12 - 3
+            np.testing.assert_array_equal(np.stack(a), np.stack(b))
+            np.testing.assert_array_equal(a[0], base[0])  # f32 prefill
+        # sampled batched decode on the quantized weights (emit_logits)
+        model._fused_chunk_fn = None
+        with pdn.no_grad():
+            s1 = [t.numpy() for t in model.generate(
+                ids, 10, chunk=4, fused=True, quant="int8-head",
+                temperature=0.8, seed=5)]
+            s2 = [t.numpy() for t in model.generate(
+                ids, 10, chunk=4, fused=True, quant="int8-head",
+                temperature=0.8, seed=5)]
+        np.testing.assert_array_equal(np.stack(s1), np.stack(s2))
+    finally:
+        dsk.fused_decode_token_batched = orig
+        model._fused_chunk_fn = None
 
 
 def test_generate_kv_quant_plumbing():

@@ -248,3 +248,47 @@ def test_server_kv_quant_matches_standalone(interp_kernels):
 
     with pytest.raises(ValueError):
         LlamaServer(model, batch_size=2, kv_quant="fp4")
+
+
+def test_server_weight_quant_matches_standalone(interp_kernels):
+    """quant="int8"/"int8-head" serving (round-3 late: the batched
+    kernel's weight-int8 path).  Same exactness structure as the kv_quant
+    test: the pos0=0 request matches generate(quant=...) token-for-token,
+    every first token comes from the full-precision XLA prefill, and
+    streams are deterministic."""
+    from pydynet_tpu.models.llama.serve import LlamaServer
+
+    np.random.seed(12)
+    model = Llama(**CFG)
+    model.eval()
+    prompts = [[1, 5, 9], [2, 7, 3, 11], [30, 20]]
+    want_fp = [standalone(model, p, 8) for p in prompts]
+    for q in ("int8-head", "int8"):
+        with pdn.no_grad():
+            want_q0 = [int(t.numpy()[0, 0]) for t in model.generate(
+                np.asarray([prompts[0], prompts[0]]), len(prompts[0]) + 8,
+                fused=True, quant=q)]
+
+        def run_once():
+            with pdn.no_grad():
+                srv = LlamaServer(model, batch_size=2, chunk=4, eos_id=-1,
+                                  quant=q)
+                rids = [srv.submit(p, max_new_tokens=8) for p in prompts]
+                done = srv.run()
+            return rids, done
+
+        rids, done = run_once()
+        assert set(done) == set(rids)
+        assert done[rids[0]].tokens == want_q0, \
+            (q, done[rids[0]].tokens, want_q0)
+        for rid, exp in zip(rids, want_fp):
+            got = done[rid].tokens
+            assert len(got) == 8 and got[0] == exp[0], (q, rid, got, exp)
+        rids2, done2 = run_once()
+        assert [done[r].tokens for r in rids] == \
+            [done2[r].tokens for r in rids2]  # deterministic
+
+    with pytest.raises(ValueError):
+        LlamaServer(model, batch_size=2, quant="fp4")
+    with pytest.raises(ValueError):
+        LlamaServer(model, batch_size=2, quant="int8", kv_quant="int8")

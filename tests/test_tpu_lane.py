@@ -97,6 +97,28 @@ def test_fused_batched_kernel_kv_int8_on_chip():
     assert checked > 0 and ok, (checked, ok)
 
 
+def test_fused_batched_kernel_weight_int8_on_chip():
+    """Weight int8 through the BATCHED kernel on silicon (round-3 late):
+    int8-head argmax-gated at confident steps, full-layer int8
+    majority-gated (its per-row activation quantization is genuinely
+    lossy, like the B=1 variant)."""
+    import jax.numpy as jnp
+
+    from pydynet_tpu.utils import fidelity
+
+    cpu, dev = _models(max_batch_size=4)
+    ids = np.array([[1, 5, 9], [2, 7, 3], [30, 20, 10], [4, 4, 4]])
+    truth, margins, tops = fidelity.greedy_truth(cpu, ids, STEPS)
+    checked, ok = fidelity.gate_fused_argmax(dev, ids, truth, margins, tops,
+                                             dtype=jnp.bfloat16,
+                                             quant="int8-head")
+    assert checked > 0 and ok, ("int8-head", checked, ok)
+    checked, ok = fidelity.gate_fused_argmax(dev, ids, truth, margins, tops,
+                                             dtype=jnp.bfloat16,
+                                             quant="int8", min_agree=0.6)
+    assert checked > 0 and ok, ("int8", checked, ok)
+
+
 def test_fused_b1_kv_int8_on_chip():
     """B=1 kv_quant='int8' (routed through the batched kernel's int8-KV
     machinery — the 2x-context-per-HBM-byte mode) on silicon."""
