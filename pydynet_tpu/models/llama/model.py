@@ -175,6 +175,49 @@ def filter_logits(logits, temperature, top_k=None, top_p=None, seen=None,
     return logits
 
 
+def filter_logits_per_row(logits, temperature, top_k, top_p, seen=None,
+                          repetition_penalty=None):
+    """:func:`filter_logits` with PER-ROW (B,)-vector parameters — the
+    continuous-batching server's per-request sampling hook.  All params
+    are traced values (no recompiles as requests come and go):
+    ``temperature`` <= 0 rows are clamped to 1e-6 here and resolved to
+    exact greedy by :func:`sample_logits_per_row`'s argmax select;
+    ``top_k = V`` and ``top_p = 1.0`` are exact no-ops (every token kept —
+    the strict '>' nucleus rule keeps all when the total mass <= p).
+    ``_radix_cutoff`` already computes per-row cutoffs, so (B, 1)
+    thresholds broadcast through it unchanged."""
+    if repetition_penalty is not None and seen is not None:
+        rp = repetition_penalty[:, None]
+        pen = jnp.where(logits > 0, logits / rp, logits * rp)
+        logits = jnp.where(seen, pen, logits)
+    logits = logits / jnp.maximum(temperature, 1e-6)[:, None]
+    ones = jnp.ones(logits.shape, logits.dtype)
+    kth = _radix_cutoff(logits, ones,
+                        top_k.astype(jnp.float32)[:, None], strict=False)
+    logits = jnp.where(logits < kth, -jnp.inf, logits)
+    lse = jax.scipy.special.logsumexp(logits, axis=-1, keepdims=True)
+    probs = jnp.exp(logits - lse)
+    cutoff = _radix_cutoff(logits, probs,
+                           top_p.astype(jnp.float32)[:, None], strict=True)
+    # p >= 1 is the explicit off-encoding: f32 rounding can push the total
+    # mass an ulp past 1.0, which would otherwise mask prob-0 tail tokens
+    cutoff = jnp.where(top_p[:, None] >= 1.0, -jnp.inf, cutoff)
+    return jnp.where(logits < cutoff, -jnp.inf, logits)
+
+
+def sample_logits_per_row(logits, key, temperature, top_k, top_p,
+                          seen=None, repetition_penalty=None):
+    """:func:`sample_logits` with per-row (B,) parameters: rows with
+    ``temperature > 0`` draw from the filtered distribution, rows with
+    ``temperature <= 0`` take the exact greedy argmax (identical to the
+    greedy kernel's in-kernel argmax, ties to the lowest index)."""
+    greedy = jnp.argmax(logits, axis=-1)
+    f = filter_logits_per_row(logits, temperature, top_k, top_p, seen,
+                              repetition_penalty)
+    sampled = jax.random.categorical(key, f, axis=-1)
+    return jnp.where(temperature > 0, sampled, greedy)
+
+
 def _mark_seen(seen, toks):
     """(B, V) bool |= one-hot of toks (B,) — repetition-penalty bookkeeping
     shared by the XLA and fused sampling decode scans."""

@@ -45,6 +45,10 @@ class Request:
     tokens: list = field(default_factory=list)  # generated ids
     done: bool = False
     truncated: bool = False
+    # per-request sampling overrides (None = inherit the server defaults)
+    temperature: float = None
+    top_k: int = None
+    top_p: float = None
 
 
 class LlamaServer:
@@ -59,6 +63,12 @@ class LlamaServer:
     quantized by the same ``quantize_kv`` scheme after the position-shift
     rotation) — half the KV footprint, so 2x the slots or context per
     HBM byte.  Lossy at near-tie tokens, like ``generate(kv_quant=...)``.
+
+    Per-request sampling: ``submit(..., temperature=, top_k=, top_p=)``
+    overrides the server defaults for that request only — the decode
+    chunk takes traced per-slot (B,) parameter vectors (greedy rows
+    resolve to exact argmax inside ``sample_logits_per_row``), so mixed
+    fleets share one compiled program.
 
     ``quant="int8"``/``"int8-head"`` stores the matmul weights int8 with
     per-channel scales (the batched kernel's weight-int8 path, round-3
@@ -81,7 +91,7 @@ class LlamaServer:
 
         from ...ops.decode_step import (lane_pad_dim, pad_cache_lanes,
                                         quantize_kv)
-        from .model import sample_logits
+        from .model import sample_logits_per_row
 
         assert model._fused_decode_supported(), \
             "serving uses the batched whole-token kernel (shape constraints)"
@@ -100,7 +110,22 @@ class LlamaServer:
         self.sampling = temperature is not None and temperature > 0
         self._temp = float(temperature or 0.0)
         self._top_k, self._top_p = top_k, top_p
+        self._quant = quant
         self._key = jax.random.PRNGKey(seed)
+        # per-SLOT sampling params (vLLM-style per-request overrides ride
+        # submit(); traced (B,) vectors, so requests with different
+        # temperature/top-k/top-p share one compiled chunk program).
+        # Off-encodings: top_k=V keeps all, top_p=1.0 keeps all
+        # (filter_logits_per_row), temperature<=0 rows take exact argmax
+        # (sample_logits_per_row).
+        V = model.vocab_size
+        self._V = V
+        self._ptemp = np.full(batch_size, self._temp, np.float32)
+        self._ptopk = np.full(batch_size,
+                              top_k if top_k is not None else V, np.int32)
+        self._ptopp = np.full(batch_size,
+                              top_p if top_p is not None else 1.0,
+                              np.float32)
 
         if model._decode_fns is None:
             model._decode_fns = model._make_decode_fns()
@@ -161,15 +186,16 @@ class LlamaServer:
             rot_m = jnp.pad(rope_pair_swap_matrix(D, w["cosD"].dtype),
                             ((0, width - D), (0, width - D)))
 
-        @partial(jax.jit, donate_argnums=(1, 2, 3))
+        @partial(jax.jit, static_argnames=("sample",),
+                 donate_argnums=(1, 2, 3))
         def admit_many(w, ck, cv, tok, prompts, pos0, slots, key,
-                       temperature):
+                       temp_k, topk_k, topp_k, sample=False):
             """Prefill a WAVE of k same-length requests into slots
             ``slots`` at absolute rows [pos0, pos0+L) of the shared cache
             in ONE program; returns their first tokens (k,) — greedy
-            argmax, or sampled exactly like ``generate(temperature=...)``'s
-            prefill when the server samples (key/temperature unused on a
-            greedy server).
+            argmax, or (``sample=True``) drawn per row with the wave's
+            (k,) temperature/top-k/top-p vectors (key/params unused on a
+            greedy wave).
             pos0/slots are traced — compiles once per (k, L); the caller
             buckets k to powers of two to bound that.  (Per-request admit
             dispatches cost ~15 ms each through the remote tunnel and
@@ -184,10 +210,10 @@ class LlamaServer:
             k, L = prompts.shape
             ck1 = jnp.zeros((N, k, S, Hkv, hd), cdt)
             cv1 = jnp.zeros((N, k, S, Hkv, hd), cdt)
-            if sampling:
+            if sample:
                 logits1, ck1, cv1 = forward_logits(w, ck1, cv1, prompts, 0)
-                tok1 = sample_logits(logits1, key, temperature,
-                                     self._top_k, self._top_p)
+                tok1 = sample_logits_per_row(logits1, key, temp_k,
+                                             topk_k, topp_k)
             else:
                 tok1, ck1, cv1 = forward_tokens(w, ck1, cv1, prompts, 0)
             fk = pad_cache_lanes(model._kv_flat(ck1, narrow), width)
@@ -248,19 +274,17 @@ class LlamaServer:
                 step, (ck, cv, tok, pos), None, length=n)
             return ck, cv, tok, toks  # toks (n, B)
 
-        @partial(jax.jit,
-                 static_argnames=("n", "top_k", "top_p"),
-                 donate_argnums=(1, 2))
-        def decode_sampled(w, ck, cv, tok, pos, starts, key, temperature,
-                           n, top_k, top_p):
+        @partial(jax.jit, static_argnames=("n",), donate_argnums=(1, 2))
+        def decode_sampled(w, ck, cv, tok, pos, starts, key, temp_b,
+                           topk_b, topp_b, n):
             def step(carry, _):
                 ck, cv, tok, p, key = carry
                 logits, ck, cv = fused_step_batched(w, ck, cv, tok, p,
                                                     emit_logits=True,
                                                     starts=starts)
                 key, sub = jax.random.split(key)
-                nxt = sample_logits(logits, sub, temperature, top_k,
-                                    top_p).astype(tok.dtype)
+                nxt = sample_logits_per_row(logits, sub, temp_b, topk_b,
+                                            topp_b).astype(tok.dtype)
                 return (ck, cv, nxt, p + 1, key), nxt
 
             pos = jnp.asarray(pos, jnp.int32)
@@ -274,13 +298,34 @@ class LlamaServer:
         self._split = jax.random.split
 
     # ------------------------------ API ------------------------------ #
-    def submit(self, prompt_ids, max_new_tokens: int = 256) -> int:
-        """Queue one prompt (list/array of token ids); returns request id."""
+    def submit(self, prompt_ids, max_new_tokens: int = 256,
+               temperature: float = None, top_k: int = None,
+               top_p: float = None) -> int:
+        """Queue one prompt (list/array of token ids); returns request id.
+
+        ``temperature``/``top_k``/``top_p`` override the server defaults
+        for THIS request only (vLLM-style per-request params): rows carry
+        their own traced (B,) sampling vectors, so a fleet can mix greedy
+        (temperature=0) and differently-sampled requests in the same
+        compiled chunk program with no recompiles."""
         prompt = [int(t) for t in np.asarray(prompt_ids).reshape(-1)]
         assert 0 < len(prompt) < self.S, len(prompt)
         rid = next(self._rid)
-        self._queue.append(Request(rid, prompt, int(max_new_tokens)))
+        self._queue.append(Request(rid, prompt, int(max_new_tokens),
+                                   temperature=temperature, top_k=top_k,
+                                   top_p=top_p))
         return rid
+
+    def _slot_params(self, slot, req):
+        """Resolve a request's effective sampling params into the per-slot
+        vectors; returns True when the row samples."""
+        t = self._temp if req.temperature is None else float(req.temperature)
+        k = self._top_k if req.top_k is None else req.top_k
+        p = self._top_p if req.top_p is None else req.top_p
+        self._ptemp[slot] = t
+        self._ptopk[slot] = k if k is not None else self._V
+        self._ptopp[slot] = p if p is not None else 1.0
+        return t > 0
 
     @property
     def active(self) -> int:
@@ -318,6 +363,7 @@ class LlamaServer:
         # per-request dispatches cost ~15 ms each through the tunnel
         by_len: dict = {}
         for slot, req in plan:
+            self._slot_params(slot, req)
             by_len.setdefault(len(req.prompt), []).append((slot, req))
         waves, firsts_dev = [], []
         for L, group in sorted(by_len.items()):
@@ -329,11 +375,14 @@ class LlamaServer:
                 i += k
                 prompts = np.array([r.prompt for _, r in sub], np.int32)
                 slots = np.array([s for s, _ in sub], np.int32)
+                wave_sample = any(self._ptemp[s] > 0 for s, _ in sub)
                 self._key, akey = self._split(self._key)
                 tok1, self._ck, self._cv, self._tok = self._admit_many(
                     self._w, self._ck, self._cv, self._tok,
                     jnp.asarray(prompts), pos0, jnp.asarray(slots),
-                    akey, jnp.float32(self._temp))
+                    akey, jnp.asarray(self._ptemp[slots]),
+                    jnp.asarray(self._ptopk[slots]),
+                    jnp.asarray(self._ptopp[slots]), sample=wave_sample)
                 for s, _ in sub:
                     self._starts[s] = pos0
                 waves.append(sub)
@@ -369,10 +418,11 @@ class LlamaServer:
         ``_weights_cache.clear()``) — otherwise the server would silently
         keep serving the pre-update weights forever.  Requests already
         mid-decode continue on the new weights from their next chunk."""
-        w = self.model._weights_cache.get(("serve", self._dtype))
+        key = ("serve", self._dtype, self._quant)
+        w = self.model._weights_cache.get(key)
         if w is None:
-            w = self.model._fused_weights(self._dtype)
-            self.model._weights_cache[("serve", self._dtype)] = w
+            w = self.model._fused_weights(self._dtype, self._quant)
+            self.model._weights_cache[key] = w
         self._w = w
 
     def _dispatch(self, n: int = None):
@@ -387,12 +437,16 @@ class LlamaServer:
         if n <= 0:
             return self._EXHAUSTED
         starts = self._jnp.asarray(self._starts, self._jnp.int32)
-        if self.sampling:
+        any_sampled = self.sampling or any(
+            self._ptemp[i] > 0 for i in range(self.B)
+            if self._slots[i] is not None)
+        if any_sampled:
             (self._ck, self._cv, self._tok, toks,
              self._key) = self._decode_sampled(
                 self._w, self._ck, self._cv, self._tok, self._pos, starts,
-                self._key, self._jnp.float32(self._temp), n,
-                self._top_k, self._top_p)
+                self._key, self._jnp.asarray(self._ptemp),
+                self._jnp.asarray(self._ptopk),
+                self._jnp.asarray(self._ptopp), n)
         else:
             self._ck, self._cv, self._tok, toks = self._decode(
                 self._w, self._ck, self._cv, self._tok, self._pos, starts, n)

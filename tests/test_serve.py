@@ -292,3 +292,57 @@ def test_server_weight_quant_matches_standalone(interp_kernels):
         LlamaServer(model, batch_size=2, quant="fp4")
     with pytest.raises(ValueError):
         LlamaServer(model, batch_size=2, quant="int8", kv_quant="int8")
+
+
+def test_server_per_request_sampling(interp_kernels):
+    """vLLM-style per-request params (round-3 late): submit(...,
+    temperature/top_k/top_p) overrides the server defaults per request.
+
+    * a greedy-default server carrying one sampled request still emits
+      EXACT greedy streams for the greedy requests (argmax select inside
+      sample_logits_per_row), token-identical to an all-greedy server;
+    * the sampled request's stream is deterministic under the seed and
+      differs from its greedy stream (temperature 5 on a random model);
+    * per-request params cause no recompile churn (traced (B,) vectors) —
+      smoke-checked by just running mixed fleets."""
+    from pydynet_tpu.models.llama.serve import LlamaServer
+
+    np.random.seed(14)
+    model = Llama(**CFG)
+    model.eval()
+    prompts = [[1, 5, 9], [2, 7, 3], [30, 20]]
+    want_greedy = [standalone(model, p, 8) for p in prompts]
+
+    def run(sample_idx):
+        with pdn.no_grad():
+            srv = LlamaServer(model, batch_size=2, chunk=4, eos_id=-1,
+                              seed=3)
+            rids = []
+            for i, p in enumerate(prompts):
+                kw = dict(temperature=5.0, top_k=40) \
+                    if i == sample_idx else {}
+                rids.append(srv.submit(p, max_new_tokens=8, **kw))
+            return rids, srv.run()
+
+    rids, done = run(sample_idx=1)
+    assert set(done) == set(rids)
+    # greedy requests exactly match the all-greedy standalone streams
+    assert done[rids[0]].tokens == want_greedy[0]
+    assert done[rids[2]].tokens == want_greedy[2]
+    # the sampled request differs from its greedy stream (T=5 on random
+    # logits makes an 8-token collision vanishingly unlikely) and is
+    # deterministic across identical server runs
+    assert done[rids[1]].tokens != want_greedy[1]
+    rids2, done2 = run(sample_idx=1)
+    assert done[rids[1]].tokens == done2[rids2[1]].tokens
+
+    # all-greedy fleet on a sampled-default server: per-request
+    # temperature=0 turns every row into exact argmax
+    with pdn.no_grad():
+        srv = LlamaServer(model, batch_size=2, chunk=4, eos_id=-1,
+                          temperature=0.9, seed=3)
+        rids3 = [srv.submit(p, max_new_tokens=8, temperature=0.0)
+                 for p in prompts]
+        done3 = srv.run()
+    for rid, exp in zip(rids3, want_greedy):
+        assert done3[rid].tokens == exp, (done3[rid].tokens, exp)
