@@ -137,11 +137,8 @@ class LlamaServer:
         sampling = self.sampling
 
         self._dtype = dtype
-        w = model._weights_cache.get(("serve", dtype, quant))
-        if w is None:
-            w = model._fused_weights(dtype, quant)
-            model._weights_cache[("serve", dtype, quant)] = w
-        self._w = w
+        self._refresh_weights()  # builds + caches the weight snapshot
+        w = self._w
         narrow = "egqa" in w and "s_attn" not in w
         self._narrow = narrow
         width = lane_pad_dim(
@@ -310,6 +307,12 @@ class LlamaServer:
         compiled chunk program with no recompiles."""
         prompt = [int(t) for t in np.asarray(prompt_ids).reshape(-1)]
         assert 0 < len(prompt) < self.S, len(prompt)
+        if temperature is not None and temperature < 0:
+            raise ValueError(f"temperature must be >= 0, got {temperature}")
+        if top_k is not None and not 0 < top_k:
+            raise ValueError(f"top_k must be positive, got {top_k}")
+        if top_p is not None and not 0.0 < top_p <= 1.0:
+            raise ValueError(f"top_p must be in (0, 1], got {top_p}")
         rid = next(self._rid)
         self._queue.append(Request(rid, prompt, int(max_new_tokens),
                                    temperature=temperature, top_k=top_k,
@@ -362,8 +365,9 @@ class LlamaServer:
         # readback for every admission's first token at the end —
         # per-request dispatches cost ~15 ms each through the tunnel
         by_len: dict = {}
+        row_samples = {}  # slot -> samples? (the _slot_params resolution)
         for slot, req in plan:
-            self._slot_params(slot, req)
+            row_samples[slot] = self._slot_params(slot, req)
             by_len.setdefault(len(req.prompt), []).append((slot, req))
         waves, firsts_dev = [], []
         for L, group in sorted(by_len.items()):
@@ -375,7 +379,7 @@ class LlamaServer:
                 i += k
                 prompts = np.array([r.prompt for _, r in sub], np.int32)
                 slots = np.array([s for s, _ in sub], np.int32)
-                wave_sample = any(self._ptemp[s] > 0 for s, _ in sub)
+                wave_sample = any(row_samples[s] for s, _ in sub)
                 self._key, akey = self._split(self._key)
                 tok1, self._ck, self._cv, self._tok = self._admit_many(
                     self._w, self._ck, self._cv, self._tok,
@@ -427,15 +431,23 @@ class LlamaServer:
 
     def _dispatch(self, n: int = None):
         """Admit what fits, then *dispatch* one decode chunk — NO host
-        readback.  Returns ``(toks_device, slots_snapshot)``, ``None``
-        (nothing active), or ``_EXHAUSTED`` (cache end reached)."""
+        readback.  Returns ``(toks_device, slots_snapshot, valid)``,
+        ``None`` (nothing active), or ``_EXHAUSTED`` (cache end
+        reached)."""
         self._refresh_weights()
         self._try_admit()
         if self.active == 0:
             return None
-        n = min(n or self.chunk, self.S - self._pos)
-        if n <= 0:
+        navail = self.S - self._pos
+        if navail <= 0:
             return self._EXHAUSTED
+        # FIXED chunk size — generate's discipline (model.py decode_chunk):
+        # a static n per mode means exactly one compiled scan executable.
+        # Steps past the cache end run against the kernel's pos clamp
+        # (in-bounds, filler tokens) and are discarded by _process via
+        # ``valid``; a variable tail n would recompile the whole Mosaic
+        # decode scan (~70 s) mid-serving for every distinct remainder.
+        n = n or self.chunk
         starts = self._jnp.asarray(self._starts, self._jnp.int32)
         any_sampled = self.sampling or any(
             self._ptemp[i] > 0 for i in range(self.B)
@@ -450,15 +462,17 @@ class LlamaServer:
         else:
             self._ck, self._cv, self._tok, toks = self._decode(
                 self._w, self._ck, self._cv, self._tok, self._pos, starts, n)
-        self._pos += n
+        self._pos += min(n, navail)
         # chunk tokens belong to the slot->request mapping AT DISPATCH:
         # by the time they are read back a slot may have been recycled
-        return toks, list(self._slots)
+        return toks, list(self._slots), min(n, navail)
 
-    def _process(self, toks, snapshot):
+    def _process(self, toks, snapshot, valid=None):
         """Read one dispatched chunk back and credit its tokens to the
-        requests that occupied each slot at dispatch time."""
-        toks = np.asarray(toks)  # (n, B) — the per-chunk host readback
+        requests that occupied each slot at dispatch time.  ``valid``
+        trims clamped filler steps decoded past the cache end (the chunk
+        is fixed-size; see _dispatch)."""
+        toks = np.asarray(toks)[:valid]  # (n, B) host readback
         for slot in range(self.B):
             req = snapshot[slot]
             if req is None or req.done:

@@ -346,3 +346,37 @@ def test_server_per_request_sampling(interp_kernels):
         done3 = srv.run()
     for rid, exp in zip(rids3, want_greedy):
         assert done3[rid].tokens == exp, (done3[rid].tokens, exp)
+
+
+def test_server_fixed_chunk_tail_trim(interp_kernels):
+    """The decode chunk stays FIXED-size (one compiled scan per mode —
+    a variable tail n would recompile the Mosaic kernel mid-serving);
+    clamped filler steps past the cache end are trimmed by _process, so
+    requests hitting the cache end truncate at exactly S tokens."""
+    from pydynet_tpu.models.llama.serve import LlamaServer
+
+    np.random.seed(15)
+    cfg = dict(CFG)
+    model = Llama(**cfg)
+    model.eval()
+    S = cfg["max_seq_len"]
+    prompt = [1, 5, 9]
+    # chunk=7 does NOT divide S - len(prompt): the last chunk crosses the
+    # cache end and must be trimmed, not recompiled at a tail size
+    with pdn.no_grad():
+        srv = LlamaServer(model, batch_size=2, chunk=7, eos_id=-1)
+        rid = srv.submit(prompt, max_new_tokens=10_000)
+        done = srv.run()
+    req = done[rid]
+    assert req.truncated
+    # idle admission set pos = len(prompt); first token came from the
+    # prefill, decode produced the remaining S - len(prompt) rows
+    assert len(req.tokens) == 1 + (S - len(prompt)), len(req.tokens)
+    assert all(0 <= t < cfg["vocab_size"] for t in req.tokens)
+
+    with pytest.raises(ValueError):
+        srv.submit(prompt, top_k=0)
+    with pytest.raises(ValueError):
+        srv.submit(prompt, top_p=0.0)
+    with pytest.raises(ValueError):
+        srv.submit(prompt, temperature=-1.0)
