@@ -380,3 +380,20 @@ def test_server_fixed_chunk_tail_trim(interp_kernels):
         srv.submit(prompt, top_p=0.0)
     with pytest.raises(ValueError):
         srv.submit(prompt, temperature=-1.0)
+
+
+def test_serve_cli_smoke(interp_kernels, capsys):
+    """python -m llm.llama.serve end to end (random-init, CPU interpret):
+    serves the prompts, prints one completion line per request and the
+    aggregate report."""
+    from llm.llama import serve as serve_cli
+
+    tps = serve_cli.main([
+        "--random-init", "--batch-size", "2", "--chunk", "4",
+        "--max-new-tokens", "6", "--dtype", "float32",
+        "--prompt", "There was a boy", "--prompt", "Once upon a time",
+    ])
+    out = capsys.readouterr().out
+    assert out.count("--- [") == 2
+    assert "tokens/s aggregate" in out
+    assert tps > 0
