@@ -210,11 +210,19 @@ def sample_logits_per_row(logits, key, temperature, top_k, top_p,
     """:func:`sample_logits` with per-row (B,) parameters: rows with
     ``temperature > 0`` draw from the filtered distribution, rows with
     ``temperature <= 0`` take the exact greedy argmax (identical to the
-    greedy kernel's in-kernel argmax, ties to the lowest index)."""
+    greedy kernel's in-kernel argmax, ties to the lowest index).
+
+    ``key`` may be ONE PRNG key (a fleet-shared stream) or a (B, 2)
+    stack of PER-ROW keys — then each row draws with its own key, which
+    is what makes a served request's sampled stream a pure function of
+    (prompt, params, seed), independent of the rest of the fleet."""
     greedy = jnp.argmax(logits, axis=-1)
     f = filter_logits_per_row(logits, temperature, top_k, top_p, seen,
                               repetition_penalty)
-    sampled = jax.random.categorical(key, f, axis=-1)
+    if key.ndim == 2:  # per-row keys
+        sampled = jax.vmap(jax.random.categorical)(key, f)
+    else:
+        sampled = jax.random.categorical(key, f, axis=-1)
     return jnp.where(temperature > 0, sampled, greedy)
 
 

@@ -49,6 +49,7 @@ class Request:
     temperature: float = None
     top_k: int = None
     top_p: float = None
+    seed: int = None  # None -> derived from the server seed + rid
 
 
 class LlamaServer:
@@ -111,7 +112,14 @@ class LlamaServer:
         self._temp = float(temperature or 0.0)
         self._top_k, self._top_p = top_k, top_p
         self._quant = quant
-        self._key = jax.random.PRNGKey(seed)
+        self._base_key = jax.random.PRNGKey(seed)
+        # per-SLOT PRNG keys (device-resident, never synced): each request
+        # row carries its own key stream, so a sampled request's tokens
+        # are a pure function of (prompt, params, seed) — independent of
+        # fleet composition, slot churn, or the other requests' lengths.
+        self._pkeys = jax.vmap(jax.random.fold_in,
+                               (None, 0))(self._base_key,
+                                          jnp.arange(batch_size))
         # per-SLOT sampling params (vLLM-style per-request overrides ride
         # submit(); traced (B,) vectors, so requests with different
         # temperature/top-k/top-p share one compiled chunk program).
@@ -185,7 +193,7 @@ class LlamaServer:
 
         @partial(jax.jit, static_argnames=("sample",),
                  donate_argnums=(1, 2, 3))
-        def admit_many(w, ck, cv, tok, prompts, pos0, slots, key,
+        def admit_many(w, ck, cv, tok, prompts, pos0, slots, keys_k,
                        temp_k, topk_k, topp_k, sample=False):
             """Prefill a WAVE of k same-length requests into slots
             ``slots`` at absolute rows [pos0, pos0+L) of the shared cache
@@ -207,9 +215,11 @@ class LlamaServer:
             k, L = prompts.shape
             ck1 = jnp.zeros((N, k, S, Hkv, hd), cdt)
             cv1 = jnp.zeros((N, k, S, Hkv, hd), cdt)
+            ks = jax.vmap(jax.random.split)(keys_k)  # (k, 2, 2)
+            draw_k, keys_out = ks[:, 0], ks[:, 1]
             if sample:
                 logits1, ck1, cv1 = forward_logits(w, ck1, cv1, prompts, 0)
-                tok1 = sample_logits_per_row(logits1, key, temp_k,
+                tok1 = sample_logits_per_row(logits1, draw_k, temp_k,
                                              topk_k, topp_k)
             else:
                 tok1, ck1, cv1 = forward_tokens(w, ck1, cv1, prompts, 0)
@@ -256,7 +266,7 @@ class LlamaServer:
                 return ck, cv, tok.at[slot].set(tok1[i])
 
             ck, cv, tok = jax.lax.fori_loop(0, k, body, (ck, cv, tok))
-            return tok1, ck, cv, tok
+            return tok1, ck, cv, tok, keys_out
 
         @partial(jax.jit, static_argnames=("n",), donate_argnums=(1, 2))
         def decode(w, ck, cv, tok, pos, starts, n):
@@ -272,39 +282,46 @@ class LlamaServer:
             return ck, cv, tok, toks  # toks (n, B)
 
         @partial(jax.jit, static_argnames=("n",), donate_argnums=(1, 2))
-        def decode_sampled(w, ck, cv, tok, pos, starts, key, temp_b,
+        def decode_sampled(w, ck, cv, tok, pos, starts, keys, temp_b,
                            topk_b, topp_b, n):
+            """``keys`` (B, 2): per-SLOT key streams, split per step per
+            row — a row's draws depend only on its own key lineage."""
             def step(carry, _):
-                ck, cv, tok, p, key = carry
+                ck, cv, tok, p, keys = carry
                 logits, ck, cv = fused_step_batched(w, ck, cv, tok, p,
                                                     emit_logits=True,
                                                     starts=starts)
-                key, sub = jax.random.split(key)
-                nxt = sample_logits_per_row(logits, sub, temp_b, topk_b,
-                                            topp_b).astype(tok.dtype)
-                return (ck, cv, nxt, p + 1, key), nxt
+                ks = jax.vmap(jax.random.split)(keys)  # (B, 2, 2)
+                nxt = sample_logits_per_row(logits, ks[:, 0], temp_b,
+                                            topk_b, topp_b).astype(tok.dtype)
+                return (ck, cv, nxt, p + 1, ks[:, 1]), nxt
 
             pos = jnp.asarray(pos, jnp.int32)
-            (ck, cv, tok, p, key), toks = jax.lax.scan(
-                step, (ck, cv, tok, pos, key), None, length=n)
-            return ck, cv, tok, toks, key
+            (ck, cv, tok, p, keys), toks = jax.lax.scan(
+                step, (ck, cv, tok, pos, keys), None, length=n)
+            return ck, cv, tok, toks, keys
 
         self._admit_many, self._decode = admit_many, decode
         self._decode_sampled = decode_sampled
         self._jnp = jnp
-        self._split = jax.random.split
+        self._jax = jax
 
     # ------------------------------ API ------------------------------ #
     def submit(self, prompt_ids, max_new_tokens: int = 256,
                temperature: float = None, top_k: int = None,
-               top_p: float = None) -> int:
+               top_p: float = None, seed: int = None) -> int:
         """Queue one prompt (list/array of token ids); returns request id.
 
         ``temperature``/``top_k``/``top_p`` override the server defaults
         for THIS request only (vLLM-style per-request params): rows carry
         their own traced (B,) sampling vectors, so a fleet can mix greedy
         (temperature=0) and differently-sampled requests in the same
-        compiled chunk program with no recompiles."""
+        compiled chunk program with no recompiles.  ``seed`` pins the
+        request's private PRNG stream: its sampled tokens become a pure
+        function of (prompt, params, seed) — reproducible regardless of
+        fleet composition, slot assignment, or co-tenant requests
+        (unseeded requests derive a stream from the server seed + rid,
+        so whole-server runs stay deterministic)."""
         prompt = [int(t) for t in np.asarray(prompt_ids).reshape(-1)]
         assert 0 < len(prompt) < self.S, len(prompt)
         if temperature is not None and temperature < 0:
@@ -316,19 +333,21 @@ class LlamaServer:
         rid = next(self._rid)
         self._queue.append(Request(rid, prompt, int(max_new_tokens),
                                    temperature=temperature, top_k=top_k,
-                                   top_p=top_p))
+                                   top_p=top_p, seed=seed))
         return rid
 
     def _slot_params(self, slot, req):
         """Resolve a request's effective sampling params into the per-slot
-        vectors; returns True when the row samples."""
+        vectors; returns (samples?, fresh_row_key)."""
         t = self._temp if req.temperature is None else float(req.temperature)
         k = self._top_k if req.top_k is None else req.top_k
         p = self._top_p if req.top_p is None else req.top_p
         self._ptemp[slot] = t
         self._ptopk[slot] = k if k is not None else self._V
         self._ptopp[slot] = p if p is not None else 1.0
-        return t > 0
+        key = (self._jax.random.PRNGKey(req.seed) if req.seed is not None
+               else self._jax.random.fold_in(self._base_key, req.rid))
+        return t > 0, key
 
     @property
     def active(self) -> int:
@@ -366,8 +385,9 @@ class LlamaServer:
         # per-request dispatches cost ~15 ms each through the tunnel
         by_len: dict = {}
         row_samples = {}  # slot -> samples? (the _slot_params resolution)
+        row_keys = {}     # slot -> fresh request key
         for slot, req in plan:
-            row_samples[slot] = self._slot_params(slot, req)
+            row_samples[slot], row_keys[slot] = self._slot_params(slot, req)
             by_len.setdefault(len(req.prompt), []).append((slot, req))
         waves, firsts_dev = [], []
         for L, group in sorted(by_len.items()):
@@ -380,13 +400,16 @@ class LlamaServer:
                 prompts = np.array([r.prompt for _, r in sub], np.int32)
                 slots = np.array([s for s, _ in sub], np.int32)
                 wave_sample = any(row_samples[s] for s, _ in sub)
-                self._key, akey = self._split(self._key)
-                tok1, self._ck, self._cv, self._tok = self._admit_many(
+                wave_keys = jnp.stack([row_keys[s] for s, _ in sub])
+                (tok1, self._ck, self._cv, self._tok,
+                 keys_out) = self._admit_many(
                     self._w, self._ck, self._cv, self._tok,
                     jnp.asarray(prompts), pos0, jnp.asarray(slots),
-                    akey, jnp.asarray(self._ptemp[slots]),
+                    wave_keys, jnp.asarray(self._ptemp[slots]),
                     jnp.asarray(self._ptopk[slots]),
                     jnp.asarray(self._ptopp[slots]), sample=wave_sample)
+                self._pkeys = self._pkeys.at[jnp.asarray(slots)].set(
+                    keys_out)
                 for s, _ in sub:
                     self._starts[s] = pos0
                 waves.append(sub)
@@ -454,9 +477,9 @@ class LlamaServer:
             if self._slots[i] is not None)
         if any_sampled:
             (self._ck, self._cv, self._tok, toks,
-             self._key) = self._decode_sampled(
+             self._pkeys) = self._decode_sampled(
                 self._w, self._ck, self._cv, self._tok, self._pos, starts,
-                self._key, self._jnp.asarray(self._ptemp),
+                self._pkeys, self._jnp.asarray(self._ptemp),
                 self._jnp.asarray(self._ptopk),
                 self._jnp.asarray(self._ptopp), n)
         else:

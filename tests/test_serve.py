@@ -397,3 +397,43 @@ def test_serve_cli_smoke(interp_kernels, capsys):
     assert out.count("--- [") == 2
     assert "tokens/s aggregate" in out
     assert tps > 0
+
+
+def test_server_per_request_seed_fleet_independent(interp_kernels):
+    """Per-request seeds (round-3 late): each slot carries its OWN PRNG
+    key stream (split per step per row), so a sampled request's tokens
+    are a pure function of (prompt, params, seed) — identical across
+    different batch sizes, different co-tenant requests, and different
+    submission orders (same-length prompts admit at the same absolute
+    position here, so not even rotary rounding differs)."""
+    from pydynet_tpu.models.llama.serve import LlamaServer
+
+    np.random.seed(16)
+    model = Llama(**CFG)
+    model.eval()
+    target = [1, 5, 9]
+    kw = dict(max_new_tokens=8, temperature=1.0, top_k=60, seed=42)
+
+    def target_tokens(batch_size, others, submit_last):
+        with pdn.no_grad():
+            srv = LlamaServer(model, batch_size=batch_size, chunk=4,
+                              eos_id=-1, seed=7)
+            rids = []
+            if not submit_last:
+                rid_t = srv.submit(target, **kw)
+            for i, p in enumerate(others):
+                rids.append(srv.submit(p, max_new_tokens=8,
+                                       temperature=0.7 + 0.1 * i, seed=i))
+            if submit_last:
+                rid_t = srv.submit(target, **kw)
+            done = srv.run()
+        return done[rid_t].tokens
+
+    alone = target_tokens(2, [], submit_last=False)
+    crowded = target_tokens(4, [[2, 7, 3], [30, 20, 10], [4, 4, 4]],
+                            submit_last=True)
+    assert alone == crowded, (alone, crowded)
+
+    # a different seed gives a different stream (T=1 on random logits)
+    kw["seed"] = 43
+    assert target_tokens(2, [], submit_last=False) != alone
