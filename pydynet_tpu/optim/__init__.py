@@ -1,3 +1,3 @@
-from .optimizer import Optimizer, SGD, Adagrad, Adadelta, Adam
+from .optimizer import (Optimizer, SGD, Adagrad, Adadelta, Adam, AdamW)
 from .lr_scheduler import (_LRScheduler, ExponentialLR, StepLR, MultiStepLR,
                            CosineAnnealingLR)

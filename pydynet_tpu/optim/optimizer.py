@@ -185,3 +185,28 @@ class Adam(Optimizer):
             p._data = new_p.astype(p._data.dtype)
         self._t_tensor._data = t + 1
         self._step_count += 1
+
+
+class AdamW(Adam):
+    """Adam with DECOUPLED weight decay (Loshchilov & Hutter, 2019).
+
+    Extension beyond the reference's optimizer set (its optimizers couple
+    ``weight_decay`` into the gradient, i.e. classic L2): here the decay
+    multiplies the parameter directly by ``(1 - lr * weight_decay)``
+    before the Adam update — PyTorch's ``optim.AdamW`` convention, which
+    transformer training recipes assume.  The moments see the raw
+    gradient only."""
+
+    def __init__(self, params, lr: float = 1e-3,
+                 betas: tuple = (0.9, 0.999), eps: float = 1e-8,
+                 weight_decay: float = 1e-2) -> None:
+        super().__init__(params, lr, betas, eps, weight_decay=0)
+        self.decoupled_weight_decay = weight_decay
+
+    def step(self):
+        wd = self.decoupled_weight_decay
+        if wd:
+            lr = self._lr_tensor._data
+            for p in self.params:
+                p._data = (p._data * (1.0 - lr * wd)).astype(p._data.dtype)
+        super().step()

@@ -225,3 +225,69 @@ def test_cosine_annealing_resume_mid_schedule():
         sched3.step()
         resumed.append(opt3.lr)
     np.testing.assert_allclose(resumed, lrs[4:7], rtol=1e-12)
+
+
+def test_adamw_decoupled_decay():
+    """AdamW (extension): decay multiplies params by (1 - lr*wd) BEFORE
+    the Adam update and the moments see the raw gradient — pinned against
+    a NumPy mirror; wd=0 degenerates to Adam bitwise; composes with
+    pdn.jit."""
+    import pydynet_tpu.nn as nn
+
+    rng = np.random.default_rng(3)
+    w0 = rng.standard_normal((4, 3)).astype(np.float32)
+    g0 = rng.standard_normal((4, 3)).astype(np.float32)
+    lr, wd, b1, b2, eps = 1e-2, 0.1, 0.9, 0.999, 1e-8
+
+    def run(opt_cls, **kw):
+        p = nn.Parameter(w0.copy())
+        opt = opt_cls([p], lr=lr, **kw)
+        traj = []
+        for t in (1, 2):
+            p.grad = np.asarray(g0) * t
+            opt.step()
+            traj.append(p.numpy().copy())
+        return traj
+
+    got = run(optim.AdamW, weight_decay=wd)
+    # NumPy mirror
+    p = w0.copy().astype(np.float64)
+    m = np.zeros_like(p)
+    v = np.zeros_like(p)
+    want = []
+    for t in (1, 2):
+        g = (g0 * t).astype(np.float64)
+        p = p * (1 - lr * wd)
+        m = b1 * m + (1 - b1) * g
+        v = b2 * v + (1 - b2) * g * g
+        a_t = np.sqrt(1 - b2**t) / (1 - b1**t)
+        p = p - lr * a_t * m / (np.sqrt(v) + eps)
+        want.append(p.copy())
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(a, b, rtol=2e-6)
+
+    # wd=0 == Adam bitwise
+    a0 = run(optim.AdamW, weight_decay=0.0)
+    ad = run(optim.Adam)
+    for a, b in zip(a0, ad):
+        np.testing.assert_array_equal(a, b)
+
+    # under pdn.jit: compiled steps match eager steps bitwise
+    def make(jit):
+        net = nn.Linear(3, 2)
+        for q in net.parameters():
+            q.data = np.full(q.shape, 0.25, np.float32)
+        opt = optim.AdamW(net.parameters(), lr=1e-2, weight_decay=0.05)
+        X = pdn.Tensor(np.ones((4, 3), np.float32))
+
+        def step():
+            opt.zero_grad()
+            loss = pdn.mean(pdn.square(net(X)))
+            loss.backward()
+            opt.step()
+            return loss
+
+        s = pdn.jit(step, state=(net, opt)) if jit else step
+        return [float(s().item()) for _ in range(4)]
+
+    np.testing.assert_array_equal(make(False), make(True))
