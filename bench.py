@@ -59,7 +59,7 @@ def build_model(cfg=None, device=None):
 
 def gate_config(name, cfg, *, quant=None, kv_quant=None, B=1, kind="argmax",
                 steps=FID_STEPS, margin=None, min_agree=None,
-                truth_cache={}):
+                dequant_truth=None, truth_cache={}):
     """Run one variant's hardware gate; returns a JSON-ready dict.
     CPU truth streams are cached per (cfg-id, B) so the two 15M formats
     share one eager run."""
@@ -70,13 +70,19 @@ def gate_config(name, cfg, *, quant=None, kv_quant=None, B=1, kind="argmax",
 
     out = {"name": name, "checked": 0, "ok": False}
     try:
-        key = (json.dumps({k: str(v) for k, v in cfg.items()}), B)
+        key = (json.dumps({k: str(v) for k, v in cfg.items()}), B,
+               dequant_truth)
         prompt = np.tile(PROMPT, (B, 1)) + np.arange(B)[:, None] * 7
         prompt[:, 0] = 1
         with pdn.no_grad():
             cached = truth_cache.get(key)
             if cached is None:
                 cpu = build_model(dict(cfg, max_batch_size=B))
+                if dequant_truth == "int4":
+                    # truth carries the int4 weight error itself (see
+                    # fidelity.dequant_int4_inplace); the packed kernel
+                    # then differs only by activation-int8 noise
+                    fidelity.dequant_int4_inplace(cpu)
                 truth, margins, tops = fidelity.greedy_truth(cpu, prompt,
                                                              steps)
                 dev = cpu.to("cuda:0")  # same weights, now on the chip
@@ -161,6 +167,10 @@ def main():
             # layout) drives agreement toward 1/vocab, quantization noise
             # flips only near-ties
             ("b1-int8", STORIES15M, {"quant": "int8", "min_agree": 0.6}),
+            # int4: gated against a DEQUANTIZED-int4 truth stream (the
+            # weight error rides the truth; only activation noise remains)
+            ("b1-int4", STORIES15M,
+             {"quant": "int4", "min_agree": 0.6, "dequant_truth": "int4"}),
             ("batched-b4", STORIES15M, {"B": 4}),
             ("batched-b32", STORIES15M, {"B": 32}),
             # weight int8 through the batched kernel (round-3 late): head

@@ -89,10 +89,11 @@ def main(argv=None):
     parser.add_argument("--beams", type=int, default=1,
                         help=">1 switches to beam-search decoding "
                         "(prints the best sequence at the end)")
-    parser.add_argument("--quant", choices=["int8-head", "int8"],
+    parser.add_argument("--quant", choices=["int8-head", "int8", "int4"],
                         default=None,
-                        help="weight-only int8 for the fused decode path "
-                        "(int8-head: lm_head only, the measured win)")
+                        help="weight-only quantization for the fused decode "
+                        "path (int8-head: lm_head only; int4: packed, "
+                        "quarter traffic — big-dims regime, lossier)")
     parser.add_argument("--kv-quant", choices=["int8"], default=None,
                         help="int8 KV cache for the fused decode path "
                         "(2x context per HBM byte; mutually exclusive "

@@ -965,6 +965,30 @@ class Llama(nn.Module):
             hq, hs = quantize_int8(base["head_w"], axis=0)
             fused["head_wq"] = hq            # int8 (D, V) for the kernel
             fused["head_s"] = hs             # f32 (1, V)
+        elif quant == "int4":
+            # full-layer int4 (B=1 kernel): (K/2, M) packed int8 blocks +
+            # the SAME scale-block layout as int8 (quarter the weight HBM
+            # traffic of bf16 — the regime is big dims, where decode is
+            # purely weight-streaming-bound).  Lossier than int8: gate on
+            # hardware by majority agreement only.
+            from ...ops.quant import quantize_int4
+
+            def q4(name):
+                arr, s = quantize_int4(fused[name], axis=1)
+                fused[name + "_q"] = arr     # packed (N, K/2, M) int8
+                return s
+
+            sq, sk, sv = q4("wq"), q4("wk"), q4("wv")
+            so, sdn = q4("wo"), q4("down")
+            sg, su = q4("gate_w"), q4("up_w")
+            zD = jnp.zeros((N, 3, D), jnp.float32)
+            zF = jnp.zeros((N, 6, F), jnp.float32)
+            fused["s_attn"] = jnp.concatenate([sq, sk, sv, so, sdn, zD], 1)
+            fused["s_ffn"] = jnp.concatenate([sg, su, zF], 1)
+            hq, hs = quantize_int4(base["head_w"], axis=0)
+            fused["head_wq"] = hq            # packed (D/2, V) int8
+            fused["head_s"] = hs
+            fused["q4"] = jnp.ones((), jnp.int8)  # static marker key
         elif quant is not None:
             raise ValueError(f"unsupported quant mode: {quant!r}")
         return fused
@@ -1027,7 +1051,7 @@ class Llama(nn.Module):
                 weights["head_b2"], ck, cv, vt=vt, sb=sb,
                 s_attn=weights.get("s_attn"), s_ffn=weights.get("s_ffn"),
                 head_s=weights.get("head_s"), emit_logits=emit_logits,
-                **nkw)
+                q4="q4" in weights, **nkw)
 
         def fused_step_batched(weights, ck, cv, tok, p, emit_logits=False,
                                starts=None):
@@ -1252,7 +1276,10 @@ class Llama(nn.Module):
         lm_head) additionally stores matmul weights as int8 with
         per-channel scales — halves the weight HBM traffic, which
         dominates decode at small-to-mid B (batched activations quantize
-        per row).
+        per row).  ``quant="int4"`` (B=1) packs two weights per byte
+        (``ops.quant.quantize_int4`` split-dot layout) — QUARTER the
+        weight traffic, for the big-dims regime where decode is purely
+        weight-streaming-bound; lossier than int8.
         Deliberate fix vs the reference: its decode feeds token L at
         start_pos L+1, leaving cache slot L zeroed (model.py:259-265); we
         decode at the correct positions.
@@ -1294,6 +1321,9 @@ class Llama(nn.Module):
                 and self._fused_decode_supported()
         if quant is not None and not fused:
             raise ValueError("quant requires the fused decode path")
+        if quant == "int4" and B > 1:
+            raise ValueError("quant='int4' is B=1-only (the batched "
+                             "kernel has no packed-int4 path yet)")
         if kv_quant not in (None, "int8"):
             raise ValueError(f"unsupported kv_quant mode: {kv_quant!r}")
         if kv_quant and not fused:

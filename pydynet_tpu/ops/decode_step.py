@@ -164,7 +164,8 @@ def _token_kernel(idx_ref,  # scalar prefetch: (2,) i32 = [pos, tok]
                   n_layers: int, n_heads: int, dim: int, dpad: int,
                   vt: int, n_tiles: int, sb: int, qlayers: bool,
                   qhead: bool, emit_logits: bool = False,
-                  dkp: int = None, narrow: bool = False):
+                  dkp: int = None, narrow: bool = False,
+                  q4: bool = False):
     """One grid step per layer, then one per lm_head vocab tile.
 
     The hidden state lives in VMEM scratch across stages.  KV caches stay in
@@ -242,6 +243,26 @@ def _token_kernel(idx_ref,  # scalar prefetch: (2,) i32 = [pos, tok]
         per-output-channel scale row of the packed (1, 8, *) scale block."""
         acc = jnp.dot(xq, wref[0], preferred_element_type=jnp.int32)
         return acc.astype(jnp.float32) * (sref[0, r:r + 1, :] * sx)
+
+    def qmm4(xq, wref, sref, r, sx):
+        """int4-packed variant: the (K/2, N) int8 block holds rows k
+        (low nibble) and k + K/2 (high nibble); two arithmetic shifts
+        unpack the contiguous halves IN REGISTER (no sublane interleave
+        — the relayout that made in-kernel dequant a loss) and the dot
+        splits as x[:K/2] @ lo + x[K/2:] @ hi: same total MXU work,
+        half the weight DMA of int8."""
+        pk = wref[0]
+        lo = jnp.right_shift(jnp.left_shift(pk, 4), 4)  # sign-extended
+        hi = jnp.right_shift(pk, 4)                     # arithmetic
+        k2 = pk.shape[0]
+        acc = jnp.dot(jax.lax.slice(xq, (0, 0), (1, k2)), lo,
+                      preferred_element_type=jnp.int32) \
+            + jnp.dot(jax.lax.slice(xq, (0, k2), (1, 2 * k2)), hi,
+                      preferred_element_type=jnp.int32)
+        return acc.astype(jnp.float32) * (sref[0, r:r + 1, :] * sx)
+
+    if q4:
+        qmm = qmm4
 
     def lane_pad(x):
         # (1, dim) -> (1, dpad) with zero lanes beyond dim
@@ -444,8 +465,18 @@ def _token_kernel(idx_ref,  # scalar prefetch: (2,) i32 = [pos, tok]
                 hq8[:] = xq0
                 hsx[0, 0] = sx0
 
-            acc = jnp.dot(hq8[:], head_w[:],
-                          preferred_element_type=jnp.int32)
+            if q4:  # packed (D/2, VT) head tiles: split dot, see qmm4
+                pk = head_w[:]
+                lo = jnp.right_shift(jnp.left_shift(pk, 4), 4)
+                hi = jnp.right_shift(pk, 4)
+                k2 = pk.shape[0]
+                acc = jnp.dot(jax.lax.slice(hq8[:], (0, 0), (1, k2)), lo,
+                              preferred_element_type=jnp.int32) \
+                    + jnp.dot(jax.lax.slice(hq8[:], (0, k2), (1, 2 * k2)),
+                              hi, preferred_element_type=jnp.int32)
+            else:
+                acc = jnp.dot(hq8[:], head_w[:],
+                              preferred_element_type=jnp.int32)
             logits = acc.astype(jnp.float32) \
                 * (head_s[:].astype(jnp.float32) * hsx[0, 0])
         else:
@@ -1278,14 +1309,16 @@ def batched_sb(seq: int, B: int, cw: int, itemsize: int,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("vt", "sb", "interpret", "emit_logits"))
+                   static_argnames=("vt", "sb", "interpret", "emit_logits",
+                                    "q4"))
 def fused_decode_token(pos, tok, emb, cosr, sinr, rot, hmask, final_norm,
                        wq, wk, wv, wo, gate_w, up_w, down_w,
                        in_norm, post_norm, head_w, head_b, ck, cv,
                        vt: int = 3200, sb: int = 256, interpret=False,
                        s_attn=None, s_ffn=None, head_s=None,
                        emit_logits: bool = False,
-                       cosk=None, sink=None, rotk=None, egqa=None):
+                       cosk=None, sink=None, rotk=None, egqa=None,
+                       q4: bool = False):
     """ONE Pallas launch = one full greedy decode step.
 
     pos scalar; tok (1,) i32 previous token; emb (V,D); cosr/sinr (S,D);
@@ -1321,7 +1354,7 @@ def fused_decode_token(pos, tok, emb, cosr, sinr, rot, hmask, final_norm,
     the lm_head and the argmax never leave the chip.
     """
     N, S, CW = ck.shape
-    D = wq.shape[1]
+    D = emb.shape[1]  # NOT wq.shape[1]: int4 packs the contraction axis
     H = hmask.shape[1]
     Dp = hmask.shape[0]  # query-side lane-padded width
     F = gate_w.shape[2]
@@ -1330,6 +1363,11 @@ def fused_decode_token(pos, tok, emb, cosr, sinr, rot, hmask, final_norm,
     qhead = head_s is not None
     narrow = egqa is not None
     assert qlayers == (s_ffn is not None)
+    if q4:  # int4 is full-layer-only: packed layers AND packed head
+        assert qlayers and qhead, "q4 requires s_attn/s_ffn/head_s"
+        assert wq.shape[1] == D // 2 and down_w.shape[1] == F // 2, \
+            (wq.shape, down_w.shape, D, F)
+        assert head_w.dtype == jnp.int8
     _check_tiling(V, vt, S, sb)
     assert Dp % 128 == 0 and Dp >= D, (Dp, D)
     assert CW % 128 == 0, CW
@@ -1382,6 +1420,8 @@ def fused_decode_token(pos, tok, emb, cosr, sinr, rot, hmask, final_norm,
 
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
 
+    KD = D // 2 if q4 else D   # weight-block contraction rows as stored
+    KF = F // 2 if q4 else F
     in_specs = [
         row8(1),         # emb block around tok
         row8(0),         # cos block around pos
@@ -1389,16 +1429,16 @@ def fused_decode_token(pos, tok, emb, cosr, sinr, rot, hmask, final_norm,
         full(D, D),      # rot
         full(Dp, H),     # hmask (lane-padded)
         full(1, D),      # final_norm
-        lspec(D, D),     # wq
-        lspec(D, CW if narrow else D),    # wk
-        lspec(D, CW if narrow else D),    # wv
-        lspec(D, D),     # wo
-        lspec(D, F),     # gate
-        lspec(D, F),     # up
-        lspec(F, D),     # down
+        lspec(KD, D),    # wq
+        lspec(KD, CW if narrow else D),   # wk
+        lspec(KD, CW if narrow else D),   # wv
+        lspec(KD, D),    # wo
+        lspec(KD, F),    # gate
+        lspec(KD, F),    # up
+        lspec(KF, D),    # down
         lspec(1, D),     # in_norm
         lspec(1, D),     # post_norm
-        vocab_tile(D),   # head_w
+        vocab_tile(KD),  # head_w
         vocab_tile(1),   # head_b
     ]
     extra_ops = ()
@@ -1468,7 +1508,7 @@ def fused_decode_token(pos, tok, emb, cosr, sinr, rot, hmask, final_norm,
                                dpad=Dp, vt=vt, n_tiles=n_tiles, sb=sb,
                                qlayers=qlayers, qhead=qhead,
                                emit_logits=emit_logits, dkp=CW,
-                               narrow=narrow)
+                               narrow=narrow, q4=q4)
     # clamp: a surplus step of a fixed-size decode chunk (model.generate
     # discards tokens past the request on the host) must not DMA the
     # pl.ds(apos, 16) cache tile past the end of the (N, S, Dp) buffer

@@ -42,3 +42,52 @@ def dequantize_int8(q, scale, dtype=jnp.float32):
     kernel never materializes the dequantized weights; it rescales the
     int32 matmul results instead)."""
     return (q.astype(jnp.float32) * scale).astype(dtype)
+
+
+INT4_MAX = 7.0
+
+
+def quantize_int4(w, axis: int):
+    """Symmetric per-output-channel int4 quantization, packed two values
+    per int8 byte along the CONTRACTION axis.
+
+    Packing layout (chosen so the kernel never interleaves sublanes): a
+    (K, N) weight with contraction axis 0 packs rows ``k`` and
+    ``k + K/2`` into one byte — low nibble = row ``k``, high nibble = row
+    ``k + K/2``.  In-kernel unpacking is then two arithmetic int8 shifts
+    producing the contiguous half-matrices ``w[:K/2]`` and ``w[K/2:]``,
+    and the matmul splits as ``x @ w = x[:, :K/2] @ lo + x[:, K/2:] @ hi``
+    — two half-K MXU dots, zero relayout (the sublane repacking that made
+    in-kernel int8->bf16 dequantization a net loss does not occur).
+
+    Returns ``(packed, scale)``: ``packed`` int8 with ``axis`` halved,
+    ``scale`` float32 with ``axis`` reduced to 1 (both halves share the
+    per-output-channel scale).  ``axis`` length must be even.
+    """
+    w = jnp.asarray(w)
+    K = w.shape[axis]
+    assert K % 2 == 0, K
+    amax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=axis, keepdims=True)
+    scale = jnp.maximum(amax, 1e-30) / INT4_MAX
+    q = jnp.clip(jnp.round(w.astype(jnp.float32) / scale),
+                 -INT4_MAX, INT4_MAX).astype(jnp.int8)
+    lo = jnp.take(q, jnp.arange(K // 2), axis=axis)
+    hi = jnp.take(q, jnp.arange(K // 2, K), axis=axis)
+    packed = jnp.bitwise_or(jnp.bitwise_and(lo, 0x0F),
+                            jnp.left_shift(hi, 4)).astype(jnp.int8)
+    return packed, scale.astype(jnp.float32)
+
+
+def unpack_int4(packed):
+    """(lo, hi) int8 halves of a :func:`quantize_int4` pack — exactly the
+    two arithmetic-shift unpacks the kernel runs in-register."""
+    lo = jnp.right_shift(jnp.left_shift(packed, 4), 4)  # sign-extend
+    hi = jnp.right_shift(packed, 4)                     # arithmetic
+    return lo, hi
+
+
+def dequantize_int4(packed, scale, axis: int, dtype=jnp.float32):
+    """Inverse of :func:`quantize_int4` (reference/tests only)."""
+    lo, hi = unpack_int4(packed)
+    q = jnp.concatenate([lo, hi], axis=axis)
+    return (q.astype(jnp.float32) * scale).astype(dtype)

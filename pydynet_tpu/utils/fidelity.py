@@ -23,6 +23,31 @@ REL_MARGIN = 0.02  # + relative part: bf16 ulp is |logit|/256, and a few
 # noise as a miss (measured: 1-in-54 "miss" at margin 0.054 on silicon)
 
 
+def dequant_int4_inplace(model):
+    """Round-trip a CPU model's quantizable weights through int4 (same
+    per-output-channel axes as ``_fused_weights(quant="int4")``), IN
+    PLACE: the eager f32 truth stream then carries the int4 WEIGHT error
+    itself, so the packed kernel differs from it only by per-call
+    activation-int8 noise — majority agreement becomes a tight gate for
+    a format whose weight error alone would swamp any margin."""
+    from ..ops.quant import dequantize_int4, quantize_int4
+
+    names = ["attention.Q.weight", "attention.K.weight",
+             "attention.V.weight", "attention.O.weight",
+             "ffn.gate.weight", "ffn.up.weight", "ffn.down.weight"]
+    for i in range(model.n_layers):
+        for nm in names:
+            par = model._parameters[f"layers.{i}.{nm}"]
+            pk, sc = quantize_int4(par._data, axis=0)
+            par._data = dequantize_int4(pk, sc, axis=0).astype(
+                par._data.dtype)
+    ph = model._parameters["lm_head.weight"]
+    pk, sc = quantize_int4(ph._data, axis=0)
+    ph._data = dequantize_int4(pk, sc, axis=0).astype(ph._data.dtype)
+    model._weights_cache.clear()
+    return model
+
+
 def greedy_truth(model, prompt_ids, steps: int):
     """Greedy stream + per-step top-2 margins from the eager f32 module
     (run this on a CPU-resident model).  Supports B >= 1 rows.

@@ -1382,3 +1382,56 @@ def test_spec_accept_extra_preserves_distribution():
 
     # filtered-out tokens never emitted
     assert p[0][np.unique(toks[:, 0])].min() > 0
+
+
+def test_generate_int4_quant_plumbing():
+    """generate(fused=True, quant="int4") end to end (interpret): packed
+    weights + split-dot kernel; deterministic, full-precision prefill
+    token preserved, B=1-only, mostly agrees with the f32 stream on this
+    tiny model (int4 noise flips only near-ties; the kernel MATH is
+    pinned exactly in test_ops_kernels.py)."""
+    import functools
+
+    from pydynet_tpu.ops import decode_step as dsk
+
+    np.random.seed(33)
+    model = Llama(vocab_size=256, embed_dim=32, n_heads=2, ffn_dim=64,
+                  max_seq_len=32, max_batch_size=1, n_layers=2,
+                  dtype=np.float32)
+    model.eval()
+    ids = np.array([[1, 5, 9]])
+
+    orig = dsk.fused_decode_token
+    dsk.fused_decode_token = functools.partial(orig, interpret=True)
+    try:
+        with pdn.no_grad():
+            a = [int(t.numpy()[0, 0])
+                 for t in model.generate(ids, 16, chunk=5, fused=True,
+                                         quant="int4")]
+            b = [int(t.numpy()[0, 0])
+                 for t in model.generate(ids, 16, chunk=5, fused=True,
+                                         quant="int4")]
+            base = [int(t.numpy()[0, 0])
+                    for t in model.generate(ids, 16, chunk=5, fused=False)]
+    finally:
+        dsk.fused_decode_token = orig
+        model._fused_chunk_fn = None
+
+    assert a == b  # deterministic
+    assert len(a) == 16 - 3 and all(0 <= t < 256 for t in a)
+    assert a[0] == base[0]  # prefill stays full precision
+
+    # packed weights live under _q keys; the XLA prefill entries are
+    # untouched full precision
+    import jax.numpy as jnp
+
+    w4 = model._fused_weights(None, "int4")
+    D, F = 32, 64
+    assert w4["wq_q"].shape == (2, D // 2, D)
+    assert w4["down_q"].shape == (2, F // 2, D)
+    assert w4["head_wq"].shape == (D // 2, 256)
+    assert w4["wo"].dtype != jnp.int8 and "q4" in w4
+
+    with pytest.raises(ValueError):  # B=1-only
+        next(iter(model.generate(np.array([[1, 2], [3, 4]]), 8,
+                                 fused=True, quant="int4")))

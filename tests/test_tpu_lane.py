@@ -119,6 +119,26 @@ def test_fused_batched_kernel_weight_int8_on_chip():
     assert checked > 0 and ok, ("int8", checked, ok)
 
 
+def test_fused_token_kernel_int4_on_chip():
+    """Packed-int4 whole-token kernel on silicon (round-3 late): gated
+    against a DEQUANTIZED-int4 truth stream (the weight error rides the
+    truth — see fidelity.dequant_int4_inplace), majority agreement
+    absorbing the remaining activation-int8 noise."""
+    import jax.numpy as jnp
+
+    from pydynet_tpu.utils import fidelity
+
+    cpu, dev = _models()
+    fidelity.dequant_int4_inplace(cpu)
+    fidelity.dequant_int4_inplace(dev)
+    ids = np.array([[1, 5, 9]])
+    truth, margins, tops = fidelity.greedy_truth(cpu, ids, STEPS)
+    checked, ok = fidelity.gate_fused_argmax(dev, ids, truth, margins, tops,
+                                             dtype=jnp.bfloat16,
+                                             quant="int4", min_agree=0.6)
+    assert checked > 0 and ok, (checked, ok)
+
+
 def test_fused_b1_kv_int8_on_chip():
     """B=1 kv_quant='int8' (routed through the batched kernel's int8-KV
     machinery — the 2x-context-per-HBM-byte mode) on silicon."""
