@@ -179,6 +179,9 @@ def main():
              {"B": 4, "quant": "int8-head"}),
             ("batched-b4-int8", STORIES15M,
              {"B": 4, "quant": "int8", "min_agree": 0.6}),
+            ("batched-b4-int4", STORIES15M,
+             {"B": 4, "quant": "int4", "min_agree": 0.6,
+              "dequant_truth": "int4"}),
             # int8 KV cache: per-row quantization noise is genuine (like
             # full-layer int8), so majority agreement is the right gate
             ("batched-b4-kvint8", STORIES15M,

@@ -1111,7 +1111,7 @@ class Llama(nn.Module):
                 weights["head_b2"], ck, cv,
                 vt=vt, sb=sbb, emit_logits=emit_logits, starts=starts,
                 s_attn=weights.get("s_attn"), s_ffn=weights.get("s_ffn"),
-                head_s=weights.get("head_s"), **nkw)
+                head_s=weights.get("head_s"), q4="q4" in weights, **nkw)
             if kv8:
                 o, ck, cv, sk, sv = out
                 return o, (ck, sk), (cv, sv)
@@ -1276,7 +1276,7 @@ class Llama(nn.Module):
         lm_head) additionally stores matmul weights as int8 with
         per-channel scales — halves the weight HBM traffic, which
         dominates decode at small-to-mid B (batched activations quantize
-        per row).  ``quant="int4"`` (B=1) packs two weights per byte
+        per row).  ``quant="int4"`` (any B) packs two weights per byte
         (``ops.quant.quantize_int4`` split-dot layout) — QUARTER the
         weight traffic, for the big-dims regime where decode is purely
         weight-streaming-bound; lossier than int8.
@@ -1321,9 +1321,6 @@ class Llama(nn.Module):
                 and self._fused_decode_supported()
         if quant is not None and not fused:
             raise ValueError("quant requires the fused decode path")
-        if quant == "int4" and B > 1:
-            raise ValueError("quant='int4' is B=1-only (the batched "
-                             "kernel has no packed-int4 path yet)")
         if kv_quant not in (None, "int8"):
             raise ValueError(f"unsupported kv_quant mode: {kv_quant!r}")
         if kv_quant and not fused:

@@ -98,7 +98,7 @@ class LlamaServer:
             "serving uses the batched whole-token kernel (shape constraints)"
         if kv_quant not in (None, "int8"):
             raise ValueError(f"unsupported kv_quant mode: {kv_quant!r}")
-        if quant not in (None, "int8", "int8-head"):
+        if quant not in (None, "int8", "int8-head", "int4"):
             raise ValueError(f"unsupported quant mode: {quant!r}")
         if quant and kv_quant:
             raise ValueError("quant and kv_quant are mutually exclusive "

@@ -517,7 +517,7 @@ def _token_kernel_batched(idx_ref,  # scalar prefetch: (1,) i32 = [pos]
                           dkp: int = None, narrow: bool = False,
                           with_starts: bool = False, kv_int8: bool = False,
                           sg: int = None, qlayers: bool = False,
-                          qhead: bool = False):
+                          qhead: bool = False, q4: bool = False):
     """Batched variant of ``_token_kernel``: the hidden state is (B, D), so
     every weight matrix streams from HBM ONCE per token for the whole batch
     (the vmapped fallback re-streams weights per row), and the qkv/ffn/head
@@ -625,6 +625,23 @@ def _token_kernel_batched(idx_ref,  # scalar prefetch: (1,) i32 = [pos]
         the per-row activation scales x the weight's channel-scale row."""
         acc = jnp.dot(xq, wref[0], preferred_element_type=jnp.int32)
         return acc.astype(jnp.float32) * (sref[0, r:r + 1, :] * sx)
+
+    def qmm_b4(xq, wref, sref, r, sx):
+        """int4-packed batched variant (see the B=1 kernel's qmm4): two
+        arithmetic shifts unpack contiguous halves, the dot splits as
+        x[:, :K/2] @ lo + x[:, K/2:] @ hi — half int8's weight DMA."""
+        pk = wref[0]
+        lo = jnp.right_shift(jnp.left_shift(pk, 4), 4)
+        hi = jnp.right_shift(pk, 4)
+        k2 = pk.shape[0]
+        acc = jnp.dot(jax.lax.slice(xq, (0, 0), (B, k2)), lo,
+                      preferred_element_type=jnp.int32) \
+            + jnp.dot(jax.lax.slice(xq, (0, k2), (B, 2 * k2)), hi,
+                      preferred_element_type=jnp.int32)
+        return acc.astype(jnp.float32) * (sref[0, r:r + 1, :] * sx)
+
+    if q4:
+        qmm_b = qmm_b4
 
     @pl.when(l == 0)
     def _():
@@ -973,8 +990,18 @@ def _token_kernel_batched(idx_ref,  # scalar prefetch: (1,) i32 = [pos]
                 hq8[:] = xq0
                 hsx[:] = sx0
 
-            acc = jnp.dot(hq8[:], head_w[:],
-                          preferred_element_type=jnp.int32)
+            if q4:  # packed (D/2, VT) head tiles: split dot (see qmm_b4)
+                pk = head_w[:]
+                lo = jnp.right_shift(jnp.left_shift(pk, 4), 4)
+                hi = jnp.right_shift(pk, 4)
+                k2 = pk.shape[0]
+                acc = jnp.dot(jax.lax.slice(hq8[:], (0, 0), (B, k2)), lo,
+                              preferred_element_type=jnp.int32) \
+                    + jnp.dot(jax.lax.slice(hq8[:], (0, k2), (B, 2 * k2)),
+                              hi, preferred_element_type=jnp.int32)
+            else:
+                acc = jnp.dot(hq8[:], head_w[:],
+                              preferred_element_type=jnp.int32)
             logits = acc.astype(jnp.float32) \
                 * (head_s[:].astype(jnp.float32) * hsx[:])
         else:
@@ -998,7 +1025,7 @@ def _token_kernel_batched(idx_ref,  # scalar prefetch: (1,) i32 = [pos]
 
 @functools.partial(jax.jit,
                    static_argnames=("vt", "sb", "interpret", "emit_logits",
-                                    "sg"))
+                                    "sg", "q4"))
 def fused_decode_token_batched(pos, h0, cosr, sinr, rot, hmask, final_norm,
                                wq, wk, wv, wo, gate_w, up_w, down_w,
                                in_norm, post_norm, head_w, head_b, ck, cv,
@@ -1007,7 +1034,8 @@ def fused_decode_token_batched(pos, h0, cosr, sinr, rot, hmask, final_norm,
                                cosk=None, sink=None, rotk=None, egqa=None,
                                starts=None, sk=None, sv=None,
                                sg: int = None,
-                               s_attn=None, s_ffn=None, head_s=None):
+                               s_attn=None, s_ffn=None, head_s=None,
+                               q4: bool = False):
     """Batched greedy decode step: ONE Pallas launch for B rows.
 
     ``h0`` (B, D) f32 is the already-gathered previous-token embedding
@@ -1031,7 +1059,7 @@ def fused_decode_token_batched(pos, h0, cosr, sinr, rot, hmask, final_norm,
     majority-agreement (bench.py).  Extension beyond the reference
     (llm/llama/model.py:86-110 keeps f32 caches)."""
     N, B, S, CW = ck.shape
-    D = wq.shape[1]
+    D = h0.shape[1]  # NOT wq.shape[1]: int4 packs the contraction axis
     H = hmask.shape[1]
     Dp = hmask.shape[0]  # query-side lane-padded width
     F = gate_w.shape[2]
@@ -1041,6 +1069,10 @@ def fused_decode_token_batched(pos, h0, cosr, sinr, rot, hmask, final_norm,
     qlayers = s_attn is not None
     qhead = head_s is not None
     assert qlayers == (s_ffn is not None)
+    if q4:
+        assert qlayers and qhead, "q4 requires s_attn/s_ffn/head_s"
+        assert wq.shape[1] == D // 2 and down_w.shape[1] == F // 2, \
+            (wq.shape, down_w.shape, D, F)
     assert not (qlayers and narrow), \
         "narrow KV + full-layer int8 unsupported (expanded layout)"
     assert not ((qlayers or qhead) and kv_int8), \
@@ -1100,6 +1132,8 @@ def fused_decode_token_batched(pos, h0, cosr, sinr, rot, hmask, final_norm,
 
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
 
+    KD = D // 2 if q4 else D   # weight-block contraction rows as stored
+    KF = F // 2 if q4 else F
     in_specs = [
         full(B, D),      # h0
         row8(),          # cos block around pos
@@ -1107,16 +1141,16 @@ def fused_decode_token_batched(pos, h0, cosr, sinr, rot, hmask, final_norm,
         full(D, D),      # rot
         full(Dp, H),     # hmask (lane-padded)
         full(1, D),      # final_norm
-        lspec(D, D),     # wq
-        lspec(D, CW if narrow else D),    # wk
-        lspec(D, CW if narrow else D),    # wv
-        lspec(D, D),     # wo
-        lspec(D, F),     # gate
-        lspec(D, F),     # up
-        lspec(F, D),     # down
+        lspec(KD, D),    # wq
+        lspec(KD, CW if narrow else D),   # wk
+        lspec(KD, CW if narrow else D),   # wv
+        lspec(KD, D),    # wo
+        lspec(KD, F),    # gate
+        lspec(KD, F),    # up
+        lspec(KF, D),    # down
         lspec(1, D),     # in_norm
         lspec(1, D),     # post_norm
-        vocab_tile(D),   # head_w
+        vocab_tile(KD),  # head_w
         vocab_tile(1),   # head_b
     ]
     extra_ops = ()
@@ -1188,7 +1222,7 @@ def fused_decode_token_batched(pos, h0, cosr, sinr, rot, hmask, final_norm,
                                sb=sb, batch=B, emit_logits=emit_logits,
                                dkp=CW, narrow=narrow,
                                with_starts=with_starts, kv_int8=kv_int8,
-                               sg=sg, qlayers=qlayers, qhead=qhead)
+                               sg=sg, qlayers=qlayers, qhead=qhead, q4=q4)
     # clamp: surplus chunk steps past the cache end must stay in bounds
     # (see fused_decode_token)
     idx = jnp.minimum(jnp.asarray(pos, jnp.int32),

@@ -435,7 +435,7 @@ def test_generate_batched_quant_plumbing():
     orig = dsk.fused_decode_token_batched
     dsk.fused_decode_token_batched = functools.partial(orig, interpret=True)
     try:
-        for q in ("int8-head", "int8"):
+        for q in ("int8-head", "int8", "int4"):
             model._fused_chunk_fn = None
             with pdn.no_grad():
                 a = [t.numpy() for t in model.generate(ids, 12, chunk=4,
@@ -1431,7 +1431,3 @@ def test_generate_int4_quant_plumbing():
     assert w4["down_q"].shape == (2, F // 2, D)
     assert w4["head_wq"].shape == (D // 2, 256)
     assert w4["wo"].dtype != jnp.int8 and "q4" in w4
-
-    with pytest.raises(ValueError):  # B=1-only
-        next(iter(model.generate(np.array([[1, 2], [3, 4]]), 8,
-                                 fused=True, quant="int4")))

@@ -1000,3 +1000,93 @@ def test_fused_decode_token_int4_matches_quantized_reference():
         np.testing.assert_allclose(np.asarray(ck)[:, :i + 1, :D],
                                    ck_std[:, :i + 1].reshape(N, i + 1, D),
                                    atol=2e-2)
+
+
+def test_fused_decode_token_batched_int4_matches_quantized_reference():
+    """The packed-int4 BATCHED kernel == B independent runs of the int4
+    NumPy mirror (per-row activation quantization + unpacked int4 weight
+    values with shared per-channel scales)."""
+    from pydynet_tpu.ops.quant import quantize_int4, unpack_int4
+
+    rng = np.random.default_rng(19)
+    cfg = dict(n_layers=2, n_heads=2, dim=16, seq=32, ffn=24)
+    N, D, F, S, H = (cfg["n_layers"], cfg["dim"], cfg["ffn"], cfg["seq"],
+                     cfg["n_heads"])
+    B, V, vt, sb = 3, 256, 128, 16
+    hd = D // H
+
+    raw = {
+        "wq": rng.standard_normal((N, D, D)) * 0.2,
+        "wk": rng.standard_normal((N, D, D)) * 0.2,
+        "wv": rng.standard_normal((N, D, D)) * 0.2,
+        "wo": rng.standard_normal((N, D, D)) * 0.2,
+        "gate": rng.standard_normal((N, D, F)) * 0.2,
+        "up": rng.standard_normal((N, D, F)) * 0.2,
+        "down": rng.standard_normal((N, F, D)) * 0.2,
+    }
+    norms = {
+        "in_norm": np.abs(rng.standard_normal((N, 1, D))) + 0.5,
+        "post_norm": np.abs(rng.standard_normal((N, 1, D))) + 0.5,
+        "final_norm": np.abs(rng.standard_normal((1, D))) + 0.5,
+    }
+    emb = rng.standard_normal((V, D)).astype(np.float32)
+    head_w = (rng.standard_normal((D, V)) * 0.3).astype(np.float32)
+    head_b = np.zeros((1, V), np.float32)
+
+    qw = {k: quantize_int4(jnp.asarray(v, jnp.float32), axis=1)
+          for k, v in raw.items()}
+    s_attn = jnp.concatenate(
+        [qw["wq"][1], qw["wk"][1], qw["wv"][1], qw["wo"][1], qw["down"][1],
+         jnp.zeros((N, 3, D), jnp.float32)], axis=1)
+    s_ffn = jnp.concatenate(
+        [qw["gate"][1], qw["up"][1], jnp.zeros((N, 6, F), jnp.float32)],
+        axis=1)
+    head_q, head_s = quantize_int4(jnp.asarray(head_w), axis=0)
+
+    def unpack_full(pk):
+        lo, hi = unpack_int4(pk)
+        return np.concatenate([np.asarray(lo), np.asarray(hi)], axis=-2)
+
+    qp = {k: unpack_full(qw[k][0]) for k in raw}
+    sp = {k: np.asarray(qw[k][1]) for k in raw}
+
+    Dp = ds.lane_pad_dim(D)
+    inv = 1.0 / (10000 ** (np.arange(0, hd, 2) / hd))
+    t = np.arange(S)[:, None]
+    cosr = np.tile(np.repeat(np.cos(t * inv), 2, -1), (1, H))
+    sinr = np.tile(np.repeat(np.sin(t * inv), 2, -1), (1, H))
+
+    f32 = jnp.float32
+    consts = dict(
+        cosr=jnp.asarray(cosr, f32), sinr=jnp.asarray(sinr, f32),
+        rot=jnp.asarray(ds.rope_pair_swap_matrix(D), f32),
+        hmask=jnp.pad(ds.head_mask_matrix(D, H).astype(f32),
+                      ((0, Dp - D), (0, 0))),
+        final_norm=jnp.asarray(norms["final_norm"], f32),
+        in_norm=jnp.asarray(norms["in_norm"], f32),
+        post_norm=jnp.asarray(norms["post_norm"], f32),
+        head_b=jnp.asarray(head_b, f32))
+
+    ck = jnp.zeros((N, B, S, Dp), f32)
+    cv = jnp.zeros((N, B, S, Dp), f32)
+    ck_std = np.zeros((B, N, S, H, hd))
+    cv_std = np.zeros((B, N, S, H, hd))
+
+    toks = np.array([[5, 190, 11, 42],
+                     [7, 3, 250, 99],
+                     [101, 55, 21, 8]]).T
+    for i in range(toks.shape[0]):
+        h0 = jnp.asarray(emb[toks[i]], f32)
+        nxt, ck, cv = ds.fused_decode_token_batched(
+            i, h0, consts["cosr"], consts["sinr"], consts["rot"],
+            consts["hmask"], consts["final_norm"], qw["wq"][0], qw["wk"][0],
+            qw["wv"][0], qw["wo"][0], qw["gate"][0], qw["up"][0],
+            qw["down"][0], consts["in_norm"], consts["post_norm"], head_q,
+            consts["head_b"], ck, cv, vt=vt, sb=sb, interpret=True,
+            s_attn=s_attn, s_ffn=s_ffn, head_s=head_s, q4=True)
+        for b in range(B):
+            want, _, ck_std[b], cv_std[b] = _whole_token_reference_q(
+                i, toks[i, b], emb, unpack_full(head_q),
+                np.asarray(head_s)[0], head_b, qp, sp, norms,
+                ck_std[b], cv_std[b], cfg)
+            assert int(nxt[b]) == want, (i, b, int(nxt[b]), want)

@@ -263,7 +263,7 @@ def test_server_weight_quant_matches_standalone(interp_kernels):
     model.eval()
     prompts = [[1, 5, 9], [2, 7, 3, 11], [30, 20]]
     want_fp = [standalone(model, p, 8) for p in prompts]
-    for q in ("int8-head", "int8"):
+    for q in ("int8-head", "int8", "int4"):
         with pdn.no_grad():
             want_q0 = [int(t.numpy()[0, 0]) for t in model.generate(
                 np.asarray([prompts[0], prompts[0]]), len(prompts[0]) + 8,

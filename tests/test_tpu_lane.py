@@ -139,6 +139,24 @@ def test_fused_token_kernel_int4_on_chip():
     assert checked > 0 and ok, (checked, ok)
 
 
+def test_fused_batched_kernel_int4_on_chip():
+    """Packed-int4 BATCHED kernel on silicon, dequantized-truth majority
+    gate (see the B=1 int4 test)."""
+    import jax.numpy as jnp
+
+    from pydynet_tpu.utils import fidelity
+
+    cpu, dev = _models(max_batch_size=4)
+    fidelity.dequant_int4_inplace(cpu)
+    fidelity.dequant_int4_inplace(dev)
+    ids = np.array([[1, 5, 9], [2, 7, 3], [30, 20, 10], [4, 4, 4]])
+    truth, margins, tops = fidelity.greedy_truth(cpu, ids, STEPS)
+    checked, ok = fidelity.gate_fused_argmax(dev, ids, truth, margins, tops,
+                                             dtype=jnp.bfloat16,
+                                             quant="int4", min_agree=0.6)
+    assert checked > 0 and ok, (checked, ok)
+
+
 def test_fused_b1_kv_int8_on_chip():
     """B=1 kv_quant='int8' (routed through the batched kernel's int8-KV
     machinery — the 2x-context-per-HBM-byte mode) on silicon."""
