@@ -191,9 +191,16 @@ class LlamaServer:
             rot_m = jnp.pad(rope_pair_swap_matrix(D, w["cosD"].dtype),
                             ((0, width - D), (0, width - D)))
 
+        base_key = self._base_key
+        # seeded requests derive from a FIXED constant (not the server
+        # seed), so a (prompt, params, seed) triple reproduces across
+        # servers; unseeded ones derive from the server seed + rid
+        fixed_key = jax.random.PRNGKey(0x5EED)
+
         @partial(jax.jit, static_argnames=("sample",),
-                 donate_argnums=(1, 2, 3))
-        def admit_many(w, ck, cv, tok, prompts, pos0, slots, keys_k,
+                 donate_argnums=(1, 2, 3, 4))
+        def admit_many(w, ck, cv, tok, pkeys, prompts, pos0, slots,
+                       seeds_k, has_seed_k, rids_k,
                        temp_k, topk_k, topp_k, sample=False):
             """Prefill a WAVE of k same-length requests into slots
             ``slots`` at absolute rows [pos0, pos0+L) of the shared cache
@@ -215,6 +222,13 @@ class LlamaServer:
             k, L = prompts.shape
             ck1 = jnp.zeros((N, k, S, Hkv, hd), cdt)
             cv1 = jnp.zeros((N, k, S, Hkv, hd), cdt)
+            # per-request key derivation INSIDE the one admission program
+            # (eager per-request fold_ins cost ~a tunnel dispatch each)
+            k_seed = jax.vmap(jax.random.fold_in,
+                              (None, 0))(fixed_key, seeds_k)
+            k_rid = jax.vmap(jax.random.fold_in,
+                             (None, 0))(base_key, rids_k)
+            keys_k = jnp.where(has_seed_k[:, None], k_seed, k_rid)
             ks = jax.vmap(jax.random.split)(keys_k)  # (k, 2, 2)
             draw_k, keys_out = ks[:, 0], ks[:, 1]
             if sample:
@@ -266,7 +280,8 @@ class LlamaServer:
                 return ck, cv, tok.at[slot].set(tok1[i])
 
             ck, cv, tok = jax.lax.fori_loop(0, k, body, (ck, cv, tok))
-            return tok1, ck, cv, tok, keys_out
+            pkeys = pkeys.at[slots].set(keys_out)
+            return tok1, ck, cv, tok, pkeys
 
         @partial(jax.jit, static_argnames=("n",), donate_argnums=(1, 2))
         def decode(w, ck, cv, tok, pos, starts, n):
@@ -338,16 +353,15 @@ class LlamaServer:
 
     def _slot_params(self, slot, req):
         """Resolve a request's effective sampling params into the per-slot
-        vectors; returns (samples?, fresh_row_key)."""
+        vectors; returns True when the row samples (key derivation happens
+        inside admit_many — zero extra device dispatches)."""
         t = self._temp if req.temperature is None else float(req.temperature)
         k = self._top_k if req.top_k is None else req.top_k
         p = self._top_p if req.top_p is None else req.top_p
         self._ptemp[slot] = t
         self._ptopk[slot] = k if k is not None else self._V
         self._ptopp[slot] = p if p is not None else 1.0
-        key = (self._jax.random.PRNGKey(req.seed) if req.seed is not None
-               else self._jax.random.fold_in(self._base_key, req.rid))
-        return t > 0, key
+        return t > 0
 
     @property
     def active(self) -> int:
@@ -385,9 +399,8 @@ class LlamaServer:
         # per-request dispatches cost ~15 ms each through the tunnel
         by_len: dict = {}
         row_samples = {}  # slot -> samples? (the _slot_params resolution)
-        row_keys = {}     # slot -> fresh request key
         for slot, req in plan:
-            row_samples[slot], row_keys[slot] = self._slot_params(slot, req)
+            row_samples[slot] = self._slot_params(slot, req)
             by_len.setdefault(len(req.prompt), []).append((slot, req))
         waves, firsts_dev = [], []
         for L, group in sorted(by_len.items()):
@@ -400,16 +413,17 @@ class LlamaServer:
                 prompts = np.array([r.prompt for _, r in sub], np.int32)
                 slots = np.array([s for s, _ in sub], np.int32)
                 wave_sample = any(row_samples[s] for s, _ in sub)
-                wave_keys = jnp.stack([row_keys[s] for s, _ in sub])
+                seeds = np.array([r.seed or 0 for _, r in sub], np.int32)
+                has_seed = np.array([r.seed is not None for _, r in sub])
+                rids = np.array([r.rid for _, r in sub], np.int32)
                 (tok1, self._ck, self._cv, self._tok,
-                 keys_out) = self._admit_many(
-                    self._w, self._ck, self._cv, self._tok,
+                 self._pkeys) = self._admit_many(
+                    self._w, self._ck, self._cv, self._tok, self._pkeys,
                     jnp.asarray(prompts), pos0, jnp.asarray(slots),
-                    wave_keys, jnp.asarray(self._ptemp[slots]),
+                    jnp.asarray(seeds), jnp.asarray(has_seed),
+                    jnp.asarray(rids), jnp.asarray(self._ptemp[slots]),
                     jnp.asarray(self._ptopk[slots]),
                     jnp.asarray(self._ptopp[slots]), sample=wave_sample)
-                self._pkeys = self._pkeys.at[jnp.asarray(slots)].set(
-                    keys_out)
                 for s, _ in sub:
                     self._starts[s] = pos0
                 waves.append(sub)

@@ -31,6 +31,8 @@ import math
 
 import jax
 import jax.numpy as jnp
+
+from . import quant
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -252,8 +254,7 @@ def _token_kernel(idx_ref,  # scalar prefetch: (2,) i32 = [pos, tok]
         splits as x[:K/2] @ lo + x[K/2:] @ hi: same total MXU work,
         half the weight DMA of int8."""
         pk = wref[0]
-        lo = jnp.right_shift(jnp.left_shift(pk, 4), 4)  # sign-extended
-        hi = jnp.right_shift(pk, 4)                     # arithmetic
+        lo, hi = quant.unpack_int4(pk)  # pure jnp, Pallas-safe
         k2 = pk.shape[0]
         acc = jnp.dot(jax.lax.slice(xq, (0, 0), (1, k2)), lo,
                       preferred_element_type=jnp.int32) \
@@ -467,8 +468,7 @@ def _token_kernel(idx_ref,  # scalar prefetch: (2,) i32 = [pos, tok]
 
             if q4:  # packed (D/2, VT) head tiles: split dot, see qmm4
                 pk = head_w[:]
-                lo = jnp.right_shift(jnp.left_shift(pk, 4), 4)
-                hi = jnp.right_shift(pk, 4)
+                lo, hi = quant.unpack_int4(pk)
                 k2 = pk.shape[0]
                 acc = jnp.dot(jax.lax.slice(hq8[:], (0, 0), (1, k2)), lo,
                               preferred_element_type=jnp.int32) \
@@ -631,8 +631,7 @@ def _token_kernel_batched(idx_ref,  # scalar prefetch: (1,) i32 = [pos]
         arithmetic shifts unpack contiguous halves, the dot splits as
         x[:, :K/2] @ lo + x[:, K/2:] @ hi — half int8's weight DMA."""
         pk = wref[0]
-        lo = jnp.right_shift(jnp.left_shift(pk, 4), 4)
-        hi = jnp.right_shift(pk, 4)
+        lo, hi = quant.unpack_int4(pk)
         k2 = pk.shape[0]
         acc = jnp.dot(jax.lax.slice(xq, (0, 0), (B, k2)), lo,
                       preferred_element_type=jnp.int32) \
@@ -992,8 +991,7 @@ def _token_kernel_batched(idx_ref,  # scalar prefetch: (1,) i32 = [pos]
 
             if q4:  # packed (D/2, VT) head tiles: split dot (see qmm_b4)
                 pk = head_w[:]
-                lo = jnp.right_shift(jnp.left_shift(pk, 4), 4)
-                hi = jnp.right_shift(pk, 4)
+                lo, hi = quant.unpack_int4(pk)
                 k2 = pk.shape[0]
                 acc = jnp.dot(jax.lax.slice(hq8[:], (0, 0), (B, k2)), lo,
                               preferred_element_type=jnp.int32) \

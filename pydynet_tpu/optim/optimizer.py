@@ -208,5 +208,11 @@ class AdamW(Adam):
         if wd:
             lr = self._lr_tensor._data
             for p in self.params:
+                if p._grad is None:
+                    # PyTorch convention: params with no grad this step
+                    # (conditionally-used modules, unrouted experts) are
+                    # not decayed — without this, a never-used param
+                    # silently shrinks by (1 - lr*wd)^steps
+                    continue
                 p._data = (p._data * (1.0 - lr * wd)).astype(p._data.dtype)
         super().step()

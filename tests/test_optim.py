@@ -291,3 +291,19 @@ def test_adamw_decoupled_decay():
         return [float(s().item()) for _ in range(4)]
 
     np.testing.assert_array_equal(make(False), make(True))
+
+
+def test_adamw_skips_gradless_params():
+    """AdamW must not decay params that received no gradient this step
+    (PyTorch convention): a conditionally-unused param keeps its value."""
+    import pydynet_tpu.nn as nn
+
+    used = nn.Parameter(np.ones((2, 2), np.float32))
+    unused = nn.Parameter(np.ones((2, 2), np.float32))
+    opt = optim.AdamW([used, unused], lr=0.1, weight_decay=0.5)
+    for _ in range(3):
+        opt.zero_grad()
+        used.grad = np.full((2, 2), 0.1, np.float32)
+        opt.step()
+    np.testing.assert_array_equal(unused.numpy(), np.ones((2, 2)))
+    assert float(np.abs(used.numpy()).max()) < 1.0  # decayed + updated

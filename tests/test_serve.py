@@ -434,6 +434,15 @@ def test_server_per_request_seed_fleet_independent(interp_kernels):
                             submit_last=True)
     assert alone == crowded, (alone, crowded)
 
+    # ... and across a server with a DIFFERENT constructor seed (seeded
+    # keys derive from a fixed constant, not the server key)
+    with pdn.no_grad():
+        srv = LlamaServer(model, batch_size=2, chunk=4, eos_id=-1,
+                          seed=99999)
+        rid = srv.submit(target, **kw)
+        done = srv.run()
+    assert done[rid].tokens == alone
+
     # a different seed gives a different stream (T=1 on random logits)
     kw["seed"] = 43
     assert target_tokens(2, [], submit_last=False) != alone
