@@ -171,6 +171,7 @@ class LlamaServer:
         self._starts = np.zeros(self.B, np.int32)
         self._pos = 0
         self._slots: list = [None] * self.B
+        self._admit_credits: list = []  # (rid, [first_token]) for stream()
         self._queue: deque = deque()
         self._rid = itertools.count()
         self._finished: dict = {}
@@ -436,6 +437,9 @@ class LlamaServer:
                 req.tokens.append(int(firsts[j]))
                 j += 1
                 self._maybe_finish(slot)
+                if req.tokens:  # EOS-as-first was popped -> nothing to show
+                    # surface the admission-time first token to stream()
+                    self._admit_credits.append((req.rid, [req.tokens[-1]]))
 
     def _maybe_finish(self, slot, truncated=False):
         req = self._slots[slot]
@@ -508,14 +512,17 @@ class LlamaServer:
         """Read one dispatched chunk back and credit its tokens to the
         requests that occupied each slot at dispatch time.  ``valid``
         trims clamped filler steps decoded past the cache end (the chunk
-        is fixed-size; see _dispatch)."""
+        is fixed-size; see _dispatch).  Returns [(rid, new_tokens)] for
+        :meth:`stream` (EOS excluded, like Request.tokens)."""
         toks = np.asarray(toks)[:valid]  # (n, B) host readback
+        credited = []
         for slot in range(self.B):
             req = snapshot[slot]
             if req is None or req.done:
                 continue  # empty at dispatch, or already finished (the
                 # slot decoded one chunk of discarded filler before the
                 # pipeline caught up — see run())
+            before = len(req.tokens)
             for t in toks[:, slot]:
                 req.tokens.append(int(t))
                 if req.tokens[-1] == self.eos_id \
@@ -523,6 +530,10 @@ class LlamaServer:
                     break
             if self._slots[slot] is req:
                 self._maybe_finish(slot)
+            new = req.tokens[before:]  # after _maybe_finish pops the EOS
+            if new:
+                credited.append((req.rid, new))
+        return credited
 
     def _truncate_fleet(self):
         for slot in range(self.B):
@@ -542,6 +553,36 @@ class LlamaServer:
             self._process(*disp)
         return [self._finished[r] for r in set(self._finished) - before]
 
+    def stream(self, max_steps: int = 10_000):
+        """Generator over ``(rid, new_tokens)`` chunks as they are read
+        back, until the queue and all slots drain — the incremental
+        (SSE-style) serving interface; :meth:`run` is this loop drained.
+
+        Same 1-deep pipeline as ``run`` (chunk k+1 dispatches BEFORE
+        chunk k's readback), so tokens arrive with one-chunk latency
+        while the device never idles; each request's tokens arrive in
+        order, interleaved across requests chunk by chunk."""
+        pending = None
+        for _ in range(max_steps):
+            if pending is None and not self._queue and self.active == 0:
+                break
+            disp = self._dispatch()
+            if self._admit_credits:  # admission-time first tokens
+                yield from self._admit_credits
+                self._admit_credits = []
+            if disp is self._EXHAUSTED:
+                if pending is not None:  # account in-flight tokens first
+                    yield from self._process(*pending)
+                    pending = None
+                    continue  # retry: the chunk may have finished slots
+                self._truncate_fleet()
+                continue
+            if pending is not None:
+                yield from self._process(*pending)
+            pending = disp
+        if pending is not None:
+            yield from self._process(*pending)
+
     def run(self, max_steps: int = 10_000) -> dict:
         """Drive until the queue and all slots drain; {rid: Request}.
 
@@ -552,21 +593,6 @@ class LlamaServer:
         decodes one chunk of filler in k+1 before being recycled (the
         filler rows are overwritten/masked by the next admission's
         ``starts``), and admissions lag one chunk behind EOS discovery."""
-        pending = None
-        for _ in range(max_steps):
-            if pending is None and not self._queue and self.active == 0:
-                break
-            disp = self._dispatch()
-            if disp is self._EXHAUSTED:
-                if pending is not None:  # account in-flight tokens first
-                    self._process(*pending)
-                    pending = None
-                    continue  # retry: the chunk may have finished slots
-                self._truncate_fleet()
-                continue
-            if pending is not None:
-                self._process(*pending)
-            pending = disp
-        if pending is not None:
-            self._process(*pending)
+        for _ in self.stream(max_steps):
+            pass
         return dict(self._finished)

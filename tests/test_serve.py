@@ -446,3 +446,41 @@ def test_server_per_request_seed_fleet_independent(interp_kernels):
     # a different seed gives a different stream (T=1 on random logits)
     kw["seed"] = 43
     assert target_tokens(2, [], submit_last=False) != alone
+
+
+def test_server_stream_incremental(interp_kernels):
+    """stream() yields (rid, new_tokens) chunks incrementally; the
+    concatenation per request equals run()'s final tokens, chunks arrive
+    in order, and tokens appear across MULTIPLE yields (not one batch at
+    the end)."""
+    from pydynet_tpu.models.llama.serve import LlamaServer
+
+    np.random.seed(17)
+    model = Llama(**CFG)
+    model.eval()
+    prompts = [[1, 5, 9], [2, 7, 3], [30, 20]]
+
+    with pdn.no_grad():
+        srv = LlamaServer(model, batch_size=2, chunk=4, eos_id=-1)
+        rids = [srv.submit(p, max_new_tokens=10) for p in prompts]
+        done_ref = srv.run()
+
+    with pdn.no_grad():
+        srv2 = LlamaServer(model, batch_size=2, chunk=4, eos_id=-1)
+        rids2 = [srv2.submit(p, max_new_tokens=10) for p in prompts]
+        got = {r: [] for r in rids2}
+        yields_per_rid = {r: 0 for r in rids2}
+        for rid, toks in srv2.stream():
+            got[rid].extend(toks)
+            yields_per_rid[rid] += 1
+    for r1, r2 in zip(rids, rids2):
+        # note: first token comes from admission (already in Request.tokens
+        # before the first decode chunk) — stream yields decode tokens plus
+        # it via the credited diff only if... compare full Request state:
+        assert srv2._finished[r2].tokens == done_ref[r1].tokens
+    # every request streamed over >= 2 yields (10 tokens at chunk=4)
+    assert all(v >= 2 for v in yields_per_rid.values()), yields_per_rid
+    # streamed tokens cover the FULL stream incl. the admission-time
+    # first token
+    for r2 in rids2:
+        assert srv2._finished[r2].tokens == got[r2][:]
