@@ -547,6 +547,8 @@ class LlamaServer:
         Synchronous (dispatch + readback); ``run`` pipelines instead."""
         before = set(self._finished)
         disp = self._dispatch(n)
+        self._admit_credits.clear()  # stream()-only bookkeeping: stale
+        # entries must not leak into a later stream() call
         if disp is self._EXHAUSTED:
             self._truncate_fleet()
         elif disp is not None:

@@ -484,3 +484,26 @@ def test_server_stream_incremental(interp_kernels):
     # first token
     for r2 in rids2:
         assert srv2._finished[r2].tokens == got[r2][:]
+
+
+def test_server_step_does_not_leak_admit_credits(interp_kernels):
+    """step() (synchronous API) must clear the stream() admission-credit
+    buffer, or a later stream() would replay stale first tokens."""
+    from pydynet_tpu.models.llama.serve import LlamaServer
+
+    np.random.seed(18)
+    model = Llama(**CFG)
+    model.eval()
+    with pdn.no_grad():
+        srv = LlamaServer(model, batch_size=2, chunk=4, eos_id=-1)
+        r1 = srv.submit([1, 5, 9], max_new_tokens=4)
+        srv.step()  # admits + decodes synchronously
+        assert srv._admit_credits == []
+        while not srv._finished.get(r1):
+            srv.step()
+        r2 = srv.submit([2, 7], max_new_tokens=4)
+        got = {r2: []}
+        for rid, toks in srv.stream():
+            assert rid == r2  # no stale r1 credits replayed
+            got[rid].extend(toks)
+        assert got[r2] == srv._finished[r2].tokens
