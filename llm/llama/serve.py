@@ -10,8 +10,10 @@ recycling, and report aggregate throughput.
 
 Per-request sampling: ``--temperature/--top-k/--top-p`` set the server
 defaults for every request (0 = greedy).  ``--quant int8[-head]`` halves
-the shared weight stream; ``--kv-quant int8`` halves the KV footprint
-(mutually exclusive).  ``--prompts-file`` reads one prompt per line.
+the shared weight stream (``int4`` quarters it); ``--kv-quant int8``
+halves the KV footprint (mutually exclusive with --quant).
+``--prompts-file`` reads one prompt per line; ``--stream`` prints tokens
+incrementally as chunks are read back.
 """
 import argparse
 import sys
@@ -64,9 +66,13 @@ def main(argv=None):
     parser.add_argument("--top-k", type=int, default=None)
     parser.add_argument("--top-p", type=float, default=None)
     parser.add_argument("--seed", type=int, default=0)
-    parser.add_argument("--quant", choices=["int8-head", "int8"],
+    parser.add_argument("--quant", choices=["int8-head", "int8", "int4"],
                         default=None)
     parser.add_argument("--kv-quant", choices=["int8"], default=None)
+    parser.add_argument("--stream", action="store_true",
+                        help="print tokens incrementally as chunks are "
+                        "read back (LlamaServer.stream) instead of "
+                        "completions at the end")
     args = parser.parse_args(argv)
 
     prompts = list(args.prompt or [])
@@ -106,7 +112,15 @@ def main(argv=None):
         rids = [srv.submit(ids, max_new_tokens=args.max_new_tokens)
                 for ids in encoded]
         t0 = time.time()
-        done = srv.run()
+        if args.stream:
+            for rid, toks in srv.stream():
+                out = [t for t in toks
+                       if t not in (tokenizer.eos_id, tokenizer.bos_id)]
+                if out:
+                    print(f"[{rid}] {tokenizer.decode(out)}", flush=True)
+            done = srv._finished
+        else:
+            done = srv.run()
         elapsed = time.time() - t0
 
     total = 0
