@@ -28,12 +28,42 @@ readback each, best-of-3; the difference cancels dispatch + readback
 overhead, leaving the chip's marginal cost per decoded token.
 """
 import json
+import os
 import sys
+import threading
 import time
 
 import numpy as np
 
 FID_STEPS = 16
+
+# Stall watchdog: through the shared remote tunnel, a wedged session hangs
+# jax init (or any dispatch) indefinitely — measured multi-hour wedges.
+# Rather than the driver timing out with NO output, emit a diagnostic JSON
+# line and exit if no progress marker lands for 20 minutes (a single cold
+# Mosaic compile is ~1-2 min, so legitimate work always ticks sooner).
+_LAST = [time.time()]
+_STALL_S = 1200
+
+
+def _tick():
+    _LAST[0] = time.time()
+
+
+def _watchdog():
+    while True:
+        time.sleep(30)
+        if time.time() - _LAST[0] > _STALL_S:
+            print(json.dumps({
+                "metric": "llama3_6L_decode_throughput",
+                "value": 0.0,
+                "unit": "tokens/s",
+                "vs_baseline": 0.0,
+                "fused": False,
+                "error": f"stalled: no progress for {_STALL_S}s "
+                         "(shared TPU tunnel wedged?)",
+            }), flush=True)
+            os._exit(0)  # the JSON line above is the result of record
 
 STORIES15M = dict(vocab_size=32000, embed_dim=288, n_heads=6, ffn_dim=768,
                   max_seq_len=1024, max_batch_size=1, n_layers=6,
@@ -144,11 +174,13 @@ def marginal_us_token(model, quant):
 
 
 def main():
+    threading.Thread(target=_watchdog, daemon=True).start()
     import jax.numpy as jnp
 
     import pydynet_tpu as pdn
 
     model = build_model(device="cuda:0" if pdn.cuda.is_available() else None)
+    _tick()
 
     total = 1024
     dtype = jnp.bfloat16
@@ -193,6 +225,7 @@ def main():
             ("stories110m-b1", STORIES110M, {}),
         ):
             g = gate_config(name, cfg, **kw)
+            _tick()
             configs.append(g)
             if name in ("b1-bf16", "b1-int8-head") and g["ok"]:
                 formats.append((kw.get("quant"), g["checked"], True))
@@ -220,6 +253,7 @@ def main():
                                                chunk=total, dtype=dtype,
                                                fused=True, quant=quant))
                     dt = time.time() - t0
+                    _tick()
                     if len(toks) / dt > best:
                         best = len(toks) / dt
                         best_quant = quant
@@ -243,6 +277,7 @@ def main():
                                                chunk=chunk, dtype=dtype,
                                                fused=False))
                     best = max(best, len(toks) / (time.time() - t0))
+                    _tick()
 
     print(json.dumps({
         "metric": "llama3_6L_decode_throughput",
