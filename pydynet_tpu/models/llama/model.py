@@ -628,7 +628,7 @@ class Llama(nn.Module):
             return (n * w).astype(x.dtype)
 
         def forward_logits_one(weights, ck, cv, tokens, pos,
-                               all_positions=False, last_idx=None):
+                               all_positions=False, last_idx=None, win=None):
             """tokens (B, L) at absolute pos; ck/cv (layers, B, S, Hkv, hd).
             One transformer forward as a scan over the layer axis; returns
             (last-position logits (B, V) f32, ck, cv) — or (B, L, V) with
@@ -637,14 +637,25 @@ class Llama(nn.Module):
             reads the logits at local position ``last_idx - 1`` instead of
             the last row — the bucketed-prefill hook: tokens past it are
             padding whose cache rows sit strictly above the decode position
-            and are rewritten before any later query can attend them."""
+            and are rewritten before any later query can attend them.
+
+            ``win`` (STATIC int) bounds the attention read to cache rows
+            [0, win): the caller guarantees ``pos + L <= win``, so every
+            dropped column is one the causal mask already sends to -inf —
+            its softmax weight is an exact 0.0 and removing it is
+            bit-preserving.  Cache WRITES still land in the full (S,) cache
+            carried through the scan.  This is what keeps early-position
+            decode from paying O(S) attention per step (the reference's
+            NumPy loop attends only [0, pos]; see ROADMAP 'CPU backend')."""
             B, L = tokens.shape
+            if win is None or win > S:
+                win = S
             h = weights["tok"][tokens]
             cos = jax.lax.dynamic_slice_in_dim(weights["cos"], pos, L)
             sin = jax.lax.dynamic_slice_in_dim(weights["sin"], pos, L)
             # query at abs position pos+i may attend cache slot j <= pos+i
             qpos = pos + jnp.arange(L)[:, None]
-            jpos = jnp.arange(S)[None, :]
+            jpos = jnp.arange(win)[None, :]
             mask = jnp.where(jpos <= qpos, 0.0, -jnp.inf).astype(jnp.float32)
             zero = jnp.zeros((), jnp.int32)
             pos32 = jnp.asarray(pos, jnp.int32)
@@ -665,8 +676,11 @@ class Llama(nn.Module):
                     ck_i, k, (zero, pos32, zero, zero))
                 cv_i = jax.lax.dynamic_update_slice(
                     cv_i, v, (zero, pos32, zero, zero))
-                kk = ck_i if g == 1 else jnp.repeat(ck_i, g, axis=2)
-                vv = cv_i if g == 1 else jnp.repeat(cv_i, g, axis=2)
+                # static slice: attention reads only the live window
+                kk, vv = ck_i[:, :win], cv_i[:, :win]
+                if g != 1:
+                    kk = jnp.repeat(kk, g, axis=2)
+                    vv = jnp.repeat(vv, g, axis=2)
                 s = jnp.einsum("blhd,bmhd->bhlm", q, kk,
                                preferred_element_type=jnp.float32) * scale
                 p = jax.nn.softmax(s + mask, axis=-1).astype(h.dtype)
@@ -696,9 +710,10 @@ class Llama(nn.Module):
                 + weights["head_b"].astype(jnp.float32)
             return logits, ck, cv
 
-        def forward_tokens(weights, ck, cv, tokens, pos, last_idx=None):
+        def forward_tokens(weights, ck, cv, tokens, pos, last_idx=None,
+                           win=None):
             logits, ck, cv = forward_logits_one(weights, ck, cv, tokens, pos,
-                                                last_idx=last_idx)
+                                                last_idx=last_idx, win=win)
             return jnp.argmax(logits, axis=-1).astype(tokens.dtype), ck, cv
 
         self._xla_forward_logits = forward_logits_one
@@ -706,17 +721,21 @@ class Llama(nn.Module):
                                                all_positions=True)
         self._xla_forward_tokens = forward_tokens
 
-        @jax.jit
-        def prefill(weights, ck, cv, tokens, pos, last_idx=None):
-            return forward_tokens(weights, ck, cv, tokens, pos, last_idx)
+        @partial(jax.jit, static_argnames=("win",))
+        def prefill(weights, ck, cv, tokens, pos, last_idx=None, win=None):
+            return forward_tokens(weights, ck, cv, tokens, pos, last_idx,
+                                  win)
 
-        @partial(jax.jit, static_argnames=("n_steps",),
+        @partial(jax.jit, static_argnames=("n_steps", "win"),
                  donate_argnames=("ck", "cv"))
-        def decode_chunk(weights, ck, cv, last_tok, pos, n_steps):
-            """Greedy-decode n_steps tokens in one on-device scan."""
+        def decode_chunk(weights, ck, cv, last_tok, pos, n_steps, win=None):
+            """Greedy-decode n_steps tokens in one on-device scan; every
+            step attends the static window [0, win) (caller guarantees
+            pos + n_steps <= win)."""
             def step(carry, _):
                 ck, cv, tok, p = carry
-                nxt, ck, cv = forward_tokens(weights, ck, cv, tok[:, None], p)
+                nxt, ck, cv = forward_tokens(weights, ck, cv, tok[:, None],
+                                             p, win=win)
                 return (ck, cv, nxt, p + 1), nxt
 
             pos = jnp.asarray(pos, jnp.int32)
@@ -738,11 +757,11 @@ class Llama(nn.Module):
         V = self.vocab_size
         mark = _mark_seen
 
-        @partial(jax.jit, static_argnames=("top_k", "top_p", "rep"))
+        @partial(jax.jit, static_argnames=("top_k", "top_p", "rep", "win"))
         def prefill_sample(weights, ck, cv, tokens, pos, key, temperature,
-                           top_k, top_p, rep, last_idx=None):
+                           top_k, top_p, rep, last_idx=None, win=None):
             logits, ck, cv = fwd(weights, ck, cv, tokens, pos,
-                                 last_idx=last_idx)
+                                 last_idx=last_idx, win=win)
             B, L = tokens.shape
             seen = jnp.zeros((B, V), bool)
             if rep is not None:  # prompt tokens count as seen
@@ -759,14 +778,15 @@ class Llama(nn.Module):
                     mark(seen, nxt))
 
         @partial(jax.jit,
-                 static_argnames=("n_steps", "top_k", "top_p", "rep"),
+                 static_argnames=("n_steps", "top_k", "top_p", "rep", "win"),
                  donate_argnames=("ck", "cv"))
         def decode_chunk_sample(weights, ck, cv, last_tok, pos, key,
                                 temperature, n_steps, top_k, top_p, rep,
-                                seen):
+                                seen, win=None):
             def step(carry, _):
                 ck, cv, tok, p, key, seen = carry
-                logits, ck, cv = fwd(weights, ck, cv, tok[:, None], p)
+                logits, ck, cv = fwd(weights, ck, cv, tok[:, None], p,
+                                     win=win)
                 key, sub = jax.random.split(key)
                 nxt = sample_logits(logits, sub, temperature, top_k,
                                     top_p, seen, rep).astype(tok.dtype)
@@ -1380,16 +1400,21 @@ class Llama(nn.Module):
             tvec = jnp.float32(temperature)
 
         ck, cv = self._empty_caches(B, weights["tok"].dtype)
+        # static attention window for the XLA paths: prefill attends only
+        # its own (power-of-two-padded) rows; each decode chunk attends the
+        # next power of two >= pos + chunk.  Bit-preserving (see
+        # forward_logits_one) and lands on a handful of cached executables.
+        win_p = int(np.asarray(ids_pad).shape[1])
         if sampling:
             rep = (float(repetition_penalty)
                    if repetition_penalty is not None else None)
             tok, ck, cv, rkey, seen = prefill_s(
                 weights, ck, cv, jnp.asarray(ids_pad, jnp.int32), 0,
-                rkey, tvec, top_k, top_p, rep, last_idx)
+                rkey, tvec, top_k, top_p, rep, last_idx, win=win_p)
         else:
             tok, ck, cv = prefill(weights, ck, cv,
                                   jnp.asarray(ids_pad, jnp.int32), 0,
-                                  last_idx)
+                                  last_idx, win=win_p)
         if fused:
             # fused kernel uses flat lane-padded (N, S, W) caches
             # ((N, B, S, W) batched); W is the narrow Hkv*hd width under
@@ -1428,13 +1453,19 @@ class Llama(nn.Module):
             # fixed-size scan every time -> exactly one compiled executable;
             # surplus tokens past `total` are discarded on the host
             need = total - pos - 1
+            # fused kernels stream the cache position-bounded already; the
+            # XLA scans take the static window (next pow2 >= pos + chunk)
+            wkw = {} if fused else {
+                "win": min(self.max_seq_len,
+                           1 << (pos + chunk - 1).bit_length())}
             if sampling:
                 ck, cv, toks, rkey, seen = decode_s(weights, ck, cv, tok,
                                                     pos, rkey, tvec, chunk,
                                                     top_k, top_p, rep,
-                                                    seen)
+                                                    seen, **wkw)
             else:
-                ck, cv, toks = decode_chunk(weights, ck, cv, tok, pos, chunk)
+                ck, cv, toks = decode_chunk(weights, ck, cv, tok, pos, chunk,
+                                            **wkw)
             keep = min(chunk, need)
             tok = toks[chunk - 1]
             pos += keep
