@@ -126,10 +126,17 @@ def gate_config(name, cfg, *, quant=None, kv_quant=None, B=1, kind="argmax",
                 kw = {} if margin is None else {"margin": margin}
                 if min_agree is not None:
                     kw["min_agree"] = min_agree
-                checked, ok = fidelity.gate_fused_argmax(
+                checked, ok, agree = fidelity.gate_fused_argmax(
                     dev, prompt, truth, margins, tops, dtype=jnp.bfloat16,
                     quant=quant, kv_quant=kv_quant, **kw)
-                out.update(checked=checked, ok=bool(ok))
+                out.update(checked=checked, ok=bool(ok),
+                           agree=round(agree, 3))
+            elif kind == "sampled":  # fused emit_logits -> sample_logits
+                checked, ok, agree = fidelity.gate_fused_sampled(
+                    dev, prompt, truth,
+                    min_agree=0.8 if min_agree is None else min_agree)
+                out.update(checked=checked, ok=bool(ok),
+                           agree=round(agree, 3))
             else:  # logits head (sampling mode), f32, scale-aware tol
                 diff, ok = fidelity.gate_fused_logits(dev, prompt, truth)
                 out.update(checked=steps - 1, ok=bool(ok),
@@ -137,7 +144,13 @@ def gate_config(name, cfg, *, quant=None, kv_quant=None, B=1, kind="argmax",
     except Exception as e:
         print(f"# gate {name} crashed ({type(e).__name__}: {e})",
               file=sys.stderr)
-        out["error"] = f"{type(e).__name__}: {e}"
+        # BOUNDED: a multi-KB Mosaic crash text inside the one JSON line
+        # destroyed round 3's whole artifact (driver tail truncation) —
+        # the full text still goes to stderr above.  ANSI escapes stripped
+        # (tunnel errors embed colored log lines).
+        import re
+        msg = re.sub(r"\x1b\[[0-9;]*m", "", f"{type(e).__name__}: {e}")
+        out["error"] = " ".join(msg.split())[:200]
     return out
 
 
@@ -173,8 +186,47 @@ def marginal_us_token(model, quant):
     return max(0.0, (t512 - t64) / (512 - 64) * 1e6)
 
 
+_MAX_LINE = 6000  # the driver tail-captures stdout; round 3's artifact was
+# destroyed by one unbounded in-line error string (VERDICT r03) — the JSON
+# line of record must stay comfortably under any plausible capture window
+
+
+def _emit(payload):
+    """Print the one JSON line of record, BOUNDED: if it exceeds
+    ``_MAX_LINE``, strip per-config extras, then drop configs entirely —
+    the headline fields always land parseable."""
+    line = json.dumps(payload)
+    if len(line) > _MAX_LINE and "configs" in payload:
+        payload["configs"] = [
+            {k: c[k] for k in ("name", "checked", "ok", "agree") if k in c}
+            for c in payload["configs"]]
+        payload["configs_trimmed"] = True
+        line = json.dumps(payload)
+    if len(line) > _MAX_LINE:
+        payload.pop("configs", None)
+        payload["configs_dropped"] = True
+        line = json.dumps(payload)
+    print(line, flush=True)
+
+
 def main():
     threading.Thread(target=_watchdog, daemon=True).start()
+    try:
+        _run()
+    except BaseException as e:  # the JSON line of record must still land
+        _emit({
+            "metric": "llama3_6L_decode_throughput",
+            "value": 0.0,
+            "unit": "tokens/s",
+            "vs_baseline": 0.0,
+            "fused": False,
+            "error": f"{type(e).__name__}: {e}"[:300],
+        })
+        import traceback
+        traceback.print_exc()  # full text to stderr only
+
+
+def _run():
     import jax.numpy as jnp
 
     import pydynet_tpu as pdn
@@ -198,11 +250,11 @@ def main():
             # agreement over ALL steps — true breakage (bad scales /
             # layout) drives agreement toward 1/vocab, quantization noise
             # flips only near-ties
-            ("b1-int8", STORIES15M, {"quant": "int8", "min_agree": 0.6}),
+            ("b1-int8", STORIES15M, {"quant": "int8", "min_agree": 0.75}),
             # int4: gated against a DEQUANTIZED-int4 truth stream (the
             # weight error rides the truth; only activation noise remains)
             ("b1-int4", STORIES15M,
-             {"quant": "int4", "min_agree": 0.6, "dequant_truth": "int4"}),
+             {"quant": "int4", "min_agree": 0.75, "dequant_truth": "int4"}),
             ("batched-b4", STORIES15M, {"B": 4}),
             ("batched-b32", STORIES15M, {"B": 32}),
             # weight int8 through the batched kernel (round-3 late): head
@@ -210,18 +262,21 @@ def main():
             ("batched-b4-int8head", STORIES15M,
              {"B": 4, "quant": "int8-head"}),
             ("batched-b4-int8", STORIES15M,
-             {"B": 4, "quant": "int8", "min_agree": 0.6}),
+             {"B": 4, "quant": "int8", "min_agree": 0.75}),
             ("batched-b4-int4", STORIES15M,
-             {"B": 4, "quant": "int4", "min_agree": 0.6,
+             {"B": 4, "quant": "int4", "min_agree": 0.75,
               "dequant_truth": "int4"}),
             # int8 KV cache: per-row quantization noise is genuine (like
             # full-layer int8), so majority agreement is the right gate
             ("batched-b4-kvint8", STORIES15M,
-             {"B": 4, "kv_quant": "int8", "min_agree": 0.6}),
+             {"B": 4, "kv_quant": "int8", "min_agree": 0.75}),
             ("b1-kvint8", STORIES15M,
-             {"kv_quant": "int8", "min_agree": 0.6}),
+             {"kv_quant": "int8", "min_agree": 0.75}),
             ("gqa-6q2kv-narrow", GQA_15M, {}),
             ("logits-head-f32", STORIES15M, {"kind": "logits"}),
+            # sampled decode path: fused logits -> radix filters ->
+            # categorical, same key as the XLA stream (round-4 gate)
+            ("sampled-t0.8-k50-p0.9", STORIES15M, {"kind": "sampled"}),
             ("stories110m-b1", STORIES110M, {}),
         ):
             g = gate_config(name, cfg, **kw)
@@ -279,7 +334,7 @@ def main():
                     best = max(best, len(toks) / (time.time() - t0))
                     _tick()
 
-    print(json.dumps({
+    _emit({
         "metric": "llama3_6L_decode_throughput",
         "value": round(best, 1),
         "unit": "tokens/s",
@@ -290,7 +345,7 @@ def main():
         "fidelity_ok": bool(fid_ok),
         "marginal_us_token": marginal,
         "configs": configs,
-    }))
+    })
 
 
 if __name__ == "__main__":

@@ -730,8 +730,12 @@ class Llama(nn.Module):
                  donate_argnames=("ck", "cv"))
         def decode_chunk(weights, ck, cv, last_tok, pos, n_steps, win=None):
             """Greedy-decode n_steps tokens in one on-device scan; every
-            step attends the static window [0, win) (caller guarantees
-            pos + n_steps <= win)."""
+            step attends the static window [0, win).  The caller guarantees
+            pos + n_steps <= win for every step whose OUTPUT IS CONSUMED;
+            generate() clamps win to max_seq_len, so surplus steps past the
+            requested total may run with qpos >= win — their outputs are
+            discarded on the host and their (clamped) cache writes land
+            after every kept step has read the rows it needs."""
             def step(carry, _):
                 ck, cv, tok, p = carry
                 nxt, ck, cv = forward_tokens(weights, ck, cv, tok[:, None],
@@ -1450,11 +1454,15 @@ class Llama(nn.Module):
         first_tok = tok  # prefill result: synced after the first decode
         pending = None  # device tokens not yet read back: (toks, keep)
         while pos + 1 < total:
-            # fixed-size scan every time -> exactly one compiled executable;
-            # surplus tokens past `total` are discarded on the host
+            # fixed-size scan every time -> a handful of executables keyed
+            # by (chunk, win); surplus tokens past `total` are discarded on
+            # the host
             need = total - pos - 1
             # fused kernels stream the cache position-bounded already; the
-            # XLA scans take the static window (next pow2 >= pos + chunk)
+            # XLA scans take the static window (next pow2 >= pos + chunk).
+            # The min() clamp means surplus steps near max_seq_len may run
+            # with qpos >= win — harmless, their outputs are discarded and
+            # kept positions stay < win (see decode_chunk's docstring).
             wkw = {} if fused else {
                 "win": min(self.max_seq_len,
                            1 << (pos + chunk - 1).bit_length())}

@@ -79,10 +79,18 @@ def quantize_int4(w, axis: int):
 
 
 def unpack_int4(packed):
-    """(lo, hi) int8 halves of a :func:`quantize_int4` pack — exactly the
-    two arithmetic-shift unpacks the kernel runs in-register."""
-    lo = jnp.right_shift(jnp.left_shift(packed, 4), 4)  # sign-extend
-    hi = jnp.right_shift(packed, 4)                     # arithmetic
+    """(lo, hi) int8 halves of a :func:`quantize_int4` pack — the
+    in-register unpack the kernel runs per weight tile.
+
+    The shifts happen in int32: Mosaic cannot legalize shifts on packed
+    int8 vectors (``arith.shli`` on ``vector<...x4xi8>`` was the round-3
+    ``batched-b4-int4`` silicon compile crash, BENCH_r03), while i32
+    shifts and the i8<->i32 widen/narrow both lower fine.  The widen/
+    narrow is VPU relayout work that overlaps the next tile's DMA in the
+    weight-streaming regime int4 exists for."""
+    p = packed.astype(jnp.int32)
+    lo = (jnp.right_shift(jnp.left_shift(p, 28), 28)).astype(jnp.int8)
+    hi = jnp.right_shift(p, 4).astype(jnp.int8)  # arithmetic: sign rides
     return lo, hi
 
 
