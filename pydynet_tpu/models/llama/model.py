@@ -1340,6 +1340,35 @@ class Llama(nn.Module):
         input_ids = np.asarray(input_ids)
         B, L = input_ids.shape
         sampling = temperature is not None and temperature > 0
+        # CPU platform: the BLAS lane (cpu_decode.py) decodes greedy B=1
+        # requests as a NumPy loop — memory-bound GEMVs with zero
+        # executable/dispatch overhead, the design that matches the
+        # reference's own CPU numbers.  fused="numpy" forces it; the
+        # default picks it automatically off-accelerator.
+        numpy_ok = (not sampling and B == 1 and quant is None
+                    and kv_quant is None and dtype is None)
+        if fused == "numpy":
+            if not numpy_ok:
+                raise ValueError(
+                    "fused='numpy' is the greedy, B=1, native-dtype CPU "
+                    "lane (no quant/kv_quant/sampling)")
+            numpy_lane = True
+        else:
+            numpy_lane = fused is None and self.device.kind != "accel" \
+                and numpy_ok
+        if numpy_lane:
+            total = min(max_new_tokens, self.max_seq_len)
+            if total <= L:  # reference: range(L, total) yields nothing
+                return
+            from .cpu_decode import build_np_weights, numpy_decode
+            wnp = self._weights_cache.get(("numpy",))
+            if wnp is None:
+                wnp = build_np_weights(self)
+                self._weights_cache[("numpy",)] = wnp
+            dev = Device("cpu")
+            for t in numpy_decode(self, wnp, input_ids, total):
+                yield Tensor._wrap(np.array([[t]]), dev, False)
+            return
         if fused is None:
             fused = self.device.kind == "accel" \
                 and self._fused_decode_supported()

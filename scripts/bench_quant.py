@@ -1,0 +1,100 @@
+"""Interleaved quant-format timing: marginal us/token per weight format,
+measured the tunnel-safe way (two on-device chunk scans from the same
+prefill, one host readback each, difference cancels dispatch+readback; see
+bench.py's module doc).  INTERLEAVED: each best-of-N trial cycles through
+every format back-to-back, so shared-tunnel tenant noise hits all formats
+equally — the only comparison ROADMAP.md trusts.
+
+Replaces ROADMAP's "PENDING hardware measurement" rows for int4 and
+batched weight-int8 (round-3 judge item 2).  Run on the real chip, ONE
+process at a time:
+
+    python scripts/bench_quant.py             # writes QUANTBENCH_r04.json
+
+One JSON line: {"metric": "quant_marginal_us_token", "rows": [
+  {"dims": "stories15M"|"stories110M", "B": 1|4,
+   "bf16": us, "int8-head": us, "int8": us, "int4": us}, ...]}
+(B=4 rows are per-FLEET-step us — divide by 4 for per-token aggregate.)
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+DIMS = {
+    "stories15M": dict(vocab_size=32000, embed_dim=288, n_heads=6,
+                       ffn_dim=768, max_seq_len=1024, n_layers=6,
+                       dtype=np.float32),
+    "stories110M": dict(vocab_size=32000, embed_dim=768, n_heads=12,
+                        ffn_dim=2048, max_seq_len=1024, n_layers=12,
+                        dtype=np.float32),
+}
+FORMATS = [None, "int8-head", "int8", "int4"]
+TRIALS = 3
+N_SHORT, N_LONG = 64, 512
+
+
+def main():
+    import jax.numpy as jnp
+
+    import pydynet_tpu as pdn
+    from pydynet_tpu.models.llama.model import Llama
+    from pydynet_tpu.utils.fidelity import _fused_setup
+
+    rows = []
+    for dims_name, cfg in DIMS.items():
+        for B in (1, 4):
+            np.random.seed(0)
+            model = Llama(**dict(cfg, max_batch_size=B)).to("cuda:0")
+            model.eval()
+            if model._fused_chunk_fn is None:
+                model._fused_chunk_fn = model._make_fused_decode_fns()
+            chunk_fn = model._fused_chunk_fn[0 if B == 1 else 2]
+
+            def run_len(quant, n, seed):
+                # fresh prefill per trial: donation consumed the old
+                # caches; fresh buffers defeat same-buffer memoization
+                prompt = np.tile([[1, 243, 532, 991]], (B, 1)) + seed
+                prompt[:, 0] = 1
+                w, ck, cv, tok0, _ = _fused_setup(model, prompt,
+                                                  jnp.bfloat16, quant)
+                t0 = time.time()
+                ck, cv, toks = chunk_fn(w, ck, cv, tok0,
+                                        prompt.shape[1], n)
+                np.asarray(toks)  # the only reliable sync via the tunnel
+                return time.time() - t0
+
+            with pdn.no_grad():
+                for q in FORMATS:  # compile both lengths per format first
+                    run_len(q, N_SHORT, 0)
+                    run_len(q, N_LONG, 0)
+                    print(f"# compiled {dims_name} B={B} {q or 'bf16'}",
+                          file=sys.stderr, flush=True)
+                t64 = {q: [] for q in FORMATS}
+                t512 = {q: [] for q in FORMATS}
+                for s in range(1, TRIALS + 1):  # interleaved trials
+                    for q in FORMATS:
+                        t64[q].append(run_len(q, N_SHORT, s))
+                        t512[q].append(run_len(q, N_LONG, s))
+            row = {"dims": dims_name, "B": B}
+            for q in FORMATS:
+                us = (min(t512[q]) - min(t64[q])) / (N_LONG - N_SHORT) * 1e6
+                row[q or "bf16"] = round(max(us, 0.0), 2)
+            rows.append(row)
+            print(f"# {row}", file=sys.stderr, flush=True)
+
+    out = {"metric": "quant_marginal_us_token", "unit": "us/step",
+           "trials": TRIALS, "rows": rows}
+    line = json.dumps(out)
+    print(line)
+    root = os.path.join(os.path.dirname(__file__), "..")
+    with open(os.path.join(root, "QUANTBENCH_r04.json"), "w") as f:
+        f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()

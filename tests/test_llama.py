@@ -54,6 +54,37 @@ def test_generate_scan_matches_eager_module_path():
     assert fast == slow, f"{fast} != {slow}"
 
 
+def test_numpy_lane_matches_xla_lane():
+    """The CPU BLAS decode lane (cpu_decode.py) is token-exact vs the XLA
+    scan lane, supports GQA, and honors generate()'s TOTAL-length quirk.
+    On a CPU device the default routing picks it for greedy B=1."""
+    model = tiny_model()
+    model.eval()
+    ids = np.array([[1, 5, 9]])
+    with pdn.no_grad():
+        xla = [int(t.numpy()[0, 0])
+               for t in model.generate(ids, 20, fused=False)]
+        np_lane = [int(t.numpy()[0, 0])
+                   for t in model.generate(ids, 20, fused="numpy")]
+        auto = [int(t.numpy()[0, 0]) for t in model.generate(ids, 20)]
+    assert np_lane == xla, (np_lane, xla)
+    assert auto == np_lane  # default CPU routing
+    with pdn.no_grad():
+        assert list(model.generate(ids, 3, fused="numpy")) == []
+        with pytest.raises(ValueError, match="numpy"):
+            list(model.generate(ids, 20, fused="numpy", temperature=0.7))
+
+    np.random.seed(2)
+    gqa = Llama(**dict(CFG, n_heads=4, n_kv_heads=2))
+    gqa.eval()
+    with pdn.no_grad():
+        a = [int(t.numpy()[0, 0]) for t in gqa.generate(ids, 16,
+                                                        fused=False)]
+        b = [int(t.numpy()[0, 0]) for t in gqa.generate(ids, 16,
+                                                        fused="numpy")]
+    assert a == b, (a, b)
+
+
 def test_generate_count_and_chunk_independence():
     model = tiny_model()
     model.eval()
@@ -352,6 +383,7 @@ def test_fused_decode_shape_guard():
     assert not odd._fused_decode_supported()  # ffn_dim 30 not 8-aligned
 
 
+@pytest.mark.slow
 def test_generate_int8_quant_plumbing():
     """generate(fused=True, quant="int8") end to end (interpret mode): the
     stream is deterministic, the full-precision prefill token matches the
@@ -412,6 +444,7 @@ def test_generate_int8_quant_plumbing():
         next(iter(model.generate(ids, 8, fused=False, quant="int8")))
 
 
+@pytest.mark.slow
 def test_generate_batched_quant_plumbing():
     """Weight int8 through the BATCHED whole-token kernel (round-3 late:
     previously B=1 only): generate(B>1, quant="int8"/"int8-head") runs in
@@ -594,6 +627,7 @@ GQA_CFG = dict(vocab_size=97, embed_dim=24, n_heads=4, n_kv_heads=2,
                dtype=np.float32)
 
 
+@pytest.mark.slow
 def test_gqa_generate_scan_matches_eager_module_path():
     """GQA (n_kv_heads < n_heads): the compiled scan decode must be
     token-identical to the eager module path (KV-head repeat in both)."""
@@ -693,6 +727,7 @@ def test_gqa_fused_kernel_matches_xla_path():
     assert got == want, (got, want)
 
 
+@pytest.mark.slow
 def test_gqa_narrow_kv_generate_matches_xla():
     """True-GQA narrow KV cache (round-3): GQA models decode through the
     fused kernels with (S, Hkv*hd)-wide cache rows (egqa in-kernel
@@ -742,6 +777,7 @@ def test_gqa_narrow_kv_generate_matches_xla():
     assert got_s == want_s, (got_s, want_s)
 
 
+@pytest.mark.slow
 def test_gqa_narrow_kv_batched_matches_xla():
     """Narrow-KV GQA through the BATCHED whole-token kernel."""
     import functools
@@ -847,6 +883,7 @@ def test_infer_config_from_checkpoint_shapes(tmp_path):
     assert len(toks) == 4
 
 
+@pytest.mark.slow
 def test_generate_sampling_modes():
     """Sampling extension: top_k=1 == greedy exactly; tiny temperature ~==
     greedy; fixed seed is deterministic; different seeds diverge; fused +
@@ -883,6 +920,7 @@ def test_generate_sampling_modes():
             assert p0 == greedy, tp
 
 
+@pytest.mark.slow
 def test_generate_sampling_fused_matches_xla():
     """Sampling at fused-kernel speed (round-3): the whole-token kernel
     emits the full logits row (emit_logits) and the SAME sample_logits /
@@ -930,6 +968,7 @@ def test_generate_sampling_fused_matches_xla():
     assert q == q2 and len(q) == len(want)
 
 
+@pytest.mark.slow
 def test_generate_sampling_fused_batched_matches_xla():
     """B>1 sampled decode through the batched whole-token kernel
     (emit_logits) must equal the XLA sampled path token-for-token."""
@@ -1106,6 +1145,7 @@ def test_gqa_batched_generate_matches_per_row():
     assert np.array_equal(batched, rows), (batched, rows)
 
 
+@pytest.mark.slow
 def test_generate_beam_modes():
     """Beam search: num_beams=1 equals the greedy stream, and a wider beam
     never scores worse (total logprob, fixed length, no EOS in range)."""
@@ -1179,6 +1219,7 @@ def test_generate_repetition_penalty():
     assert len(set(stream)) == len(stream), stream  # no repeats at all
 
 
+@pytest.mark.slow
 def test_generate_speculative_exact_greedy():
     """Prompt-lookup speculative decoding must emit the EXACT greedy
     stream: drafts are verified by the target model, so acceptance rate
@@ -1280,15 +1321,21 @@ def test_bucketed_prefill_shares_executables():
     model.eval()
     prefill = model._decode_fns[0] if model._decode_fns else None
     with pdn.no_grad():
-        list(model.generate(np.arange(1, 10)[None, :], 24, chunk=4))
+        # fused=False: pins the XLA lane (the default CPU routing now takes
+        # the BLAS numpy lane, which compiles nothing)
+        list(model.generate(np.arange(1, 10)[None, :], 24, chunk=4,
+                            fused=False))
         prefill = model._decode_fns[0]
         n0 = prefill._cache_size()
-        list(model.generate(np.arange(1, 14)[None, :], 24, chunk=4))
+        list(model.generate(np.arange(1, 14)[None, :], 24, chunk=4,
+                            fused=False))
         assert prefill._cache_size() == n0  # same 16-bucket executable
-        list(model.generate(np.arange(1, 20)[None, :], 28, chunk=4))
+        list(model.generate(np.arange(1, 20)[None, :], 28, chunk=4,
+                            fused=False))
         assert prefill._cache_size() == n0 + 1  # 32-bucket: one more
 
 
+@pytest.mark.slow
 def test_bucketed_prefill_sampling_and_repetition_penalty():
     """Sampled streams (incl. repetition penalty, whose 'seen' mask must
     ignore the pad tokens) are identical with and without bucketing."""

@@ -122,6 +122,7 @@ def test_server_idle_rewind_gives_full_headroom(interp_kernels):
     assert done[r2].tokens == want, (done[r2].tokens, want)
 
 
+@pytest.mark.slow
 def test_server_sampled_first_token_is_sampled(interp_kernels):
     """The ADMISSION token must follow the sampling distribution too:
     a sampled server's tokens[0] may not be the deterministic greedy
@@ -170,6 +171,7 @@ def test_server_eos_frees_slot(interp_kernels):
     assert done[r2].tokens == exp2, (done[r2].tokens, exp2)
 
 
+@pytest.mark.slow
 def test_server_heavy_turnover_mixed_lengths(interp_kernels):
     """Stress the pipelined scheduler: B=4 slots, 10 requests with mixed
     prompt lengths (exercises the per-length admission buckets, the
@@ -195,6 +197,7 @@ def test_server_heavy_turnover_mixed_lengths(interp_kernels):
         assert done[rid].tokens == exp, (rid, p, done[rid].tokens, exp)
 
 
+@pytest.mark.slow
 def test_server_kv_quant_matches_standalone(interp_kernels):
     """kv_quant="int8" serving: the fleet's caches are int8 + per-row
     scales end to end (admission scatter quantizes rows exactly like the
@@ -250,6 +253,7 @@ def test_server_kv_quant_matches_standalone(interp_kernels):
         LlamaServer(model, batch_size=2, kv_quant="fp4")
 
 
+@pytest.mark.slow
 def test_server_weight_quant_matches_standalone(interp_kernels):
     """quant="int8"/"int8-head" serving (round-3 late: the batched
     kernel's weight-int8 path).  Same exactness structure as the kv_quant
@@ -294,6 +298,7 @@ def test_server_weight_quant_matches_standalone(interp_kernels):
         LlamaServer(model, batch_size=2, quant="int8", kv_quant="int8")
 
 
+@pytest.mark.slow
 def test_server_per_request_sampling(interp_kernels):
     """vLLM-style per-request params (round-3 late): submit(...,
     temperature/top_k/top_p) overrides the server defaults per request.
@@ -382,6 +387,7 @@ def test_server_fixed_chunk_tail_trim(interp_kernels):
         srv.submit(prompt, temperature=-1.0)
 
 
+@pytest.mark.slow
 def test_serve_cli_smoke(interp_kernels, capsys):
     """python -m llm.llama.serve end to end (random-init, CPU interpret):
     serves the prompts, prints one completion line per request and the
@@ -399,6 +405,7 @@ def test_serve_cli_smoke(interp_kernels, capsys):
     assert tps > 0
 
 
+@pytest.mark.slow
 def test_server_per_request_seed_fleet_independent(interp_kernels):
     """Per-request seeds (round-3 late): each slot carries its OWN PRNG
     key stream (split per step per row), so a sampled request's tokens

@@ -132,6 +132,7 @@ def test_example_mnist_mlp_quick(capsys):
     assert acc > 0.5
 
 
+@pytest.mark.slow
 def test_example_transformer_quick():
     from examples.pydynet.transformer import main
     acc = main(["--epochs", "2", "--batch-size", "256"])
