@@ -2,44 +2,82 @@
 
 The XLA:CPU decode scan pays per-step executable overhead and misses
 OpenBLAS's tuned GEMV on the small matvecs that dominate a 15M-param
-decode (measured ~67 tok/s vs the reference's NumPy loop; ROADMAP.md
-"CPU backend").  On CPU the decode is MEMORY-BOUND — every token streams
-all ~60 MB of f32 weights through one core — so the right design is the
-same one the reference uses (/root/reference/llm/llama/model.py:61-121,
-258-269): a NumPy loop whose matvecs are straight BLAS sgemv calls, with
-no executable or dispatch layer at all.  This lane exists for parity on
-the reference's own platform; TPU paths are the product.
+decode (measured ~72 tok/s vs the reference loop's ~125-165 on this box;
+ROADMAP.md "CPU backend").  On CPU the decode is MEMORY-BOUND — every
+token streams all ~60 MB of f32 weights through one core — so the right
+design is the one the reference uses (/root/reference/llm/llama/
+model.py:61-121, 258-269): a NumPy loop whose matvecs are straight BLAS
+GEMV calls, with no executable or dispatch layer at all.  This lane
+exists for parity on the reference's own platform; TPU paths are the
+product.
+
+What makes it FASTER than the reference's loop on the same box:
+* zero per-step copies — every ``astype`` here is ``copy=False``; the
+  reference's module path materialises several Tensor temporaries per op
+  (55% of a naive port's time was astype copies, measured);
+* matrices are stored (out, in) C-contiguous and applied as ``W @ x`` —
+  the no-transpose row-major GEMV streams each weight row sequentially
+  into a scalar dot, the fastest single-core access pattern;
+* QKV and gate/up are fused into single GEMVs; RMS-norm gains are folded
+  into the following matrix's rows at build time, so a norm is just
+  (x / rms) with no elementwise-scale pass;
+* head-major KV caches: the per-step attention is two batched GEMVs over
+  contiguous views, and GQA folds the query-head group into the batch
+  axis — no K/V repeat materialises.
 
 Differences from the reference loop (deliberate, same as the XLA path):
-* decode positions are correct (the reference feeds token L at start_pos
-  L+1, leaving cache slot L zeroed — model.py:259-265);
-* attention reads only the live rows [0, pos] (like the reference) and
-  the caches are stored head-major so the per-step attention is two
-  batched GEMVs over contiguous views, no per-step relayout;
-* GQA (n_kv_heads < n_heads) is supported by folding the query-head
-  group into the GEMV batch axis — no K/V repeat materialises.
+decode positions are correct (the reference feeds token L at start_pos
+L+1, leaving cache slot L zeroed — model.py:259-265).
 
-The math mirrors ``model._make_decode_fns``'s ``forward_logits_one`` op
-for op in f32 (fused QKV / gate-up matmuls, f32 softmax and norms), so
-its stream agrees with the XLA lane's except at exact float ties.
+The math mirrors ``model._make_decode_fns``'s ``forward_logits_one`` in
+f32 (norm-gain folding is algebraically exact: (n*g) @ W == n @ (g*W) up
+to one f32 rounding), so its stream agrees with the XLA lane's except at
+exact float ties.
 """
 from __future__ import annotations
 
 import numpy as np
 
 
+def _f32(x):
+    return x if x.dtype == np.float32 else x.astype(np.float32)
+
+
 def build_np_weights(model):
-    """NumPy view of the stacked decode weights (``model._weights()``),
-    plus the head-major cache template.  Cached by ``generate`` under the
+    """NumPy decode-weight snapshot, laid out for single-core BLAS:
+    every matrix transposed to (out, in) C-contiguous (no-trans GEMV),
+    RMS-norm gains folded into the rows of the matrix that consumes the
+    normed vector.  Built from ``model._weights()`` (LoRA deltas and the
+    layer stacking ride along); cached by ``generate`` under the
     ("numpy",) weights-cache key."""
-    w = {k: np.asarray(v) for k, v in model._weights(None).items()}
+    raw = {k: np.asarray(v) for k, v in model._weights(None).items()}
+    N = model.n_layers
+
+    def t(a):  # (in, out) -> C-contiguous (out, in)
+        return np.ascontiguousarray(np.swapaxes(a, -1, -2))
+
+    w = {
+        "tok": raw["tok"],
+        "cos": _f32(raw["cos"]),
+        "sin": _f32(raw["sin"]),
+        # norm gains fold into the consuming matrix: rows of W.T scale by
+        # g along the *input* axis, i.e. columns of (out, in) scale by g
+        "wqkv": t(raw["wqkv"]) * raw["in_norm"][:, None, :],
+        "wo": t(raw["wo"]),
+        "wgu": t(raw["wgu"]) * raw["post_norm"][:, None, :],
+        "down": t(raw["down"]),
+        "head_w": _f32(t(raw["head_w"])) * _f32(raw["norm"])[None, :],
+        "head_b": _f32(raw["head_b"]),
+    }
+    assert all(w[k].flags.c_contiguous
+               for k in ("wqkv", "wo", "wgu", "down", "head_w"))
+    assert w["wqkv"].shape[0] == N
     return w
 
 
-def _rms(x, g):
-    x32 = x.astype(np.float32)
-    n = x32 * (1.0 / np.sqrt(np.mean(x32 * x32) + 1e-6))
-    return (n * g).astype(x.dtype)
+def _inv_rms(x):
+    x32 = _f32(x)
+    return 1.0 / np.sqrt(np.mean(x32 * x32) + 1e-6)
 
 
 def _rope(x, cos, sin):
@@ -54,9 +92,8 @@ def _rope(x, cos, sin):
 
 
 class _State:
-    """Head-major KV caches: K as (N, Hkv, S, hd), V as (N, Hkv, S, hd) —
-    the [i, :, :pos+1] slices are views whose batched matmuls need no
-    copy."""
+    """Head-major KV caches: (N, Hkv, S, hd) — the [i, :, :pos+1] slices
+    are views whose batched matmuls need no copy."""
 
     def __init__(self, model, dtype):
         N, S = model.n_layers, model.max_seq_len
@@ -80,36 +117,34 @@ def _advance(model, w, st, tok, pos, want_logits):
     sin = w["sin"][pos]
     m = pos + 1
     for i in range(N):
-        hn = _rms(h, w["in_norm"][i])
-        qkv = hn @ w["wqkv"][i]               # fused (D, D+2*Dkv) GEMV
+        # in_norm gain is folded into wqkv's columns
+        qkv = w["wqkv"][i] @ (h * _inv_rms(h))     # (D+2*Dkv,) GEMV
         q = _rope(qkv[:D].reshape(H, hd), cos, sin)
         k = _rope(qkv[D:D + Dkv].reshape(Hkv, hd), cos, sin)
         st.k[i, :, pos] = k
         st.v[i, :, pos] = qkv[D + Dkv:].reshape(Hkv, hd)
-        kk = st.k[i, :, :m]                   # (Hkv, m, hd) view
+        kk = st.k[i, :, :m]                        # (Hkv, m, hd) view
         vv = st.v[i, :, :m]
         # scores: fold the query-head group into the batch axis — GQA
         # needs no K/V repeat.  (Hkv, m, hd) @ (Hkv, hd, g) -> (Hkv, m, g)
         qg = q.reshape(Hkv, g, hd)
-        s = (kk @ qg.transpose(0, 2, 1)) * scale
-        s = s.astype(np.float32)
+        s = _f32(kk @ qg.transpose(0, 2, 1)) * scale
         s -= s.max(axis=1, keepdims=True)
         p = np.exp(s)
         p /= p.sum(axis=1, keepdims=True)
         # (Hkv, g, m) @ (Hkv, m, hd) -> (Hkv, g, hd) == (H, hd)
-        att = (p.transpose(0, 2, 1).astype(h.dtype) @ vv).reshape(D)
-        z = h + att @ w["wo"][i]
-        zn = _rms(z, w["post_norm"][i])
-        gu = zn @ w["wgu"][i]                 # fused (D, 2F) GEMV
+        att = (p.transpose(0, 2, 1).astype(h.dtype, copy=False)
+               @ vv).reshape(D)
+        z = h + w["wo"][i] @ att
+        gu = w["wgu"][i] @ (z * _inv_rms(z))       # (2F,) GEMV
         gate, up = gu[:F], gu[F:]
-        with np.errstate(over="ignore"):      # exp(-x) -> inf is exact 0
+        with np.errstate(over="ignore"):           # exp(-x)->inf is exact 0
             ff = (gate / (1.0 + np.exp(-gate))) * up
-        h = z + ff @ w["down"][i]
+        h = z + w["down"][i] @ ff
     if not want_logits:
         return None
-    hn = _rms(h, w["norm"])
-    return hn.astype(np.float32) @ w["head_w"].astype(np.float32) \
-        + w["head_b"].astype(np.float32)
+    hn = _f32(h * _inv_rms(h))
+    return w["head_w"] @ hn + w["head_b"]
 
 
 def numpy_decode(model, w, input_ids, total):
