@@ -302,7 +302,10 @@ def _run():
                     print(f"# fused decode quant={quant} unavailable "
                           f"({type(e).__name__}: {e})", file=sys.stderr)
                     continue
-                for _ in range(6):
+                # 10 trials/format: each is <1 s even in a loaded window,
+                # and the headline is best-of — more samples of the
+                # shared-tunnel load lottery for near-zero added runtime
+                for _ in range(10):
                     t0 = time.time()
                     toks = list(model.generate(PROMPT, total,
                                                chunk=total, dtype=dtype,

@@ -34,7 +34,7 @@ DIMS = {
                         dtype=np.float32),
 }
 FORMATS = [None, "int8-head", "int8", "int4"]
-TRIALS = 3
+TRIALS = 5
 N_SHORT, N_LONG = 64, 512
 
 
@@ -82,8 +82,11 @@ def main():
                         t512[q].append(run_len(q, N_LONG, s))
             row = {"dims": dims_name, "B": B}
             for q in FORMATS:
+                # raw difference, NOT clamped: a negative value means the
+                # window was too noisy to trust (min(t512) < min(t64)) —
+                # better an honest negative than a fake 0.0
                 us = (min(t512[q]) - min(t64[q])) / (N_LONG - N_SHORT) * 1e6
-                row[q or "bf16"] = round(max(us, 0.0), 2)
+                row[q or "bf16"] = round(us, 2)
             rows.append(row)
             print(f"# {row}", file=sys.stderr, flush=True)
 
