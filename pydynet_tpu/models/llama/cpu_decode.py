@@ -147,19 +147,77 @@ def _advance(model, w, st, tok, pos, want_logits):
     return w["head_w"] @ hn + w["head_b"]
 
 
-def numpy_decode(model, w, input_ids, total):
-    """Greedy-decode generator: yields np int token ids (host scalars),
-    starting with the token after the prompt, until the sequence reaches
-    ``total`` (same TOTAL-length contract as ``Llama.generate``).
+def _make_sampler(model, temperature, top_k, top_p, seed,
+                  repetition_penalty, prompt_ids):
+    """Per-token sampling closure for the numpy lane, built on the SAME
+    ``sample_logits`` / key-split schedule as the XLA scan lane
+    (``model._make_sample_fns``): one split per token starting from
+    ``PRNGKey(seed)``, ``seen`` marked with the prompt iff a repetition
+    penalty is active.  So a sampled numpy-lane stream matches the XLA
+    lane's token-for-token (up to f32 rounding-order near-ties, exactly
+    like greedy).  The jax work per token is one jitted (1, V) filter +
+    categorical draw, pinned to the CPU backend — dispatch overhead is
+    tens of us against the lane's multi-ms GEMV budget."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    from .model import _mark_seen, sample_logits
+
+    cpu = jax.local_devices(backend="cpu")[0]
+    rep = (float(repetition_penalty)
+           if repetition_penalty is not None else None)
+
+    # placement rides the committed key/seen arrays (created under
+    # default_device(cpu) below): even with the TPU plugin active, the
+    # per-token draw never touches the tunnel
+    @partial(jax.jit, static_argnames=("top_k", "top_p", "rep"))
+    def draw(logits, key, seen, tvec, top_k, top_p, rep):
+        key, sub = jax.random.split(key)
+        nxt = sample_logits(logits[None, :], sub, tvec, top_k, top_p,
+                            seen, rep)
+        return nxt[0], key, _mark_seen(seen, nxt)
+
+    with jax.default_device(cpu):
+        key = jax.random.PRNGKey(seed)
+        seen = jnp.zeros((1, model.vocab_size), bool)
+        if rep is not None:  # prompt tokens count as seen
+            seen = seen.at[0, jnp.asarray(prompt_ids)].set(True)
+        tvec = jnp.float32(temperature)
+
+    state = {"key": key, "seen": seen}
+
+    def sample(logits):
+        nxt, state["key"], state["seen"] = draw(
+            jnp.asarray(_f32(logits)), state["key"], state["seen"], tvec,
+            top_k, top_p, rep)
+        return int(nxt)
+
+    return sample
+
+
+def numpy_decode(model, w, input_ids, total, temperature=None, top_k=None,
+                 top_p=None, seed=0, repetition_penalty=None):
+    """Decode generator: yields np int token ids (host scalars), starting
+    with the token after the prompt, until the sequence reaches ``total``
+    (same TOTAL-length contract as ``Llama.generate``).  Greedy by
+    default; ``temperature > 0`` samples with the XLA lane's exact
+    ``sample_logits`` semantics and key schedule (see ``_make_sampler``).
     B == 1 only; the caller routes other shapes to the XLA lane."""
     ids = [int(t) for t in np.asarray(input_ids).reshape(-1)]
     L = len(ids)
+    if temperature is not None and temperature > 0:
+        pick = _make_sampler(model, temperature, top_k, top_p, seed,
+                             repetition_penalty, ids)
+    else:
+        def pick(logits):
+            return int(np.argmax(logits))
     st = _State(model, w["tok"].dtype)
     for pos, tok in enumerate(ids):           # prefill, one token at a time
         logits = _advance(model, w, st, tok, pos, pos == L - 1)
-    tok = int(np.argmax(logits))
+    tok = pick(logits)
     yield tok
     for pos in range(L, total - 1):
         logits = _advance(model, w, st, tok, pos, True)
-        tok = int(np.argmax(logits))
+        tok = pick(logits)
         yield tok

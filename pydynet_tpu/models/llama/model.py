@@ -1340,18 +1340,20 @@ class Llama(nn.Module):
         input_ids = np.asarray(input_ids)
         B, L = input_ids.shape
         sampling = temperature is not None and temperature > 0
-        # CPU platform: the BLAS lane (cpu_decode.py) decodes greedy B=1
+        # CPU platform: the BLAS lane (cpu_decode.py) decodes B=1
         # requests as a NumPy loop — memory-bound GEMVs with zero
         # executable/dispatch overhead, the design that matches the
-        # reference's own CPU numbers.  fused="numpy" forces it; the
+        # reference's own CPU numbers.  Sampling rides the same loop with
+        # the XLA lane's exact sample_logits/key schedule (one small
+        # CPU-jitted draw per token).  fused="numpy" forces it; the
         # default picks it automatically off-accelerator.
-        numpy_ok = (not sampling and B == 1 and quant is None
-                    and kv_quant is None and dtype is None)
+        numpy_ok = (B == 1 and quant is None and kv_quant is None
+                    and dtype is None)
         if fused == "numpy":
             if not numpy_ok:
                 raise ValueError(
-                    "fused='numpy' is the greedy, B=1, native-dtype CPU "
-                    "lane (no quant/kv_quant/sampling)")
+                    "fused='numpy' is the B=1, native-dtype CPU lane "
+                    "(no quant/kv_quant/dtype override)")
             numpy_lane = True
         else:
             numpy_lane = fused is None and self.device.kind != "accel" \
@@ -1366,7 +1368,10 @@ class Llama(nn.Module):
                 wnp = build_np_weights(self)
                 self._weights_cache[("numpy",)] = wnp
             dev = Device("cpu")
-            for t in numpy_decode(self, wnp, input_ids, total):
+            for t in numpy_decode(self, wnp, input_ids, total,
+                                  temperature=temperature, top_k=top_k,
+                                  top_p=top_p, seed=seed,
+                                  repetition_penalty=repetition_penalty):
                 yield Tensor._wrap(np.array([[t]]), dev, False)
             return
         if fused is None:
