@@ -155,35 +155,14 @@ def gate_config(name, cfg, *, quant=None, kv_quant=None, B=1, kind="argmax",
 
 
 def marginal_us_token(model, quant):
-    """On-device marginal cost per fused decode step (see module doc)."""
-    import jax.numpy as jnp
-
+    """On-device marginal cost per fused decode step (see module doc);
+    the timing rule lives in ``fidelity.marginal_us_token`` (one copy
+    shared with the scripts/ benchmarks)."""
     import pydynet_tpu as pdn
-    from pydynet_tpu.utils.fidelity import _fused_setup
+    from pydynet_tpu.utils import fidelity
 
     with pdn.no_grad():
-        if model._fused_chunk_fn is None:
-            model._fused_chunk_fn = model._make_fused_decode_fns()
-        decode_chunk = model._fused_chunk_fn[0]
-
-        def run_len(n, seed):
-            # fresh prefill per trial: donation consumed the old caches and
-            # fresh buffers defeat same-buffer replay memoization
-            prompt = PROMPT + seed
-            prompt[0, 0] = 1
-            w, ck, cv, tok0, _ = _fused_setup(model, prompt, jnp.bfloat16,
-                                              quant)
-            t0 = time.time()
-            ck, cv, toks = decode_chunk(w, ck, cv, tok0,
-                                        prompt.shape[1], n)
-            np.asarray(toks)  # the only reliable sync through the tunnel
-            return time.time() - t0
-
-        run_len(64, 0)  # compile both lengths outside the timed region
-        run_len(512, 0)
-        t64 = min(run_len(64, s) for s in (1, 2, 3))
-        t512 = min(run_len(512, s) for s in (1, 2, 3))
-    return max(0.0, (t512 - t64) / (512 - 64) * 1e6)
+        return max(0.0, fidelity.marginal_us_token(model, quant))
 
 
 _MAX_LINE = 6000  # the driver tail-captures stdout; round 3's artifact was

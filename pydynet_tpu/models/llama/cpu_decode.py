@@ -188,9 +188,12 @@ def _make_sampler(model, temperature, top_k, top_p, seed,
     state = {"key": key, "seen": seen}
 
     def sample(logits):
+        # device_put pins the logits to CPU explicitly: a bare jnp.asarray
+        # would eagerly land them on the DEFAULT backend — a per-token
+        # round trip through the TPU tunnel when the plugin is active
         nxt, state["key"], state["seen"] = draw(
-            jnp.asarray(_f32(logits)), state["key"], state["seen"], tvec,
-            top_k, top_p, rep)
+            jax.device_put(_f32(logits), cpu), state["key"], state["seen"],
+            tvec, top_k, top_p, rep)
         return int(nxt)
 
     return sample

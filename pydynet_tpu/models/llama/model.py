@@ -1347,12 +1347,17 @@ class Llama(nn.Module):
         # the XLA lane's exact sample_logits/key schedule (one small
         # CPU-jitted draw per token).  fused="numpy" forces it; the
         # default picks it automatically off-accelerator.
+        # f32-native only: a bf16-native model's numpy loop would promote
+        # the residual stream to f32 (numpy has no bf16 BLAS), silently
+        # changing the token stream vs the XLA lane's per-layer rounding
         numpy_ok = (B == 1 and quant is None and kv_quant is None
-                    and dtype is None)
+                    and dtype is None
+                    and np.dtype(self.tok_embedding.weight.dtype)
+                    == np.float32)
         if fused == "numpy":
             if not numpy_ok:
                 raise ValueError(
-                    "fused='numpy' is the B=1, native-dtype CPU lane "
+                    "fused='numpy' is the B=1, f32-native CPU lane "
                     "(no quant/kv_quant/dtype override)")
             numpy_lane = True
         else:
@@ -1372,7 +1377,8 @@ class Llama(nn.Module):
                                   temperature=temperature, top_k=top_k,
                                   top_p=top_p, seed=seed,
                                   repetition_penalty=repetition_penalty):
-                yield Tensor._wrap(np.array([[t]]), dev, False)
+                # int32 to match the XLA/fused lanes' yielded rows
+                yield Tensor._wrap(np.array([[t]], np.int32), dev, False)
             return
         if fused is None:
             fused = self.device.kind == "accel" \

@@ -115,6 +115,47 @@ def _fused_setup(model, prompt_ids, dtype, quant, kv_quant=None):
     return w, ck, cv, tok0, fused_step
 
 
+def timed_chunk_s(model, quant, n, seed, dtype=None, B=1):
+    """ONE tunnel-safe timing sample: seconds for an ``n``-step fused
+    decode chunk, measured the only way the remote tunnel respects
+    (CLAUDE.md traps): a FRESH prefill per call (donation consumed the
+    previous caches, and fresh buffers defeat same-buffer replay
+    memoization), the whole chunk inside one dispatch, and a host
+    readback as the only reliable sync.  The single copy of the timing
+    rule shared by ``bench.py`` and ``scripts/bench_quant.py`` /
+    ``bench_7b_probe.py`` — marginal us/token is the difference of two
+    chunk lengths, which cancels dispatch+readback overhead."""
+    import time
+
+    import jax.numpy as jnp
+
+    prompt = np.tile([[1, 243, 532, 991]], (B, 1)) + seed
+    prompt[:, 0] = 1
+    w, ck, cv, tok0, _ = _fused_setup(model, prompt,
+                                      dtype or jnp.bfloat16, quant)
+    chunk_fn = model._fused_chunk_fn[0 if B == 1 else 2]
+    t0 = time.time()
+    ck, cv, toks = chunk_fn(w, ck, cv, tok0, prompt.shape[1], n)
+    np.asarray(toks)
+    return time.time() - t0
+
+
+def marginal_us_token(model, quant, trials=3, dtype=None, B=1,
+                      n_short=64, n_long=512):
+    """Noise-robust on-device marginal cost per fused decode step for one
+    format: best-of-``trials`` at two chunk lengths (compiles run outside
+    the timed region), difference divided by the step delta.  May return
+    a NEGATIVE value when tenant load made the window untrustworthy —
+    callers decide whether to clamp or report honestly."""
+    for n in (n_short, n_long):  # compile both lengths first
+        timed_chunk_s(model, quant, n, 0, dtype, B)
+    ts = min(timed_chunk_s(model, quant, n_short, s, dtype, B)
+             for s in range(1, trials + 1))
+    tl = min(timed_chunk_s(model, quant, n_long, s, dtype, B)
+             for s in range(1, trials + 1))
+    return (tl - ts) / (n_long - n_short) * 1e6
+
+
 def gate_fused_argmax(model, prompt_ids, truth, margins, tops=None, *,
                       dtype=None, quant=None, kv_quant=None,
                       margin: float = MARGIN,

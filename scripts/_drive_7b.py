@@ -36,8 +36,7 @@ def main():
     log("building host model (bf16)...")
     model = Llama(**CFG)
     model.eval()
-    n_params = sum(int(np.prod(p.shape)) for p in model._parameters.values()
-                   if "cache" not in p.shape.__class__.__name__ or True)
+    n_params = sum(int(np.prod(p.shape)) for p in model._parameters.values())
     log(f"host model built (~{n_params/1e9:.2f}e9 tensors incl caches)")
 
     log("uploading + stacking fused weights on device...")

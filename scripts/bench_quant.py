@@ -39,11 +39,9 @@ N_SHORT, N_LONG = 64, 512
 
 
 def main():
-    import jax.numpy as jnp
-
     import pydynet_tpu as pdn
     from pydynet_tpu.models.llama.model import Llama
-    from pydynet_tpu.utils.fidelity import _fused_setup
+    from pydynet_tpu.utils.fidelity import timed_chunk_s
 
     rows = []
     for dims_name, cfg in DIMS.items():
@@ -51,22 +49,10 @@ def main():
             np.random.seed(0)
             model = Llama(**dict(cfg, max_batch_size=B)).to("cuda:0")
             model.eval()
-            if model._fused_chunk_fn is None:
-                model._fused_chunk_fn = model._make_fused_decode_fns()
-            chunk_fn = model._fused_chunk_fn[0 if B == 1 else 2]
 
             def run_len(quant, n, seed):
-                # fresh prefill per trial: donation consumed the old
-                # caches; fresh buffers defeat same-buffer memoization
-                prompt = np.tile([[1, 243, 532, 991]], (B, 1)) + seed
-                prompt[:, 0] = 1
-                w, ck, cv, tok0, _ = _fused_setup(model, prompt,
-                                                  jnp.bfloat16, quant)
-                t0 = time.time()
-                ck, cv, toks = chunk_fn(w, ck, cv, tok0,
-                                        prompt.shape[1], n)
-                np.asarray(toks)  # the only reliable sync via the tunnel
-                return time.time() - t0
+                # the tunnel-safe timing rule lives in fidelity (one copy)
+                return timed_chunk_s(model, quant, n, seed, B=B)
 
             with pdn.no_grad():
                 for q in FORMATS:  # compile both lengths per format first
