@@ -614,6 +614,36 @@ class Llama(nn.Module):
             "post_norm": stack("layers.{}.post_attn_norm.weight"),
         }
 
+    def _weights_xq(self, compute_dtype, quant):
+        """XLA-scan decode weights with weight-only quantized matmuls —
+        the BIG-dims lane (``ops/gemv_quant.py`` module doc): at
+        7B-class dims the whole-token kernel's double-buffered weight
+        windows exceed VMEM (``_fused_decode_supported``), so
+        ``generate(quant=...)`` runs the ``lax.scan`` decode with
+        per-matrix streamed quant kernels instead.  Layout matches
+        ``_weights()`` with each quantized matrix replaced by
+        ``<name>_q``/``<name>_s`` (``ops.quant`` layouts, contraction
+        axis first) plus an int4 marker key ``"q4"``; key PRESENCE is
+        the static switch ``forward_logits_one`` branches on."""
+        from ...ops import quant as Q
+
+        if quant not in ("int8", "int4", "int8-head"):
+            raise ValueError(f"unsupported quant mode: {quant!r}")
+        w = dict(self._weights(compute_dtype))
+        q4 = quant == "int4"
+        qfn = Q.quantize_int4 if q4 else Q.quantize_int8
+        mats = () if quant == "int8-head" else ("wqkv", "wo", "wgu",
+                                                "down")
+        # "_xq"/"_xs" suffixes: the FUSED weights dict also carries
+        # "<name>_q" keys (mega-kernel scale layout) next to the dense
+        # matrices its XLA prefill shares — these must not collide
+        for k in mats:
+            w[k + "_xq"], w[k + "_xs"] = qfn(w.pop(k), axis=1)
+        w["head_xq"], w["head_xs"] = qfn(w.pop("head_w"), axis=0)
+        if q4:
+            w["q4"] = jnp.ones((), jnp.int8)  # static marker key
+        return w
+
     def _make_decode_fns(self):
         S = self.max_seq_len
         H, hd = self.n_heads, self.head_dim
@@ -650,6 +680,20 @@ class Llama(nn.Module):
             B, L = tokens.shape
             if win is None or win > S:
                 win = S
+            # big-dims quant lane (_weights_xq): quantized matrices ride
+            # the dict as <name>_q/<name>_s; presence is static per trace
+            q4 = "q4" in weights
+            if any(k.endswith("_xq") for k in weights):
+                from ...ops.gemv_quant import qmatmul
+
+            def mm(x, W, name):
+                if name + "_xq" not in W:
+                    return x @ W[name]
+                y = qmatmul(x.reshape(-1, x.shape[-1]), W[name + "_xq"],
+                            W[name + "_xs"], q4=q4)
+                return y.reshape(x.shape[:-1] + y.shape[-1:]).astype(
+                    x.dtype)
+
             h = weights["tok"][tokens]
             cos = jax.lax.dynamic_slice_in_dim(weights["cos"], pos, L)
             sin = jax.lax.dynamic_slice_in_dim(weights["sin"], pos, L)
@@ -666,7 +710,7 @@ class Llama(nn.Module):
             def layer(h, xs):
                 W, ck_i, cv_i = xs
                 hn = rms(h, W["in_norm"])
-                qkv = hn @ W["wqkv"]  # one fused (D, D+2*Dkv) matmul
+                qkv = mm(hn, W, "wqkv")  # one fused (D, D+2*Dkv) matmul
                 q = qkv[..., :D].reshape(B, L, H, hd)
                 k = qkv[..., D:D + Dkv].reshape(B, L, Hkv, hd)
                 v = qkv[..., D + Dkv:].reshape(B, L, Hkv, hd)
@@ -686,16 +730,17 @@ class Llama(nn.Module):
                 p = jax.nn.softmax(s + mask, axis=-1).astype(h.dtype)
                 att = jnp.einsum("bhlm,bmhd->blhd", p,
                                  vv).reshape(B, L, -1)
-                z = h + att @ W["wo"]
+                z = h + mm(att, W, "wo")
                 zn = rms(z, W["post_norm"])
-                gu = zn @ W["wgu"]  # fused (D, 2F) gate+up matmul
+                gu = mm(zn, W, "wgu")  # fused (D, 2F) gate+up matmul
                 gate, up = jnp.split(gu, 2, axis=-1)
                 ff = (gate * jax.nn.sigmoid(gate)) * up
-                return z + ff @ W["down"], (ck_i, cv_i)
+                return z + mm(ff, W, "down"), (ck_i, cv_i)
 
-            layer_w = {k: weights[k]
-                       for k in ("wqkv", "wo", "wgu", "down", "in_norm",
-                                 "post_norm")}
+            layer_w = {k: weights[k] for k in weights
+                       if k in ("in_norm", "post_norm")
+                       or k.removesuffix("_xq").removesuffix("_xs")
+                       in ("wqkv", "wo", "wgu", "down")}
             h, (ck, cv) = jax.lax.scan(layer, h, (layer_w, ck, cv),
                                        unroll=True)
             h = rms(h, weights["norm"])
@@ -706,8 +751,15 @@ class Llama(nn.Module):
             else:
                 hl = jax.lax.dynamic_slice_in_dim(
                     h, jnp.asarray(last_idx, jnp.int32) - 1, 1, 1)[:, 0]
-            logits = (hl @ weights["head_w"]).astype(jnp.float32) \
-                + weights["head_b"].astype(jnp.float32)
+            if "head_xq" in weights:
+                from ...ops.gemv_quant import qmatmul as _qmm
+                hl2 = hl.reshape(-1, hl.shape[-1])
+                logits = _qmm(hl2, weights["head_xq"],
+                              weights["head_xs"],
+                              q4=q4).reshape(hl.shape[:-1] + (-1,))
+            else:
+                logits = (hl @ weights["head_w"]).astype(jnp.float32)
+            logits = logits + weights["head_b"].astype(jnp.float32)
             return logits, ck, cv
 
         def forward_tokens(weights, ck, cv, tokens, pos, last_idx=None,
@@ -1017,17 +1069,37 @@ class Llama(nn.Module):
             raise ValueError(f"unsupported quant mode: {quant!r}")
         return fused
 
-    def _fused_decode_supported(self) -> bool:
+    def _fused_decode_supported(self, quant=None) -> bool:
         """Shape constraints of the whole-model Pallas kernels: 8-aligned
         hidden dims (VPU sublanes), 16-aligned max_seq (cache-tile RMW), even
         head_dim (RoPE pairs); the B=1 whole-token kernel additionally needs
-        a 128-multiple vocab tiling and an 8-row-gatherable vocab."""
-        from ...ops.decode_step import pick_sb, pick_vt
+        a 128-multiple vocab tiling and an 8-row-gatherable vocab.
+
+        Plus a VMEM bound: the mega-kernel pipelines every per-layer
+        weight matrix as one double-buffered VMEM window, which is the
+        right design only while they all FIT — at 7B-class dims the bf16
+        gate/up window alone is 90 MB x 2 buffering levels vs the v5e's
+        128 MB VMEM (measured crash, round 4).  Past the bound generate()
+        falls back to the XLA ``lax.scan`` decode, whose per-matmul
+        streaming has no such limit (and keeps ``quant`` via
+        ``ops/gemv_quant.py``) — at those dims decode is pure weight
+        streaming and the mega-kernel's launch-overhead win is gone
+        anyway (see gemv_quant's module doc for the accounting)."""
+        from ...ops.decode_step import lane_pad_dim, pick_sb, pick_vt
+        D, F = self.embed_dim, self.ffn_dim
+        CW = lane_pad_dim(max(self.n_kv_heads * self.head_dim, 1)) \
+            if self.n_kv_heads != self.n_heads else D
+        itemsize = {None: 2.0, "int8-head": 2.0, "int8": 1.0,
+                    "int4": 0.5}.get(quant, 2.0)
+        # resident per-layer windows: wq+wo (D,D), wk+wv (D,CW),
+        # gate+up (D,F), down (F,D); x2 pipeline buffers
+        vmem = 2 * (2 * D * D + 2 * D * CW + 3 * D * F) * itemsize
         return (self.embed_dim % 8 == 0 and self.ffn_dim % 8 == 0
                 and self.max_seq_len % 16 == 0 and self.head_dim % 2 == 0
                 and pick_vt(self.vocab_size) > 0
                 and pick_sb(self.max_seq_len) > 0
-                and self.vocab_size % 8 == 0)
+                and self.vocab_size % 8 == 0
+                and vmem <= (100 << 20))
 
     def _make_fused_decode_fns(self):
         """decode_chunk built on the whole-token Pallas kernel (B=1): one
@@ -1382,9 +1454,9 @@ class Llama(nn.Module):
             return
         if fused is None:
             fused = self.device.kind == "accel" \
-                and self._fused_decode_supported()
-        if quant is not None and not fused:
-            raise ValueError("quant requires the fused decode path")
+                and self._fused_decode_supported(quant)
+        # quant without the fused kernel runs the XLA scan with streamed
+        # quantized matmuls (ops/gemv_quant.py) — the big-dims lane
         if kv_quant not in (None, "int8"):
             raise ValueError(f"unsupported kv_quant mode: {kv_quant!r}")
         if kv_quant and not fused:
@@ -1398,6 +1470,7 @@ class Llama(nn.Module):
         weights = self._weights_cache.get(key)
         if weights is None:
             weights = (self._fused_weights(dtype, quant) if fused
+                       else self._weights_xq(dtype, quant) if quant
                        else self._weights(dtype))
             self._weights_cache[key] = weights
 

@@ -1,0 +1,153 @@
+"""Streamed weight-quantized matmuls for BIG-dims decode (7B-class).
+
+The whole-token mega-kernel (``ops/decode_step.py``) is the SMALL-dims
+design: at stories15M scale a decode step is launch-overhead bound, so
+fusing the entire layer stack into one Pallas launch is the win.  At
+7B-class dims the trade inverts — decode is pure weight streaming
+(~200M params/layer/token), launch overhead is noise against the
+multi-ms token budget, and a single launch whose per-layer weight
+windows must ALL sit double-buffered in VMEM cannot fit (measured: the
+bf16 gate/up window alone is 90 MB x 2 buffering levels vs the v5e's
+128 MB VMEM — the round-4 7B probe crash).  The right TPU design there
+is the XLA ``lax.scan`` decode path with per-matmul kernels, each
+streaming ONE weight matrix through VMEM in bounded tiles.
+
+This module supplies those kernels for the weight-quantized case XLA
+cannot express without materializing dequantized copies (an int4
+unpack in XLA writes int8 back to HBM before the dot — erasing the
+bandwidth win; int8 x int8 -> int32 with per-call activation
+quantization is fused here exactly like the mega-kernel's ``qmm``):
+
+* ``qmatmul(x, wq, ws)`` — (M, K) f32/bf16 activations x (K, N) int8
+  weights with per-output-channel f32 scales (``ops.quant.
+  quantize_int8(w, axis=0)`` layout) -> (M, N) f32.  Activations are
+  quantized per ROW (each sample its own symmetric scale, bit-identical
+  to the mega-kernel's batched path), the kernel runs int8 x int8 ->
+  int32 on the MXU per (K, nt) weight tile, and the f32 rescale by
+  (row scale x channel scale) happens on the way out.
+* ``q4=True`` — (K/2, N) nibble-packed weights (``quantize_int4``
+  layout: rows k and k+K/2 share a byte): two arithmetic int32 shifts
+  unpack the contiguous halves in register and the dot splits as
+  ``x[:, :K/2] @ lo + x[:, K/2:] @ hi`` — QUARTER the weight DMA,
+  zero sublane relayout (same trick, and the same Mosaic i32-shift
+  workaround, as the mega-kernel's ``qmm4``; see quant.unpack_int4).
+
+Weight-streaming accounting at Llama-2-7B layer geometry (dim 4096,
+ffn 11008): bf16 streams 403 MB/layer/token, int8 202, int4 101 — at
+the v5e's ~819 GB/s pin rate the 32-layer decode floor is ~16 ms/token
+bf16 vs ~4 ms int4, and int4 (3.4 GB) leaves room for long contexts
+where bf16 (13.5 GB) barely fits the chip at all.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import quant
+
+_Z = np.int32(0)
+
+
+def pick_nt(N, K, itemsize: int = 1, cap: int = 12 << 20) -> int:
+    """Largest output-tile width ``nt`` dividing ``N`` whose (K, nt)
+    weight block stays under ``cap`` bytes (so two pipeline buffers fit
+    VMEM comfortably next to the activations).  Prefers 128-multiples
+    (clean lane tiling); falls back to 8-multiples (Mosaic pads the
+    lanes, same as the mega-kernel's 288-wide blocks); 0 if none."""
+    best = 0
+    for mult in (128, 8):
+        for nt in range(mult, N + 1, mult):
+            if N % nt == 0 and K * nt * itemsize <= cap and nt > best:
+                best = nt
+        if best:
+            return best
+    return best
+
+
+def _qmm_kernel(xq_ref, w_ref, ws_ref, out_ref, *, q4):
+    xq = xq_ref[...]                       # (M, K) int8
+    if q4:
+        lo, hi = quant.unpack_int4(w_ref[...])
+        k2 = w_ref.shape[0]
+        acc = jnp.dot(xq[:, :k2], lo,
+                      preferred_element_type=jnp.int32) \
+            + jnp.dot(xq[:, k2:], hi,
+                      preferred_element_type=jnp.int32)
+    else:
+        acc = jnp.dot(xq, w_ref[...], preferred_element_type=jnp.int32)
+    out_ref[...] = acc.astype(jnp.float32) * ws_ref[...]
+
+
+def qmatmul(x, wq, ws, q4: bool = False, nt: int = None,
+            interpret: bool = None):
+    """(M, K) x quantized (K, N) -> (M, N) f32 (see module doc).
+
+    ``wq``/``ws`` as produced by ``ops.quant.quantize_int8(w, axis=0)``
+    (or ``quantize_int4``: ``wq`` (K/2, N) packed).  Trace-safe (called
+    inside the decode scan); ``interpret`` defaults to "not on TPU" so
+    the same model code runs the CPU test platform.
+    """
+    M, K = x.shape
+    Kst, N = wq.shape
+    assert (Kst * 2 if q4 else Kst) == K, (x.shape, wq.shape, q4)
+    assert ws.shape == (1, N), (ws.shape, N)
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    if nt is None:
+        nt = pick_nt(N, Kst)
+    if nt <= 0 or N % nt:
+        raise ValueError(f"no valid output tiling for N={N} (nt={nt})")
+
+    # per-row symmetric activation int8 (bit-identical to the
+    # mega-kernel's batched qvec_b; XLA fuses this into the scan)
+    x32 = x.astype(jnp.float32)
+    amax = jnp.maximum(jnp.max(jnp.abs(x32), axis=-1, keepdims=True),
+                       1e-30)
+    xq = jnp.round(x32 * (127.0 / amax)).astype(jnp.int8)
+    sx = amax * (1.0 / 127.0)              # (M, 1) f32
+
+    out = pl.pallas_call(
+        functools.partial(_qmm_kernel, q4=q4),
+        grid=(N // nt,),
+        in_specs=[
+            pl.BlockSpec((M, K), lambda t: (_Z, _Z),
+                         memory_space=pltpu.VMEM),   # xq (fetched once)
+            pl.BlockSpec((Kst, nt), lambda t: (_Z, t),
+                         memory_space=pltpu.VMEM),   # weight tile
+            pl.BlockSpec((1, nt), lambda t: (_Z, t),
+                         memory_space=pltpu.VMEM),   # channel scales
+        ],
+        out_specs=pl.BlockSpec((M, nt), lambda t: (_Z, t),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
+        interpret=interpret,
+    )(xq, wq, ws)
+    # row-scale rescale outside the kernel: one (M, N) f32 VPU pass XLA
+    # fuses with the consumer, vs teaching Mosaic an (M, 1) block
+    return out * sx
+
+
+def qmatmul_ref(x, wq, ws, q4: bool = False):
+    """NumPy mirror of :func:`qmatmul`'s exact arithmetic (tests pin the
+    kernel against this, not against the f32 matmul)."""
+    x32 = np.asarray(x, np.float32)
+    amax = np.maximum(np.max(np.abs(x32), axis=-1, keepdims=True), 1e-30)
+    xq = np.round(x32 * (127.0 / amax)).astype(np.int8)
+    sx = (amax * (1.0 / 127.0)).astype(np.float32)
+    w = np.asarray(wq)
+    if q4:
+        p = w.astype(np.int32)
+        lo = ((p << 28) >> 28).astype(np.int32)
+        hi = (p >> 4).astype(np.int32)
+        k2 = w.shape[0]
+        acc = xq[:, :k2].astype(np.int32) @ lo \
+            + xq[:, k2:].astype(np.int32) @ hi
+    else:
+        acc = xq.astype(np.int32) @ w.astype(np.int32)
+    return (acc.astype(np.float32) * np.asarray(ws, np.float32)) \
+        * sx

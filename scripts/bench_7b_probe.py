@@ -1,18 +1,25 @@
 """7B-dims weight-streaming probe: bf16 vs int8 vs int4 marginal us/token
-on the whole-token fused kernel at Llama-2-7B LAYER GEOMETRY (dim 4096,
-32 heads, ffn 11008, vocab 32000) with 8 layers — the deep stack doesn't
-fit a 16 GB v5e chip at bf16 (32 layers = 13.5 GB where the fused weight
-dict holds both kernel and prefill copies), but the decode regime at
-these dims is purely per-layer weight streaming, so the per-layer
-marginal extrapolates linearly: extrapolated-32L numbers are reported as
-such, measured-8L numbers are the artifact.
+at Llama-2-7B LAYER GEOMETRY (dim 4096, 32 heads, ffn 11008, vocab 32000)
+with 8 layers — the full 32-layer stack doesn't fit a 16 GB v5e chip at
+bf16 (13.5 GB of weights), but the decode regime at these dims is purely
+per-layer weight streaming, so the per-layer marginal extrapolates
+linearly (reported as a tok/s LOWER bound: the linear scale overcounts
+the per-token lm_head/embed cost).
 
-This is the ROADMAP "int4 7B-dims probe": int4's quarter-DMA only pays
-off where weight streaming dominates (at dim 288 the layer stages are
-latency-bound and int4 LOSES; at dim 4096 each layer streams 202M params
-per token).  INTERLEAVED same-session trials, same methodology as
-bench_quant.py (marginal = (min t512 - min t64)/448, one readback per
-chunk).  Run on the real chip, ONE process at a time:
+This is the BIG-DIMS LANE (ops/gemv_quant.py): the whole-token
+mega-kernel cannot run here — its double-buffered per-layer weight
+windows exceed VMEM (the bf16 gate/up window alone is 90 MB x 2 levels;
+measured Mosaic crash, round 4) and ``_fused_decode_supported`` now
+routes these dims to the XLA ``lax.scan`` decode, with quantized
+matmuls streamed per-matrix by ``gemv_quant.qmatmul``.  int4's
+quarter-DMA is the payoff regime: ~101 MB/layer/token vs bf16's 403.
+
+Methodology: INTERLEAVED same-session trials; marginal = (min t512 -
+min t64) / 448 with BOTH chunk lengths run at the same static attention
+window (win=1024), so the difference cancels dispatch+readback AND the
+per-step attention cost exactly, leaving pure per-step weight
+streaming.  One readback per chunk (the only reliable tunnel sync).
+Run on the real chip, ONE process at a time:
 
     python scripts/bench_7b_probe.py          # writes PROBE7B_r04.json
 """
@@ -31,13 +38,15 @@ CFG = dict(vocab_size=32000, embed_dim=4096, n_heads=32, ffn_dim=11008,
 FORMATS = [None, "int8", "int4"]
 TRIALS = 3
 N_SHORT, N_LONG = 64, 512
+WIN = 1024
 FULL_LAYERS = 32
 
 
 def main():
+    import jax.numpy as jnp
+
     import pydynet_tpu as pdn
     from pydynet_tpu.models.llama.model import Llama
-    from pydynet_tpu.utils.fidelity import timed_chunk_s
 
     np.random.seed(0)
     t0 = time.time()
@@ -45,10 +54,32 @@ def main():
     model.eval()
     print(f"# model built in {time.time() - t0:.0f}s", file=sys.stderr,
           flush=True)
+    assert not model._fused_decode_supported(), \
+        "7B dims should route off the mega-kernel (VMEM bound)"
+    if model._decode_fns is None:
+        model._decode_fns = model._make_decode_fns()
+    prefill, decode_chunk = model._decode_fns
+
+    wcache = {}
+
+    def weights(quant):
+        if quant not in wcache:
+            t0 = time.time()
+            wcache[quant] = (model._weights_xq(jnp.bfloat16, quant)
+                             if quant else model._weights(jnp.bfloat16))
+            print(f"# weights[{quant or 'bf16'}] built in "
+                  f"{time.time() - t0:.0f}s", file=sys.stderr, flush=True)
+        return wcache[quant]
 
     def run_len(quant, n, seed):
-        # the tunnel-safe timing rule lives in fidelity (one copy)
-        return timed_chunk_s(model, quant, n, seed)
+        w = weights(quant)
+        prompt = np.asarray([[1, 243 + seed, 532, 991]], np.int32)
+        ck, cv = model._empty_caches(1, w["tok"].dtype)
+        tok, ck, cv = prefill(w, ck, cv, jnp.asarray(prompt), 0, win=4)
+        t0 = time.time()
+        ck, cv, toks = decode_chunk(w, ck, cv, tok, 4, n, win=WIN)
+        np.asarray(toks)  # host readback = the only reliable tunnel sync
+        return time.time() - t0
 
     with pdn.no_grad():
         for q in FORMATS:
@@ -73,10 +104,11 @@ def main():
     # the lm_head + embed cost is NOT per-layer; folding it into the
     # linear scale overstates 32L us/token, so the tok/s this computes is
     # a LOWER bound — a real 32L model would meet or beat it
-    extrap = {q: round(1e6 / (row[q] * scale), 0) if row[q] > 0 else None
+    extrap = {q: round(1e6 / (row[q] * scale), 1) if row[q] > 0 else None
               for q in row}
     out = {"metric": "probe7b_marginal_us_token", "unit": "us/token",
            "dims": "llama2-7B layer geometry, 8 of 32 layers",
+           "lane": "xla-scan + gemv_quant (mega-kernel over VMEM here)",
            "trials": TRIALS, "measured_8L": row,
            "extrapolated_32L_tok_s_lower_bound": extrap}
     line = json.dumps(out)
