@@ -134,3 +134,24 @@ def test_fused_vmem_bound_routes_big_dims_off_the_mega_kernel():
                 n_layers=1, dtype=np.float32)
     assert not big._fused_decode_supported()
     assert not big._fused_decode_supported("int4")
+
+
+def test_xla_quant_lane_batched_rows_match_b1():
+    """The lane is per-row exact at any B: activation scales are per ROW,
+    so a B=2 quant decode equals the two B=1 decodes row for row (the
+    batched big-model serving story needs no separate kernel here)."""
+    np.random.seed(0)
+    m = Llama(**dict(CFG, max_batch_size=2))
+    m.eval()
+    ids = np.array([[1, 5, 9], [1, 7, 2]])
+    with pdn.no_grad():
+        b2 = [t.numpy() for t in m.generate(ids, 20, fused=False,
+                                            quant="int8")]
+        r0 = _toks(m.generate(ids[:1], 20, fused=False, quant="int8"))
+    np.random.seed(0)
+    m1 = Llama(**dict(CFG, max_batch_size=1))
+    m1.eval()
+    with pdn.no_grad():
+        r1 = _toks(m1.generate(ids[1:], 20, fused=False, quant="int8"))
+    assert [int(t[0, 0]) for t in b2] == r0
+    assert [int(t[1, 0]) for t in b2] == r1
