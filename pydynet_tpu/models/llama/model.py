@@ -642,6 +642,12 @@ class Llama(nn.Module):
         w["head_xq"], w["head_xs"] = qfn(w.pop("head_w"), axis=0)
         if q4:
             w["q4"] = jnp.ones((), jnp.int8)  # static marker key
+        # pallas runs interpret-only off-TPU, and the scan executes where
+        # these arrays are COMMITTED — not where jax.devices()[0] points
+        # (a CPU-resident model inside a TPU process must interpret, or
+        # XLA rejects the kernel at lowering; caught by a round-4 drive)
+        if next(iter(w["tok"].devices())).platform != "tpu":
+            w["xinterp"] = jnp.ones((), jnp.int8)
         return w
 
     def _make_decode_fns(self):
@@ -658,7 +664,8 @@ class Llama(nn.Module):
             return (n * w).astype(x.dtype)
 
         def forward_logits_one(weights, ck, cv, tokens, pos,
-                               all_positions=False, last_idx=None, win=None):
+                               all_positions=False, last_idx=None, win=None,
+                               starts=None):
             """tokens (B, L) at absolute pos; ck/cv (layers, B, S, Hkv, hd).
             One transformer forward as a scan over the layer axis; returns
             (last-position logits (B, V) f32, ck, cv) — or (B, L, V) with
@@ -668,6 +675,13 @@ class Llama(nn.Module):
             the last row — the bucketed-prefill hook: tokens past it are
             padding whose cache rows sit strictly above the decode position
             and are rewritten before any later query can attend them.
+
+            ``starts`` (traced (B,) i32, optional) lower-bounds each batch
+            row's attention at cache row ``starts[b]`` — the continuous-
+            batching server's slot-recycling hook (serve.py module doc):
+            rows below a recycled slot's admission position belong to the
+            PREVIOUS request and must be invisible.  Mirrors the fused
+            batched kernel's per-row ``starts`` input.
 
             ``win`` (STATIC int) bounds the attention read to cache rows
             [0, win): the caller guarantees ``pos + L <= win``, so every
@@ -683,6 +697,7 @@ class Llama(nn.Module):
             # big-dims quant lane (_weights_xq): quantized matrices ride
             # the dict as <name>_q/<name>_s; presence is static per trace
             q4 = "q4" in weights
+            interp = "xinterp" in weights  # weights committed off-TPU
             if any(k.endswith("_xq") for k in weights):
                 from ...ops.gemv_quant import qmatmul
 
@@ -690,7 +705,7 @@ class Llama(nn.Module):
                 if name + "_xq" not in W:
                     return x @ W[name]
                 y = qmatmul(x.reshape(-1, x.shape[-1]), W[name + "_xq"],
-                            W[name + "_xs"], q4=q4)
+                            W[name + "_xs"], q4=q4, interpret=interp)
                 return y.reshape(x.shape[:-1] + y.shape[-1:]).astype(
                     x.dtype)
 
@@ -700,7 +715,13 @@ class Llama(nn.Module):
             # query at abs position pos+i may attend cache slot j <= pos+i
             qpos = pos + jnp.arange(L)[:, None]
             jpos = jnp.arange(win)[None, :]
-            mask = jnp.where(jpos <= qpos, 0.0, -jnp.inf).astype(jnp.float32)
+            allowed = jpos <= qpos                     # causal, (L, win)
+            if starts is not None:
+                # (B, 1, L, win): broadcasts over heads in ``s + mask``
+                allowed = allowed[None] \
+                    & (jpos[None] >= starts[:, None, None])
+                allowed = allowed[:, None]
+            mask = jnp.where(allowed, 0.0, -jnp.inf).astype(jnp.float32)
             zero = jnp.zeros((), jnp.int32)
             pos32 = jnp.asarray(pos, jnp.int32)
 
@@ -755,8 +776,9 @@ class Llama(nn.Module):
                 from ...ops.gemv_quant import qmatmul as _qmm
                 hl2 = hl.reshape(-1, hl.shape[-1])
                 logits = _qmm(hl2, weights["head_xq"],
-                              weights["head_xs"],
-                              q4=q4).reshape(hl.shape[:-1] + (-1,))
+                              weights["head_xs"], q4=q4,
+                              interpret=interp
+                              ).reshape(hl.shape[:-1] + (-1,))
             else:
                 logits = (hl @ weights["head_w"]).astype(jnp.float32)
             logits = logits + weights["head_b"].astype(jnp.float32)

@@ -21,6 +21,14 @@ program: no per-slot position plumbing in the kernel, no recompiles on
 admission (slot index and base position are traced scalars; only a new
 prompt LENGTH triggers a one-time prefill compile).
 
+Two decode engines share this protocol (``lane=``): the batched
+whole-token Pallas kernel (small dims — launch-overhead-bound decode),
+and the XLA ``lax.scan`` forward with a per-row ``starts`` attention
+mask (big dims — 7B-class models whose per-layer weight windows exceed
+the mega-kernel's VMEM budget; weight-quantized serving there rides the
+streamed ``ops/gemv_quant.py`` kernels).  The lane auto-routes by
+``_fused_decode_supported``, exactly like ``generate``.
+
 Scheduling rules that fall out of the shared position:
 * admission needs ``len(prompt) <= pos`` (the prompt lands in past rows) —
   except on an idle server, where ``pos`` jumps to the prompt length;
@@ -76,12 +84,23 @@ class LlamaServer:
     late): the shared weight stream — still the dominant HBM traffic at
     small-to-mid fleet sizes — halves.  Mutually exclusive with
     ``kv_quant``.
+
+    ``lane`` picks the decode engine (default: ``generate``'s routing).
+    ``"fused"`` is the batched whole-token Pallas kernel — the small-dims
+    design, one launch per fleet token.  ``"xla"`` is the ``lax.scan``
+    decode with the new per-row ``starts`` attention mask — the BIG-dims
+    lane (7B-class models, where the mega-kernel's per-layer weight
+    windows exceed VMEM; see ``_fused_decode_supported``), on which
+    ``quant="int8"/"int4"`` streams the weights through the
+    ``ops/gemv_quant.py`` kernels (half / quarter the dominant weight
+    DMA).  Same continuous-batching semantics, same tests; ``kv_quant``
+    is fused-only.
     """
 
     def __init__(self, model, batch_size: int = 8, dtype=None,
                  chunk: int = 128, eos_id: int = 2, temperature: float = 0.0,
                  top_k: int = None, top_p: float = None, seed: int = 0,
-                 kv_quant=None, quant=None):
+                 kv_quant=None, quant=None, lane: str = None):
         # chunk trades slot-recycle latency (a finished request's slot is
         # reused at the next chunk boundary, one chunk late under run()'s
         # pipeline) against per-chunk dispatch+readback overhead; through
@@ -92,14 +111,27 @@ class LlamaServer:
 
         from ...ops.decode_step import (lane_pad_dim, pad_cache_lanes,
                                         quantize_kv)
-        from .model import sample_logits_per_row
+        from .model import _rope_pure, sample_logits_per_row
 
-        assert model._fused_decode_supported(), \
-            "serving uses the batched whole-token kernel (shape constraints)"
-        if kv_quant not in (None, "int8"):
-            raise ValueError(f"unsupported kv_quant mode: {kv_quant!r}")
         if quant not in (None, "int8", "int8-head", "int4"):
             raise ValueError(f"unsupported quant mode: {quant!r}")
+        if lane is None:  # generate()'s routing rule (ROADMAP 'big dims')
+            lane = "fused" if model._fused_decode_supported(quant) else "xla"
+        if lane not in ("fused", "xla"):
+            raise ValueError(f"unknown lane: {lane!r}")
+        fused_lane = lane == "fused"
+        if fused_lane:
+            assert model._fused_decode_supported(quant), \
+                "the fused lane needs the batched whole-token kernel " \
+                "(shape/VMEM constraints) — pass lane='xla' or let the " \
+                "server auto-route"
+        self._lane = lane
+        if kv_quant not in (None, "int8"):
+            raise ValueError(f"unsupported kv_quant mode: {kv_quant!r}")
+        if kv_quant and not fused_lane:
+            raise ValueError("kv_quant rides the fused batched kernel; the "
+                             "XLA scan lane serves big dims with weight "
+                             "quantization (quant=) only")
         if quant and kv_quant:
             raise ValueError("quant and kv_quant are mutually exclusive "
                              "(see Llama.generate)")
@@ -137,9 +169,10 @@ class LlamaServer:
 
         if model._decode_fns is None:
             model._decode_fns = model._make_decode_fns()
-        if model._fused_chunk_fn is None:
-            model._fused_chunk_fn = model._make_fused_decode_fns()
-        fused_step_batched = model._fused_chunk_fn[6]
+        if fused_lane:
+            if model._fused_chunk_fn is None:
+                model._fused_chunk_fn = model._make_fused_decode_fns()
+            fused_step_batched = model._fused_chunk_fn[6]
         forward_tokens = model._xla_forward_tokens
         forward_logits = model._xla_forward_logits
         sampling = self.sampling
@@ -147,14 +180,19 @@ class LlamaServer:
         self._dtype = dtype
         self._refresh_weights()  # builds + caches the weight snapshot
         w = self._w
-        narrow = "egqa" in w and "s_attn" not in w
-        self._narrow = narrow
-        width = lane_pad_dim(
-            (model.n_kv_heads if narrow else model.n_heads) * model.head_dim)
         N, S = model.n_layers, model.max_seq_len
         self.S = S
         cdt = w["tok"].dtype
-        if kv_quant:
+        narrow = fused_lane and "egqa" in w and "s_attn" not in w
+        self._narrow = narrow
+        if fused_lane:
+            width = lane_pad_dim(
+                (model.n_kv_heads if narrow else model.n_heads)
+                * model.head_dim)
+        if not fused_lane:
+            # scan-lane caches keep the (N, B, S, Hkv, hd) decode layout
+            self._ck, self._cv = model._empty_caches(self.B, cdt)
+        elif kv_quant:
             # int8 rows + per-row f32 scales (ops/decode_step.quantize_kv
             # scheme): halves the fleet's KV footprint and streaming — 2x
             # the slots (or context) per HBM byte.  The (q, s) tuple
@@ -180,7 +218,11 @@ class LlamaServer:
 
         # narrow-GQA weights carry width-matched RoPE tables already;
         # MHA pads the full-width ones to the cache width once here
-        if narrow:
+        # (fused-lane cache layout only; the scan lane post-rotates its
+        # (Hkv, hd) rows with the decode tables via _rope_pure)
+        if not fused_lane:
+            rot_c = rot_s = rot_m = None
+        elif narrow:
             rot_c, rot_s, rot_m = w["cosDk"], w["sinDk"], w["rotk"]
         else:
             from ...ops.decode_step import rope_pair_swap_matrix
@@ -197,6 +239,18 @@ class LlamaServer:
         # seed), so a (prompt, params, seed) triple reproduces across
         # servers; unseeded ones derive from the server seed + rid
         fixed_key = jax.random.PRNGKey(0x5EED)
+
+        def derive_keys(seeds_k, has_seed_k, rids_k):
+            """Per-request key derivation INSIDE the admission program
+            (eager per-request fold_ins cost ~a tunnel dispatch each);
+            returns (draw keys (k, 2), carried slot keys (k, 2))."""
+            k_seed = jax.vmap(jax.random.fold_in,
+                              (None, 0))(fixed_key, seeds_k)
+            k_rid = jax.vmap(jax.random.fold_in,
+                             (None, 0))(base_key, rids_k)
+            keys_k = jnp.where(has_seed_k[:, None], k_seed, k_rid)
+            ks = jax.vmap(jax.random.split)(keys_k)  # (k, 2, 2)
+            return ks[:, 0], ks[:, 1]
 
         @partial(jax.jit, static_argnames=("sample",),
                  donate_argnums=(1, 2, 3, 4))
@@ -223,15 +277,7 @@ class LlamaServer:
             k, L = prompts.shape
             ck1 = jnp.zeros((N, k, S, Hkv, hd), cdt)
             cv1 = jnp.zeros((N, k, S, Hkv, hd), cdt)
-            # per-request key derivation INSIDE the one admission program
-            # (eager per-request fold_ins cost ~a tunnel dispatch each)
-            k_seed = jax.vmap(jax.random.fold_in,
-                              (None, 0))(fixed_key, seeds_k)
-            k_rid = jax.vmap(jax.random.fold_in,
-                             (None, 0))(base_key, rids_k)
-            keys_k = jnp.where(has_seed_k[:, None], k_seed, k_rid)
-            ks = jax.vmap(jax.random.split)(keys_k)  # (k, 2, 2)
-            draw_k, keys_out = ks[:, 0], ks[:, 1]
+            draw_k, keys_out = derive_keys(seeds_k, has_seed_k, rids_k)
             if sample:
                 logits1, ck1, cv1 = forward_logits(w, ck1, cv1, prompts, 0)
                 tok1 = sample_logits_per_row(logits1, draw_k, temp_k,
@@ -317,8 +363,104 @@ class LlamaServer:
                 step, (ck, cv, tok, pos, keys), None, length=n)
             return ck, cv, tok, toks, keys
 
-        self._admit_many, self._decode = admit_many, decode
-        self._decode_sampled = decode_sampled
+        # ---------------- XLA scan lane (big-dims serving) -------------- #
+        # same wave/chunk protocol as the fused lane, but every step is
+        # the lax.scan decode forward (forward_logits_one) with the new
+        # per-row ``starts`` mask — the lane generate() routes 7B-class
+        # dims to (_fused_decode_supported's VMEM bound), with quant=
+        # riding the streamed gemv_quant kernels.  Caches keep the scan
+        # layout (N, B, S, Hkv, hd); admission scatters the prefilled
+        # rows directly and post-rotates K with the decode tables.
+
+        @partial(jax.jit, static_argnames=("sample",),
+                 donate_argnums=(1, 2, 3, 4))
+        def admit_many_xla(w, ck, cv, tok, pkeys, prompts, pos0, slots,
+                           seeds_k, has_seed_k, rids_k,
+                           temp_k, topk_k, topp_k, sample=False):
+            """Scan-lane admission wave: prefill k same-length prompts at
+            position 0 in a fresh (N, k, S, Hkv, hd) cache, post-rotate
+            the K rows by angle(pos0) via _rope_pure (rotations compose
+            additively, so a row rotated for position p and again by
+            pos0 carries the rotation for absolute position p + pos0 —
+            the same argument as the fused variant above), and scatter
+            them into the fleet cache at rows [pos0, pos0+L)."""
+            k, L = prompts.shape
+            ck1 = jnp.zeros((N, k, S, Hkv, hd), cdt)
+            cv1 = jnp.zeros((N, k, S, Hkv, hd), cdt)
+            draw_k, keys_out = derive_keys(seeds_k, has_seed_k, rids_k)
+            if sample:
+                logits1, ck1, cv1 = forward_logits(w, ck1, cv1, prompts, 0)
+                tok1 = sample_logits_per_row(logits1, draw_k, temp_k,
+                                             topk_k, topp_k)
+            else:
+                tok1, ck1, cv1 = forward_tokens(w, ck1, cv1, prompts, 0)
+            pos0 = jnp.asarray(pos0, jnp.int32)
+            rows_k = ck1[:, :, :L].astype(jnp.float32)  # (N, k, L, Hkv, hd)
+            rows_v = cv1[:, :, :L]
+            cd = jax.lax.dynamic_slice_in_dim(
+                w["cos"], pos0, 1).astype(jnp.float32)   # (1, hd//2)
+            sd = jax.lax.dynamic_slice_in_dim(
+                w["sin"], pos0, 1).astype(jnp.float32)
+            rows_k = _rope_pure(rows_k, cd, sd).astype(cdt)
+            tok1 = tok1.reshape(k).astype(jnp.int32)
+            zero = jnp.int32(0)
+            dus = jax.lax.dynamic_update_slice
+
+            def body(i, carry):
+                ck, cv, tok = carry
+                slot = slots[i]
+                ck = dus(ck, rows_k[:, i][:, None],
+                         (zero, slot, pos0, zero, zero))
+                cv = dus(cv, rows_v[:, i][:, None],
+                         (zero, slot, pos0, zero, zero))
+                return ck, cv, tok.at[slot].set(tok1[i])
+
+            ck, cv, tok = jax.lax.fori_loop(0, k, body, (ck, cv, tok))
+            pkeys = pkeys.at[slots].set(keys_out)
+            return tok1, ck, cv, tok, pkeys
+
+        @partial(jax.jit, static_argnames=("n", "win"),
+                 donate_argnums=(1, 2))
+        def decode_xla(w, ck, cv, tok, pos, starts, n, win=None):
+            """Greedy fleet chunk on the scan lane; ``win`` (static) is
+            _dispatch's pow2 attention window >= pos + n, clamped to S —
+            generate()'s bucketing discipline, a handful of variants."""
+            def step(carry, _):
+                ck, cv, tok, p = carry
+                logits, ck, cv = forward_logits(w, ck, cv, tok[:, None], p,
+                                                win=win, starts=starts)
+                nxt = jnp.argmax(logits, axis=-1).astype(tok.dtype)
+                return (ck, cv, nxt, p + 1), nxt
+
+            pos = jnp.asarray(pos, jnp.int32)
+            (ck, cv, tok, p), toks = jax.lax.scan(
+                step, (ck, cv, tok, pos), None, length=n)
+            return ck, cv, tok, toks  # toks (n, B)
+
+        @partial(jax.jit, static_argnames=("n", "win"),
+                 donate_argnums=(1, 2))
+        def decode_sampled_xla(w, ck, cv, tok, pos, starts, keys, temp_b,
+                               topk_b, topp_b, n, win=None):
+            def step(carry, _):
+                ck, cv, tok, p, keys = carry
+                logits, ck, cv = forward_logits(w, ck, cv, tok[:, None], p,
+                                                win=win, starts=starts)
+                ks = jax.vmap(jax.random.split)(keys)  # (B, 2, 2)
+                nxt = sample_logits_per_row(logits, ks[:, 0], temp_b,
+                                            topk_b, topp_b).astype(tok.dtype)
+                return (ck, cv, nxt, p + 1, ks[:, 1]), nxt
+
+            pos = jnp.asarray(pos, jnp.int32)
+            (ck, cv, tok, p, keys), toks = jax.lax.scan(
+                step, (ck, cv, tok, pos, keys), None, length=n)
+            return ck, cv, tok, toks, keys
+
+        if fused_lane:
+            self._admit_many, self._decode = admit_many, decode
+            self._decode_sampled = decode_sampled
+        else:
+            self._admit_many, self._decode = admit_many_xla, decode_xla
+            self._decode_sampled = decode_sampled_xla
         self._jnp = jnp
         self._jax = jax
 
@@ -463,10 +605,15 @@ class LlamaServer:
         ``_weights_cache.clear()``) — otherwise the server would silently
         keep serving the pre-update weights forever.  Requests already
         mid-decode continue on the new weights from their next chunk."""
-        key = ("serve", self._dtype, self._quant)
+        key = ("serve", self._lane, self._dtype, self._quant)
         w = self.model._weights_cache.get(key)
         if w is None:
-            w = self.model._fused_weights(self._dtype, self._quant)
+            if self._lane == "fused":
+                w = self.model._fused_weights(self._dtype, self._quant)
+            elif self._quant:  # big-dims quant lane (gemv_quant kernels)
+                w = self.model._weights_xq(self._dtype, self._quant)
+            else:
+                w = self.model._weights(self._dtype)
             self.model._weights_cache[key] = w
         self._w = w
 
@@ -490,6 +637,12 @@ class LlamaServer:
         # decode scan (~70 s) mid-serving for every distinct remainder.
         n = n or self.chunk
         starts = self._jnp.asarray(self._starts, self._jnp.int32)
+        kw = {}
+        if self._lane == "xla":
+            # generate()'s pow2 attention-window bucketing: consumed
+            # steps satisfy qpos < pos + n <= win; surplus steps past the
+            # S clamp are discarded via ``valid`` like the fused lane
+            kw["win"] = min(self.S, 1 << (self._pos + n - 1).bit_length())
         any_sampled = self.sampling or any(
             self._ptemp[i] > 0 for i in range(self.B)
             if self._slots[i] is not None)
@@ -499,10 +652,11 @@ class LlamaServer:
                 self._w, self._ck, self._cv, self._tok, self._pos, starts,
                 self._pkeys, self._jnp.asarray(self._ptemp),
                 self._jnp.asarray(self._ptopk),
-                self._jnp.asarray(self._ptopp), n)
+                self._jnp.asarray(self._ptopp), n, **kw)
         else:
             self._ck, self._cv, self._tok, toks = self._decode(
-                self._w, self._ck, self._cv, self._tok, self._pos, starts, n)
+                self._w, self._ck, self._cv, self._tok, self._pos, starts,
+                n, **kw)
         self._pos += min(n, navail)
         # chunk tokens belong to the slot->request mapping AT DISPATCH:
         # by the time they are read back a slot may have been recycled

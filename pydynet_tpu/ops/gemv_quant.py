@@ -52,13 +52,37 @@ from . import quant
 
 _Z = np.int32(0)
 
+# Mosaic's scoped-VMEM stack limit is 16 MB by default; every pipelined
+# operand is DOUBLE-buffered, and the int4 kernel additionally holds the
+# unpacked lo/hi int8 halves in registers/scratch.  The round-4 7B probe
+# crashed exactly here on silicon: pick_nt's old flat 12 MB weight-tile
+# cap double-buffered to 24 MB.  Budget the whole working set instead.
+_VMEM_BUDGET = 12 << 20
+
+
+def _auto_nt(M, K, Kst, N, q4):
+    """Largest valid output-tile width whose kernel working set fits the
+    scoped-VMEM budget: 2x (Kst, nt) weight buffers (+ the unpacked
+    (K, nt) int8 halves for int4), 2x (M, nt) f32 out buffers, and the
+    (M, K) int8 activation block (counted twice for safety)."""
+    fixed = 2 * M * K
+    per_nt = 2 * Kst + (2 * Kst if q4 else 0) + 8 * M
+    max_nt = (_VMEM_BUDGET - fixed) // per_nt
+    if max_nt <= 0:
+        raise ValueError(
+            f"qmatmul activation block (M={M}, K={K}) leaves no "
+            f"scoped-VMEM headroom for weight tiles — slab the rows "
+            f"(prefill this long should chunk its tokens)")
+    return pick_nt(N, Kst, 1, cap=max_nt * Kst)
+
 
 def pick_nt(N, K, itemsize: int = 1, cap: int = 12 << 20) -> int:
     """Largest output-tile width ``nt`` dividing ``N`` whose (K, nt)
-    weight block stays under ``cap`` bytes (so two pipeline buffers fit
-    VMEM comfortably next to the activations).  Prefers 128-multiples
+    weight block stays under ``cap`` bytes.  Prefers 128-multiples
     (clean lane tiling); falls back to 8-multiples (Mosaic pads the
-    lanes, same as the mega-kernel's 288-wide blocks); 0 if none."""
+    lanes, same as the mega-kernel's 288-wide blocks); 0 if none.
+    ``qmatmul`` derives ``cap`` from the scoped-VMEM budget (see
+    ``_auto_nt``); the default only serves direct callers."""
     best = 0
     for mult in (128, 8):
         for nt in range(mult, N + 1, mult):
@@ -99,7 +123,7 @@ def qmatmul(x, wq, ws, q4: bool = False, nt: int = None,
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
     if nt is None:
-        nt = pick_nt(N, Kst)
+        nt = _auto_nt(M, K, Kst, N, q4)
     if nt <= 0 or N % nt:
         raise ValueError(f"no valid output tiling for N={N} (nt={nt})")
 

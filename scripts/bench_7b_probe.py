@@ -1,10 +1,16 @@
 """7B-dims weight-streaming probe: bf16 vs int8 vs int4 marginal us/token
 at Llama-2-7B LAYER GEOMETRY (dim 4096, 32 heads, ffn 11008, vocab 32000)
-with 8 layers — the full 32-layer stack doesn't fit a 16 GB v5e chip at
+with 4 layers — the full 32-layer stack doesn't fit a 16 GB v5e chip at
 bf16 (13.5 GB of weights), but the decode regime at these dims is purely
 per-layer weight streaming, so the per-layer marginal extrapolates
 linearly (reported as a tok/s LOWER bound: the linear scale overcounts
-the per-token lm_head/embed cost).
+the per-token lm_head/embed cost).  4 layers (not 8): the INTERLEAVED
+methodology keeps all three weight formats resident at once, next to the
+model's eager f32 params and `_weights_xq`'s transient second bf16 copy —
+at 8 layers that peaks past the chip's 16 GB (measured
+RESOURCE_EXHAUSTED, twice, round 4); at 4 the peak is ~12 GB and a
+layer's weight stream (~403 MB/token bf16) still dwarfs every fixed cost
+the marginal cancels.
 
 This is the BIG-DIMS LANE (ops/gemv_quant.py): the whole-token
 mega-kernel cannot run here — its double-buffered per-layer weight
@@ -33,7 +39,7 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 CFG = dict(vocab_size=32000, embed_dim=4096, n_heads=32, ffn_dim=11008,
-           max_seq_len=1024, max_batch_size=1, n_layers=8,
+           max_seq_len=1024, max_batch_size=1, n_layers=4,
            dtype=np.float32)
 FORMATS = [None, "int8", "int4"]
 TRIALS = 3
@@ -107,9 +113,10 @@ def main():
     extrap = {q: round(1e6 / (row[q] * scale), 1) if row[q] > 0 else None
               for q in row}
     out = {"metric": "probe7b_marginal_us_token", "unit": "us/token",
-           "dims": "llama2-7B layer geometry, 8 of 32 layers",
+           "dims": f"llama2-7B layer geometry, {CFG['n_layers']} of "
+                   f"{FULL_LAYERS} layers",
            "lane": "xla-scan + gemv_quant (mega-kernel over VMEM here)",
-           "trials": TRIALS, "measured_8L": row,
+           "trials": TRIALS, "measured_nL": row,
            "extrapolated_32L_tok_s_lower_bound": extrap}
     line = json.dumps(out)
     print(line)

@@ -1,0 +1,126 @@
+"""Continuous-batching server, XLA scan lane (``LlamaServer(lane="xla")``).
+
+Big-dims serving: 7B-class models route off the fused whole-token kernel
+(``_fused_decode_supported``'s VMEM bound) onto the ``lax.scan`` decode,
+so the server grew the same lane (serve.py module doc) — per-row
+``starts`` attention mask instead of the kernel's starts input, direct
+(N, B, S, Hkv, hd) cache scatter on admission, ``quant=`` riding the
+streamed ``ops/gemv_quant.py`` kernels.  These tests pin the lane to the
+same contract the fused-lane tests pin (test_serve.py): a request
+admitted mid-stream at a shifted absolute position decodes exactly the
+tokens single-prompt ``generate`` produces from position 0.
+
+The small CFG keeps the suite fast; the lane is forced with ``lane=`` —
+the routing itself (an unsupported-dims model auto-picking the scan
+lane) is covered by test_xla_lane_auto_routes.
+"""
+import numpy as np
+import pytest
+
+import pydynet_tpu as pdn
+from pydynet_tpu.models.llama.model import Llama
+from pydynet_tpu.models.llama.serve import LlamaServer
+
+CFG = dict(vocab_size=256, embed_dim=32, n_heads=2, ffn_dim=64,
+           max_seq_len=64, max_batch_size=2, n_layers=2, dtype=np.float32)
+
+
+def standalone(model, prompt, n_new, **kw):
+    """Expected stream: generate(fused=False) stays on the scan lane."""
+    with pdn.no_grad():
+        return [int(t.numpy()[0, 0])
+                for t in model.generate(np.asarray([prompt]),
+                                        len(prompt) + n_new, fused=False,
+                                        **kw)]
+
+
+def test_xla_lane_matches_standalone_generate():
+    np.random.seed(9)
+    model = Llama(**CFG)
+    model.eval()
+    prompts = [[1, 5, 9], [2, 7, 3, 11], [30, 20]]
+    want = [standalone(model, p, 8) for p in prompts]
+
+    with pdn.no_grad():
+        srv = LlamaServer(model, batch_size=2, chunk=4, eos_id=-1,
+                          lane="xla")
+        rids = [srv.submit(p, max_new_tokens=8) for p in prompts]
+        done = srv.run()
+    assert set(done) == set(rids)
+    for rid, exp in zip(rids, want):
+        assert done[rid].tokens == exp, (rid, done[rid].tokens, exp)
+    # 3 requests on 2 slots: slot recycling (shifted-position admission
+    # through the per-row starts mask) really happened
+    assert len(prompts) > srv.B
+
+
+@pytest.mark.parametrize("quant", ["int8", "int4"])
+def test_xla_lane_quant_matches_standalone(quant):
+    """Weight-quantized serving on the scan lane (the gemv_quant
+    kernels, interpret mode off-TPU) matches generate(quant=...) —
+    including a recycled slot's shifted-position decode."""
+    np.random.seed(3)
+    model = Llama(**CFG)
+    model.eval()
+    prompts = [[1, 4, 7], [2, 9, 5], [12, 3]]
+    want = [standalone(model, p, 6, quant=quant) for p in prompts]
+
+    with pdn.no_grad():
+        srv = LlamaServer(model, batch_size=2, chunk=4, eos_id=-1,
+                          lane="xla", quant=quant)
+        rids = [srv.submit(p, max_new_tokens=6) for p in prompts]
+        done = srv.run()
+    for rid, exp in zip(rids, want):
+        assert done[rid].tokens == exp, (quant, done[rid].tokens, exp)
+
+
+def test_xla_lane_seeded_request_reproduces():
+    """A seeded sampled request's stream is a pure function of
+    (prompt, params, seed) on the scan lane too — reproduced on a fresh
+    server with different co-tenants and a different slot layout."""
+    np.random.seed(5)
+    model = Llama(**CFG)
+    model.eval()
+    prompt = [1, 6, 2]
+
+    def run_fleet(extra, server_seed):
+        with pdn.no_grad():
+            srv = LlamaServer(model, batch_size=2, chunk=4, eos_id=-1,
+                              lane="xla", seed=server_seed)
+            for p in extra:
+                srv.submit(p, max_new_tokens=6, temperature=0.7, top_k=9)
+            rid = srv.submit(prompt, max_new_tokens=8, temperature=0.9,
+                             top_k=17, top_p=0.95, seed=1234)
+            done = srv.run()
+        return done[rid].tokens
+
+    a = run_fleet([], server_seed=0)
+    b = run_fleet([[7, 7], [3, 1, 4, 1, 5]], server_seed=42)
+    assert a == b, (a, b)
+
+
+def test_xla_lane_rejects_kv_quant():
+    np.random.seed(0)
+    model = Llama(**CFG)
+    model.eval()
+    with pytest.raises(ValueError, match="fused"):
+        LlamaServer(model, batch_size=2, lane="xla", kv_quant="int8")
+
+
+def test_xla_lane_auto_routes():
+    """A model the fused kernels cannot run (8-alignment broken) serves
+    through the scan lane automatically — generate()'s routing rule."""
+    cfg = dict(CFG, embed_dim=36, ffn_dim=60)  # 36 % 8 != 0
+    np.random.seed(11)
+    model = Llama(**cfg)
+    model.eval()
+    assert not model._fused_decode_supported()
+    prompts = [[1, 5, 9], [2, 7, 3]]
+    want = [standalone(model, p, 6) for p in prompts]
+    with pdn.no_grad():
+        srv = LlamaServer(model, batch_size=2, chunk=4, eos_id=-1)
+        assert srv._lane == "xla"
+        rids = [srv.submit(p, max_new_tokens=6) for p in prompts]
+        done = srv.run()
+    for rid, exp in zip(rids, want):
+        assert done[rid].tokens == exp, (done[rid].tokens, exp)
