@@ -95,12 +95,25 @@ class LlamaServer:
     ``ops/gemv_quant.py`` kernels (half / quarter the dominant weight
     DMA).  Same continuous-batching semantics, same tests; ``kv_quant``
     is fused-only.
+
+    ``prefix_cache=True`` (scan lane only) reuses KV rows across
+    requests sharing a prompt prefix — the shared-system-prompt serving
+    pattern: admission matches the new prompt against the prompts still
+    materialized in each slot's cache rows, copies the longest
+    power-of-two common prefix's rows from the donor slot (delta-rotated
+    — RoPE is additive in position), and prefills only the suffix.  At
+    big dims admission cost IS prefill FLOPs, so time-to-first-token for
+    an L-token prompt with a kb-row cached prefix drops by ~L/(L-kb).
+    Reuse is exact up to rotation-composition rounding (the same
+    argument as shifted-position admission itself); ``prefix_hits`` /
+    ``prefix_rows_reused`` count what it saved.
     """
 
     def __init__(self, model, batch_size: int = 8, dtype=None,
                  chunk: int = 128, eos_id: int = 2, temperature: float = 0.0,
                  top_k: int = None, top_p: float = None, seed: int = 0,
-                 kv_quant=None, quant=None, lane: str = None):
+                 kv_quant=None, quant=None, lane: str = None,
+                 prefix_cache: bool = False):
         # chunk trades slot-recycle latency (a finished request's slot is
         # reused at the next chunk boundary, one chunk late under run()'s
         # pipeline) against per-chunk dispatch+readback overhead; through
@@ -126,6 +139,15 @@ class LlamaServer:
                 "(shape/VMEM constraints) — pass lane='xla' or let the " \
                 "server auto-route"
         self._lane = lane
+        if prefix_cache and fused_lane:
+            raise ValueError(
+                "prefix_cache rides the XLA scan lane (lane='xla') — "
+                "admission cost is prefill FLOPs only at big dims; the "
+                "fused lane's flat-lane cache layout has no row-reuse "
+                "path (and nothing to gain at its dims)")
+        self._prefix_cache = bool(prefix_cache)
+        self.prefix_hits = 0          # reuse admissions served
+        self.prefix_rows_reused = 0   # prefill rows skipped via reuse
         if kv_quant not in (None, "int8"):
             raise ValueError(f"unsupported kv_quant mode: {kv_quant!r}")
         if kv_quant and not fused_lane:
@@ -207,6 +229,13 @@ class LlamaServer:
             self._cv = jnp.zeros((N, self.B, S, width), cdt)
         self._tok = jnp.ones((self.B,), jnp.int32)
         self._starts = np.zeros(self.B, np.int32)
+        # prefix-cache residency: slot -> (prompt tuple, admission row) of
+        # the prompt rows currently materialized in that slot's cache —
+        # donors for later admissions sharing a prefix.  Entries survive a
+        # request finishing (its rows do too) and die when the slot is
+        # re-admitted or the shared position resets (rows above the new
+        # position get rewritten by subsequent decode steps).
+        self._resident: list = [None] * self.B
         self._pos = 0
         self._slots: list = [None] * self.B
         self._admit_credits: list = []  # (rid, [first_token]) for stream()
@@ -419,6 +448,76 @@ class LlamaServer:
             pkeys = pkeys.at[slots].set(keys_out)
             return tok1, ck, cv, tok, pkeys
 
+        @partial(jax.jit, static_argnames=("kb", "sample"),
+                 donate_argnums=(1, 2, 3, 4))
+        def admit_prefix_xla(w, ck, cv, tok, pkeys, suffix, donor_slot,
+                             donor_start, pos0, slot, seeds_k, has_seed_k,
+                             rids_k, temp_k, topk_k, topp_k, kb=0,
+                             sample=False):
+            """Prefix-cache admission (scan lane): reuse ``kb`` prefix
+            rows already materialized by a donor slot instead of
+            re-prefilling them — KV rows depend only on tokens at or
+            before their position, so a shared prompt prefix's rows are
+            identical for every request carrying it (up to RoPE
+            position), and RoPE is linear in position, so a donor row at
+            absolute position ``ds + i`` un-rotates to relative ``i`` by
+            angle(-ds) and re-rotates to the new slot's ``pos0 + i`` by
+            angle(pos0) — the same additive-composition argument as
+            ``admit_many_xla``, two hops instead of one.
+
+            Only the SUFFIX (len L - kb) runs the prefill forward: at 7B
+            dims admission cost is prefill FLOPs, so a shared system
+            prompt's admission drops by ~L/Ls.  One request per call
+            (donors vary); compiled per (kb, suffix-length) pair, kb a
+            power of two — same bounded-variants discipline as the
+            per-length admission waves."""
+            Ls = suffix.shape[1]
+            zero = jnp.int32(0)
+            dss = jax.lax.dynamic_slice
+            dus = jax.lax.dynamic_update_slice
+            donor_slot = jnp.asarray(donor_slot, jnp.int32)
+            donor_start = jnp.asarray(donor_start, jnp.int32)
+            pos0 = jnp.asarray(pos0, jnp.int32)
+            slot = jnp.asarray(slot, jnp.int32)
+            # donor prefix rows, extracted BEFORE this slot's overwrite
+            # (pure dataflow: donor == slot is fine)
+            pk = dss(ck, (zero, donor_slot, donor_start, zero, zero),
+                     (N, 1, kb, Hkv, hd)).astype(jnp.float32)
+            pv = dss(cv, (zero, donor_slot, donor_start, zero, zero),
+                     (N, 1, kb, Hkv, hd))
+            # un-rotate K to relative positions [0, kb): angle(-ds) has
+            # cos(ds), -sin(ds) — single-row tables broadcast over rows
+            cd = jax.lax.dynamic_slice_in_dim(
+                w["cos"], donor_start, 1).astype(jnp.float32)
+            sd = jax.lax.dynamic_slice_in_dim(
+                w["sin"], donor_start, 1).astype(jnp.float32)
+            pk = _rope_pure(pk, cd, -sd).astype(cdt)
+            ck1 = jnp.zeros((N, 1, S, Hkv, hd), cdt)
+            cv1 = jnp.zeros((N, 1, S, Hkv, hd), cdt)
+            ck1 = dus(ck1, pk, (zero,) * 5)
+            cv1 = dus(cv1, pv.astype(cdt), (zero,) * 5)
+            draw_k, keys_out = derive_keys(seeds_k, has_seed_k, rids_k)
+            if sample:
+                logits1, ck1, cv1 = forward_logits(w, ck1, cv1, suffix, kb)
+                tok1 = sample_logits_per_row(logits1, draw_k, temp_k,
+                                             topk_k, topp_k)
+            else:
+                tok1, ck1, cv1 = forward_tokens(w, ck1, cv1, suffix, kb)
+            L = kb + Ls
+            rows_k = ck1[:, :, :L].astype(jnp.float32)
+            rows_v = cv1[:, :, :L]
+            c0 = jax.lax.dynamic_slice_in_dim(
+                w["cos"], pos0, 1).astype(jnp.float32)
+            s0 = jax.lax.dynamic_slice_in_dim(
+                w["sin"], pos0, 1).astype(jnp.float32)
+            rows_k = _rope_pure(rows_k, c0, s0).astype(cdt)
+            ck = dus(ck, rows_k, (zero, slot, pos0, zero, zero))
+            cv = dus(cv, rows_v.astype(cdt), (zero, slot, pos0, zero, zero))
+            tok1 = tok1.reshape(1).astype(jnp.int32)
+            tok = tok.at[slot].set(tok1[0])
+            pkeys = pkeys.at[slot].set(keys_out[0])
+            return tok1, ck, cv, tok, pkeys
+
         @partial(jax.jit, static_argnames=("n", "win"),
                  donate_argnums=(1, 2))
         def decode_xla(w, ck, cv, tok, pos, starts, n, win=None):
@@ -458,9 +557,11 @@ class LlamaServer:
         if fused_lane:
             self._admit_many, self._decode = admit_many, decode
             self._decode_sampled = decode_sampled
+            self._admit_prefix = None
         else:
             self._admit_many, self._decode = admit_many_xla, decode_xla
             self._decode_sampled = decode_sampled_xla
+            self._admit_prefix = admit_prefix_xla
         self._jnp = jnp
         self._jax = jax
 
@@ -510,6 +611,37 @@ class LlamaServer:
     def active(self) -> int:
         return sum(1 for r in self._slots if r is not None)
 
+    _MIN_PREFIX = 8  # smallest reusable prefix (power-of-two rows)
+
+    def _find_donor(self, prompt, target_slot, planned_slots):
+        """Best ``(slot, start_row, kb)`` donor for ``prompt``: the
+        resident entry sharing the longest common prefix, rounded down
+        to a power of two (bounds compile variants), of at least
+        ``_MIN_PREFIX`` rows and leaving at least one suffix token (the
+        first output's logits come from the suffix forward).  A slot
+        being re-admitted this wave can't donate — its rows may be
+        overwritten before the reuse program reads them — EXCEPT to
+        itself: within one program the donor read is sequenced before
+        the slot's overwrite by dataflow."""
+        best = None
+        limit = len(prompt) - 1
+        for slot, ent in enumerate(self._resident):
+            if ent is None or (slot in planned_slots
+                               and slot != target_slot):
+                continue
+            rp, start = ent
+            n = 0
+            for a, b in zip(rp, prompt[:limit]):
+                if a != b:
+                    break
+                n += 1
+            if n < self._MIN_PREFIX:
+                continue
+            kb = 1 << (n.bit_length() - 1)
+            if best is None or kb > best[2]:
+                best = (slot, start, kb)
+        return best
+
     def _try_admit(self):
         jnp = self._jnp
         plan = []  # (slot, req) — admissions planned this wave
@@ -527,6 +659,9 @@ class LlamaServer:
                 # rewritten), instead of inheriting the drained fleet's
                 # position and truncating early
                 self._pos = L
+                # the rewind invalidates every prefix-cache donor: rows
+                # above the new position get rewritten by decode steps
+                self._resident = [None] * self.B
             if L > self._pos or self._pos >= self.S:
                 continue  # must land in past rows (see module doc)
             self._queue.popleft()
@@ -542,9 +677,16 @@ class LlamaServer:
         # per-request dispatches cost ~15 ms each through the tunnel
         by_len: dict = {}
         row_samples = {}  # slot -> samples? (the _slot_params resolution)
+        reuse = []  # (slot, req, donor) — prefix-cache admissions
+        planned_slots = {s for s, _ in plan}
         for slot, req in plan:
             row_samples[slot] = self._slot_params(slot, req)
-            by_len.setdefault(len(req.prompt), []).append((slot, req))
+            donor = self._find_donor(req.prompt, slot, planned_slots) \
+                if self._prefix_cache else None
+            if donor is not None:
+                reuse.append((slot, req, donor))
+            else:
+                by_len.setdefault(len(req.prompt), []).append((slot, req))
         waves, firsts_dev = [], []
         for L, group in sorted(by_len.items()):
             pos0 = self._pos - L
@@ -567,10 +709,34 @@ class LlamaServer:
                     jnp.asarray(rids), jnp.asarray(self._ptemp[slots]),
                     jnp.asarray(self._ptopk[slots]),
                     jnp.asarray(self._ptopp[slots]), sample=wave_sample)
-                for s, _ in sub:
+                for s, r in sub:
                     self._starts[s] = pos0
+                    self._resident[s] = (tuple(r.prompt), pos0)
                 waves.append(sub)
                 firsts_dev.append(tok1)
+        # prefix-cache admissions: one program each (donors vary), the
+        # suffix-only prefill + donor-row reuse path (admit_prefix_xla)
+        for slot, req, (dslot, dstart, kb) in reuse:
+            L = len(req.prompt)
+            pos0 = self._pos - L
+            suffix = np.array([req.prompt[kb:]], np.int32)
+            sl = np.array([slot], np.int32)
+            (tok1, self._ck, self._cv, self._tok,
+             self._pkeys) = self._admit_prefix(
+                self._w, self._ck, self._cv, self._tok, self._pkeys,
+                jnp.asarray(suffix), dslot, dstart, pos0, slot,
+                jnp.asarray(np.array([req.seed or 0], np.int32)),
+                jnp.asarray(np.array([req.seed is not None])),
+                jnp.asarray(np.array([req.rid], np.int32)),
+                jnp.asarray(self._ptemp[sl]), jnp.asarray(self._ptopk[sl]),
+                jnp.asarray(self._ptopp[sl]), kb=kb,
+                sample=row_samples[slot])
+            self._starts[slot] = pos0
+            self._resident[slot] = (tuple(req.prompt), pos0)
+            self.prefix_hits += 1
+            self.prefix_rows_reused += kb
+            waves.append([(slot, req)])
+            firsts_dev.append(tok1)
         firsts = np.asarray(jnp.concatenate(firsts_dev)) \
             if len(firsts_dev) > 1 else np.asarray(firsts_dev[0])
         j = 0
@@ -694,6 +860,7 @@ class LlamaServer:
             self._maybe_finish(slot, truncated=True)
         if self.active == 0:
             self._pos = 0  # fleet drained: rewind for the queue
+            self._resident = [None] * self.B  # donors died with the rows
 
     def step(self, n: int = None):
         """Admit what fits, then decode ``n`` (default ``chunk``) tokens for

@@ -59,14 +59,23 @@ _Z = np.int32(0)
 # cap double-buffered to 24 MB.  Budget the whole working set instead.
 _VMEM_BUDGET = 12 << 20
 
+# activation-slab row bound: prefill rows beyond this split into
+# independent kernel launches (see qmatmul) so the whole-block
+# activation fetch can't crowd the weight tiles out of the budget
+_M_SLAB = 256
+
 
 def _auto_nt(M, K, Kst, N, q4):
     """Largest valid output-tile width whose kernel working set fits the
-    scoped-VMEM budget: 2x (Kst, nt) weight buffers (+ the unpacked
-    (K, nt) int8 halves for int4), 2x (M, nt) f32 out buffers, and the
-    (M, K) int8 activation block (counted twice for safety)."""
+    scoped-VMEM budget: 2x (Kst, nt) weight buffers, 2x (M, nt) f32 out
+    buffers, the (M, K) int8 activation block (counted twice for
+    safety), and for int4 the unpack chain — the (K, nt) int8 lo/hi
+    halves PLUS the (Kst, nt) i32 shift temporary Mosaic materializes
+    (measured on silicon: nt=512 at 7B down-proj dims allocated 16.18 MB
+    of scoped VMEM ~= 5.8*Kst*nt, vs the 4*Kst*nt a temp-free model
+    predicts; budgeting 8*Kst*nt leaves ~35% headroom)."""
     fixed = 2 * M * K
-    per_nt = 2 * Kst + (2 * Kst if q4 else 0) + 8 * M
+    per_nt = 2 * Kst + (6 * Kst if q4 else 0) + 8 * M
     max_nt = (_VMEM_BUDGET - fixed) // per_nt
     if max_nt <= 0:
         raise ValueError(
@@ -122,10 +131,6 @@ def qmatmul(x, wq, ws, q4: bool = False, nt: int = None,
     assert ws.shape == (1, N), (ws.shape, N)
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
-    if nt is None:
-        nt = _auto_nt(M, K, Kst, N, q4)
-    if nt <= 0 or N % nt:
-        raise ValueError(f"no valid output tiling for N={N} (nt={nt})")
 
     # per-row symmetric activation int8 (bit-identical to the
     # mega-kernel's batched qvec_b; XLA fuses this into the scan)
@@ -135,22 +140,43 @@ def qmatmul(x, wq, ws, q4: bool = False, nt: int = None,
     xq = jnp.round(x32 * (127.0 / amax)).astype(jnp.int8)
     sx = amax * (1.0 / 127.0)              # (M, 1) f32
 
-    out = pl.pallas_call(
-        functools.partial(_qmm_kernel, q4=q4),
-        grid=(N // nt,),
-        in_specs=[
-            pl.BlockSpec((M, K), lambda t: (_Z, _Z),
-                         memory_space=pltpu.VMEM),   # xq (fetched once)
-            pl.BlockSpec((Kst, nt), lambda t: (_Z, t),
-                         memory_space=pltpu.VMEM),   # weight tile
-            pl.BlockSpec((1, nt), lambda t: (_Z, t),
-                         memory_space=pltpu.VMEM),   # channel scales
-        ],
-        out_specs=pl.BlockSpec((M, nt), lambda t: (_Z, t),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
-        interpret=interpret,
-    )(xq, wq, ws)
+    # long-prompt prefill slabs the activation rows: the (M, K) int8
+    # block lives whole in VMEM, so past _M_SLAB rows (a 928-token 7B
+    # prefill is a 10 MB block, 2x-counted past the 12 MB budget) the
+    # rows split into independent per-slab kernel launches — activation
+    # quantization is per-row, so the math is unchanged
+    ms = M if M <= _M_SLAB else _M_SLAB
+    if nt is None:
+        nt = _auto_nt(ms, K, Kst, N, q4)
+    if nt <= 0 or N % nt:
+        raise ValueError(f"no valid output tiling for N={N} (nt={nt})")
+
+    def call(xq_s):
+        return pl.pallas_call(
+            functools.partial(_qmm_kernel, q4=q4),
+            grid=(N // nt,),
+            in_specs=[
+                pl.BlockSpec((xq_s.shape[0], K), lambda t: (_Z, _Z),
+                             memory_space=pltpu.VMEM),  # xq (fetched once)
+                pl.BlockSpec((Kst, nt), lambda t: (_Z, t),
+                             memory_space=pltpu.VMEM),  # weight tile
+                pl.BlockSpec((1, nt), lambda t: (_Z, t),
+                             memory_space=pltpu.VMEM),  # channel scales
+            ],
+            out_specs=pl.BlockSpec((xq_s.shape[0], nt), lambda t: (_Z, t),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((xq_s.shape[0], N), jnp.float32),
+            interpret=interpret,
+        )(xq_s, wq, ws)
+
+    if M <= _M_SLAB:
+        out = call(xq)
+    else:
+        pad = (-M) % _M_SLAB
+        xq_p = jnp.pad(xq, ((0, pad), (0, 0)))
+        out = jnp.concatenate(
+            [call(xq_p[i:i + _M_SLAB])
+             for i in range(0, M + pad, _M_SLAB)])[:M]
     # row-scale rescale outside the kernel: one (M, N) f32 VPU pass XLA
     # fuses with the consumer, vs teaching Mosaic an (M, 1) block
     return out * sx

@@ -1,0 +1,122 @@
+"""Prefix-cache serving benchmark: admission latency (time-to-first-token)
+for a request whose 512-token system prefix is already resident in a
+donor slot, vs the same admission prefilling all 544 prompt tokens.
+
+Runs at 7B layer geometry (dim 4096 / 32 heads / ffn 11008, 4 of 32
+layers — see bench_7b_probe.py for the HBM accounting) on the XLA scan
+serving lane, where admission cost IS prefill compute: the prefix-cache
+path copies the donor's 512 rows (delta-rotated) and prefills only the
+32-token suffix, ~17x less admission FLOPs.
+
+Methodology: interleaved same-session trials on one model shared by two
+servers (prefix_cache on/off); each trial times submit + step(n=1) —
+admission (its first-token readback is synchronous) plus one decode
+step, i.e. the serving TTFT.  A no-admission step(1) is reported as the
+floor.  Donor request stays mid-decode for the whole run so the fleet
+never drains (a drain rewinds the shared position and invalidates
+donors, by design).
+
+Run on the real chip, ONE process at a time:
+
+    python scripts/bench_prefix.py          # writes PREFIXBENCH_r04.json
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+CFG = dict(vocab_size=32000, embed_dim=4096, n_heads=32, ffn_dim=11008,
+           max_seq_len=1024, max_batch_size=4, n_layers=4,
+           dtype=np.float32)
+SHARED, SUFFIX = 512, 32          # lcp 512 is a power of two: kb == 512
+TRIALS, WARMUP = 5, 1
+
+
+def main():
+    import jax.numpy as jnp
+
+    import pydynet_tpu as pdn
+    from pydynet_tpu.models.llama.model import Llama
+    from pydynet_tpu.models.llama.serve import LlamaServer
+
+    np.random.seed(0)
+    t0 = time.time()
+    model = Llama(**CFG).to("cuda:0")
+    model.eval()
+    print(f"# model built in {time.time() - t0:.0f}s", file=sys.stderr,
+          flush=True)
+
+    rng = np.random.default_rng(42)
+    prefix = rng.integers(2, 30000, SHARED).tolist()
+
+    def prompt(i):
+        return prefix + rng.integers(2, 30000, SUFFIX).tolist()
+
+    def mk(prefix_cache):
+        srv = LlamaServer(model, batch_size=4, chunk=8, eos_id=-1,
+                          dtype=jnp.bfloat16, lane="xla",
+                          prefix_cache=prefix_cache)
+        srv.submit(prompt(0), max_new_tokens=400)  # resident donor
+        srv.step(1)
+        return srv
+
+    def ttft(srv, i):
+        t0 = time.time()
+        srv.submit(prompt(i), max_new_tokens=1)
+        srv.step(1)
+        return time.time() - t0
+
+    def floor(srv):
+        t0 = time.time()
+        srv.step(1)
+        return time.time() - t0
+
+    with pdn.no_grad():
+        sa, sb = mk(True), mk(False)
+        for i in range(WARMUP):  # compile both admission paths
+            ttft(sa, 100 + i), ttft(sb, 100 + i)
+        print("# warm", file=sys.stderr, flush=True)
+        reuse, full, floors = [], [], []
+        for i in range(TRIALS):
+            reuse.append(ttft(sa, 200 + i))
+            full.append(ttft(sb, 200 + i))
+            floors.append(floor(sa))
+            print(f"# trial {i}: reuse {reuse[-1]*1e3:.1f} ms, "
+                  f"full {full[-1]*1e3:.1f} ms, floor "
+                  f"{floors[-1]*1e3:.1f} ms", file=sys.stderr, flush=True)
+        hits = sa.prefix_hits
+    assert hits == WARMUP + TRIALS, hits
+    assert sb.prefix_hits == 0
+
+    med = lambda v: round(float(np.median(v)) * 1e3, 1)
+    # TTFT here carries two ~30 ms tunnel round trips (admission
+    # readback + chunk readback) that production serving wouldn't;
+    # admission_ms (TTFT minus the no-admission step floor) isolates
+    # what prefix reuse actually removes — prefill compute, which
+    # scales with layer count while the floor does not
+    adm_r = max(med(reuse) - med(floors), 0.0)
+    adm_f = max(med(full) - med(floors), 0.0)
+    out = {"metric": "prefix_cache_ttft_ms",
+           "dims": "llama2-7B layer geometry, 4 layers, XLA serve lane",
+           "shared_prefix": SHARED, "suffix": SUFFIX, "trials": TRIALS,
+           "ttft_ms_prefix_cache": med(reuse),
+           "ttft_ms_full_prefill": med(full),
+           "step_floor_ms": med(floors),
+           "admission_ms_prefix_cache": round(adm_r, 1),
+           "admission_ms_full_prefill": round(adm_f, 1),
+           "ttft_speedup": round(med(full) / max(med(reuse), 1e-9), 2),
+           "admission_speedup": round(adm_f / max(adm_r, 1e-9), 2),
+           "prefix_hits": int(hits)}
+    line = json.dumps(out)
+    print(line)
+    root = os.path.join(os.path.dirname(__file__), "..")
+    with open(os.path.join(root, "PREFIXBENCH_r04.json"), "w") as f:
+        f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()

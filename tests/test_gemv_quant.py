@@ -155,3 +155,27 @@ def test_xla_quant_lane_batched_rows_match_b1():
         r1 = _toks(m1.generate(ids[1:], 20, fused=False, quant="int8"))
     assert [int(t[0, 0]) for t in b2] == r0
     assert [int(t[1, 0]) for t in b2] == r1
+
+
+def test_qmatmul_slabs_long_prefill_rows():
+    """M past _M_SLAB (a long-prompt prefill) splits into per-slab
+    launches — per-row activation quantization makes the split exact,
+    including a non-multiple M (padded rows sliced off)."""
+    import jax.numpy as jnp
+
+    from pydynet_tpu.ops import quant
+    from pydynet_tpu.ops.gemv_quant import _M_SLAB, qmatmul, qmatmul_ref
+
+    rng = np.random.default_rng(11)
+    M = _M_SLAB + 37
+    x = rng.standard_normal((M, 128)).astype(np.float32)
+    w = rng.standard_normal((128, 256)).astype(np.float32) * 0.1
+    q8, s8 = quant.quantize_int8(jnp.asarray(w), 0)
+    out = np.asarray(qmatmul(jnp.asarray(x), q8, s8, interpret=True))
+    np.testing.assert_array_equal(
+        out, qmatmul_ref(x, np.asarray(q8), np.asarray(s8)))
+    q4, s4 = quant.quantize_int4(jnp.asarray(w), 0)
+    out4 = np.asarray(qmatmul(jnp.asarray(x), q4, s4, q4=True,
+                              interpret=True))
+    np.testing.assert_array_equal(
+        out4, qmatmul_ref(x, np.asarray(q4), np.asarray(s4), q4=True))

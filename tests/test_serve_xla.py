@@ -124,3 +124,119 @@ def test_xla_lane_auto_routes():
         done = srv.run()
     for rid, exp in zip(rids, want):
         assert done[rid].tokens == exp, (done[rid].tokens, exp)
+
+
+# --------------------------- prefix caching --------------------------- #
+
+PA = [1, 5, 9, 4, 7, 2, 8, 3, 6, 1, 2, 4]          # 12 tokens
+PB = PA[:10] + [7, 5]                               # lcp 10 -> kb 8
+
+
+@pytest.mark.parametrize("quant", [None, "int4"])
+def test_prefix_cache_reuses_and_matches(quant):
+    """prefix_cache=True: a request sharing >= 8 prompt tokens with a
+    resident slot admits through the donor-row reuse path (suffix-only
+    prefill) and still emits exactly the standalone generate stream —
+    the reused rows are bit-identical to what its own prefill would
+    have written (same tokens, same positions, same weights)."""
+    np.random.seed(21)
+    model = Llama(**dict(CFG, max_seq_len=128))
+    model.eval()
+    want_a = standalone(model, PA, 6, quant=quant)
+    want_b = standalone(model, PB, 6, quant=quant)
+
+    with pdn.no_grad():
+        srv = LlamaServer(model, batch_size=2, chunk=4, eos_id=-1,
+                          lane="xla", quant=quant, prefix_cache=True)
+        ra = srv.submit(PA, max_new_tokens=6)
+        srv.step()  # admit A alone so its rows become donor material
+        rb = srv.submit(PB, max_new_tokens=6)
+        done = srv.run()
+        done.setdefault(ra, srv._finished[ra])
+    assert srv.prefix_hits == 1 and srv.prefix_rows_reused == 8, \
+        (srv.prefix_hits, srv.prefix_rows_reused)
+    assert srv._finished[ra].tokens == want_a
+    assert srv._finished[rb].tokens == want_b, \
+        (srv._finished[rb].tokens, want_b)
+
+
+def test_prefix_cache_donor_survives_finish_and_recycling():
+    """A finished request's rows stay donor material until its slot is
+    re-admitted or the shared position rewinds; the reuse admission at a
+    recycled slot's shifted position matches standalone generate."""
+    np.random.seed(22)
+    model = Llama(**dict(CFG, max_seq_len=128))
+    model.eval()
+    pc = [2, 7, 4, 4, 1, 3, 9, 2, 5]  # no shared prefix
+    # pc outlives PA so the fleet never drains (a drain rewinds the
+    # position and kills the donors — that path has its own test below);
+    # PB recycles PA's own slot, exercising SELF-donation (the donor
+    # read sequenced before the slot overwrite inside one program)
+    wants = {tuple(PA): standalone(model, PA, 5),
+             tuple(pc): standalone(model, pc, 16),
+             tuple(PB): standalone(model, PB, 5)}
+
+    with pdn.no_grad():
+        srv = LlamaServer(model, batch_size=2, chunk=4, eos_id=-1,
+                          lane="xla", prefix_cache=True)
+        ra = srv.submit(PA, max_new_tokens=5)   # slot 0, finishes first
+        rc = srv.submit(pc, max_new_tokens=16)  # slot 1, keeps decoding
+        rb = srv.submit(PB, max_new_tokens=5)   # queued -> recycled slot
+        done = srv.run()
+    assert len(done) == 3
+    assert srv.prefix_hits == 1, srv.prefix_hits
+    for rid, p in ((ra, PA), (rc, pc), (rb, PB)):
+        assert done[rid].tokens == wants[tuple(p)], \
+            (rid, done[rid].tokens, wants[tuple(p)])
+
+
+def test_prefix_cache_seeded_sampling_unchanged():
+    """A seeded request's sampled stream is the same whether its prefix
+    rows were reused or prefilled — the reuse path derives the identical
+    draw-key stream and feeds it bit-identical logits here."""
+    np.random.seed(23)
+    model = Llama(**dict(CFG, max_seq_len=128))
+    model.eval()
+    kw = dict(max_new_tokens=8, temperature=0.9, top_k=17, seed=77)
+
+    def serve_b(prefix_cache, warm):
+        with pdn.no_grad():
+            srv = LlamaServer(model, batch_size=2, chunk=4, eos_id=-1,
+                              lane="xla", prefix_cache=prefix_cache)
+            if warm:
+                srv.submit(PA, max_new_tokens=6)
+                srv.step()
+            rb = srv.submit(PB, **kw)
+            srv.run()
+            if prefix_cache and warm:
+                assert srv.prefix_hits == 1, srv.prefix_hits
+            return srv._finished[rb].tokens
+
+    assert serve_b(True, warm=True) == serve_b(False, warm=False)
+
+
+def test_prefix_cache_invalidated_on_rewind():
+    """Draining the fleet rewinds the shared position; donors die with
+    it (their rows get rewritten as decode re-advances) — a later
+    matching prompt must NOT reuse, and still decodes correctly."""
+    np.random.seed(24)
+    model = Llama(**dict(CFG, max_seq_len=128))
+    model.eval()
+    want_b = standalone(model, PB, 5)
+    with pdn.no_grad():
+        srv = LlamaServer(model, batch_size=2, chunk=4, eos_id=-1,
+                          lane="xla", prefix_cache=True)
+        srv.submit(PA, max_new_tokens=4)
+        srv.run()                      # drains -> idle
+        rb = srv.submit(PB, max_new_tokens=5)
+        done = srv.run()               # idle admission resets _pos
+    assert srv.prefix_hits == 0, srv.prefix_hits
+    assert done[rb].tokens == want_b, (done[rb].tokens, want_b)
+
+
+def test_prefix_cache_requires_xla_lane():
+    np.random.seed(0)
+    model = Llama(**CFG)
+    model.eval()
+    with pytest.raises(ValueError, match="prefix_cache"):
+        LlamaServer(model, batch_size=2, lane="fused", prefix_cache=True)

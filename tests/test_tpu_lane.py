@@ -313,6 +313,53 @@ def test_gemv_quant_kernel_on_chip():
         out4, qmatmul_ref(x, np.asarray(q4), np.asarray(s4), q4=True))
 
 
+def test_gemv_quant_slabbed_prefill_on_chip():
+    """Long-prompt activation slabbing (M > _M_SLAB splits into per-slab
+    launches, round 4) on silicon: exact vs the NumPy mirror at a
+    non-multiple M — the quant serve lane's long-prefill path."""
+    import jax.numpy as jnp
+
+    from pydynet_tpu.ops import quant
+    from pydynet_tpu.ops.gemv_quant import _M_SLAB, qmatmul, qmatmul_ref
+
+    rng = np.random.default_rng(13)
+    M = _M_SLAB + 37
+    x = rng.standard_normal((M, 512)).astype(np.float32)
+    w = rng.standard_normal((512, 2560)).astype(np.float32) * 0.05
+    q4, s4 = quant.quantize_int4(jnp.asarray(w), 0)
+    out4 = np.asarray(qmatmul(jnp.asarray(x), q4, s4, q4=True,
+                              interpret=False))
+    np.testing.assert_array_equal(
+        out4, qmatmul_ref(x, np.asarray(q4), np.asarray(s4), q4=True))
+
+
+def test_serve_xla_lane_on_chip():
+    """Big-dims serving lane on silicon: LlamaServer(lane="xla",
+    quant="int4") must track generate(fused=False, quant="int4") on the
+    same device — same scan forward, same gemv_quant kernels; the only
+    difference is the admission path (fresh prefill + _rope_pure
+    position-shift + scatter vs direct prefill), whose rotation
+    composition is float-exact up to rounding, so near-tie flips are
+    the ONLY tolerated divergence."""
+    import pydynet_tpu as pdn
+    from pydynet_tpu.models.llama.serve import LlamaServer
+
+    _, dev = _models()
+    ids = [1, 5, 9]
+    with pdn.no_grad():
+        want = [int(t.numpy()[0, 0])
+                for t in dev.generate(np.array([ids]), len(ids) + STEPS,
+                                      fused=False, quant="int4")]
+        srv = LlamaServer(dev, batch_size=2, chunk=8, eos_id=-1,
+                          lane="xla", quant="int4")
+        r1 = srv.submit(ids, max_new_tokens=STEPS)
+        r2 = srv.submit([2, 7], max_new_tokens=STEPS)
+        outs = srv.run()
+    got = outs[r1].tokens
+    agree = np.mean([a == b for a, b in zip(want, got)])
+    assert len(got) == STEPS and agree >= 0.9, (agree, got, want)
+
+
 def test_xla_quant_lane_decode_on_chip():
     """The big-dims decode lane end-to-end on silicon: generate(fused=
     False, quant="int4") vs a dequantized-int4 CPU truth stream (weight
