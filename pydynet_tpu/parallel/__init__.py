@@ -4,6 +4,7 @@ from .ring_attention import ring_attention
 from . import llama_spmd
 from . import moe
 from . import pipeline
+from . import serve_spmd
 
 from jax.sharding import PartitionSpec as _P
 

@@ -82,6 +82,17 @@ def run(n_devices: int) -> None:
     toks = llama_spmd.generate(params, tokens[:, :4], 4, mesh, cfg)
     assert toks.shape == (B, 4), toks.shape
 
+    # ---- dp x tp continuous-batching SERVING (serve_spmd) ---- #
+    from .serve_spmd import SpmdLlamaServer
+
+    srv = SpmdLlamaServer(params, mesh, cfg=cfg, batch_size=dp, chunk=4,
+                          eos_id=-1)
+    srids = [srv.submit([1, 2, 3], max_new_tokens=4),
+             srv.submit([4, 5], max_new_tokens=4)]
+    sdone = srv.run()
+    assert set(sdone) == set(srids) and \
+        all(len(sdone[r].tokens) == 4 for r in srids)
+
     # -- dp x pp x tp: GPipe ring with Megatron tp INSIDE the shard_map -- #
     pp = 2 if n_devices % 2 == 0 else 1
     ptp = 2 if n_devices % 4 == 0 else 1
@@ -147,7 +158,8 @@ def run(n_devices: int) -> None:
                for g in jax.tree.leaves(mgrads))
 
     print(f"dryrun_multichip({n_devices}): dp={dp} tp={tp} loss={loss:.4f} "
-          f"decode {toks.shape}; dp={pdp}xpp={pp}xtp={ptp} "
+          f"decode {toks.shape} serve {len(sdone)} reqs; "
+          f"dp={pdp}xpp={pp}xtp={ptp} "
           f"loss={pp_loss:.4f}; "
           f"sp={n_devices} ring-attention; "
           f"foreach x dp={n_devices} epoch loss={fe_losses[-1]:.4f}; "

@@ -202,7 +202,8 @@ def cache_shardings(mesh: Mesh, cfg=None):
     return named_sharding(mesh, None, _ax(mesh, "dp"), None, head, None)
 
 
-def forward_tokens(params, ck, cv, tokens, pos, cfg):
+def forward_tokens(params, ck, cv, tokens, pos, cfg, starts=None,
+                   win=None):
     """Cache-threaded forward of ``tokens`` (B, L) at absolute ``pos``.
 
     Returns ``(next_token (B,), ck, cv)``.  Same math as the single-chip
@@ -211,9 +212,18 @@ def forward_tokens(params, ck, cv, tokens, pos, cfg):
     sharding annotations: per-head attention is tp-local, GSPMD inserts the
     psum after the row-parallel O/down matmuls and an all-gather for the
     vocab-sharded logits argmax.
+
+    The two serving hooks mirror the single-chip scan lane
+    (models/llama/model.py forward_logits_one): ``starts`` (traced (B,)
+    i32) lower-bounds each batch row's attention at its admission row —
+    the continuous-batching slot-recycling mask; ``win`` (STATIC int)
+    bounds the attention read to cache rows [0, win) for steps whose
+    consumed outputs satisfy pos + L <= win.
     """
     B, L = tokens.shape
     H, D, S = cfg["n_heads"], cfg["dim"], cfg["max_seq_len"]
+    if win is None or win > S:
+        win = S
     hd = D // H
     Hkv = cfg.get("n_kv_heads", H)
     g = H // Hkv
@@ -221,8 +231,13 @@ def forward_tokens(params, ck, cv, tokens, pos, cfg):
     cos = jax.lax.dynamic_slice_in_dim(params["cos"], pos, L)
     sin = jax.lax.dynamic_slice_in_dim(params["sin"], pos, L)
     qpos = pos + jnp.arange(L)[:, None]
-    jpos = jnp.arange(S)[None, :]
-    mask = jnp.where(jpos <= qpos, 0.0, -jnp.inf).astype(jnp.float32)
+    jpos = jnp.arange(win)[None, :]
+    allowed = jpos <= qpos
+    if starts is not None:
+        # (B, 1, L, win): broadcasts over the head axis in ``s + mask``
+        allowed = allowed[None] & (jpos[None] >= starts[:, None, None])
+        allowed = allowed[:, None]
+    mask = jnp.where(allowed, 0.0, -jnp.inf).astype(jnp.float32)
     zero = jnp.zeros((), jnp.int32)
     pos32 = jnp.asarray(pos, jnp.int32)
 
@@ -237,8 +252,9 @@ def forward_tokens(params, ck, cv, tokens, pos, cfg):
                                                       zero))
         cv_i = jax.lax.dynamic_update_slice(cv_i, v, (zero, pos32, zero,
                                                       zero))
-        kk = ck_i if g == 1 else jnp.repeat(ck_i, g, axis=2)
-        vv = cv_i if g == 1 else jnp.repeat(cv_i, g, axis=2)
+        kk, vv = ck_i[:, :win], cv_i[:, :win]  # static live window
+        if g > 1:
+            kk, vv = jnp.repeat(kk, g, axis=2), jnp.repeat(vv, g, axis=2)
         s = jnp.einsum("blhd,bmhd->bhlm", q, kk,
                        preferred_element_type=jnp.float32) / math.sqrt(hd)
         p = jax.nn.softmax(s + mask, axis=-1).astype(h.dtype)

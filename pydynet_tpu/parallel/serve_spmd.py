@@ -1,0 +1,308 @@
+"""Continuous-batching decode serving over a dp x tp device mesh.
+
+The multi-chip upgrade of ``models/llama/serve.LlamaServer`` (which runs
+one chip and owns the full feature set — sampling, quant, prefix cache):
+the same shared-position slot protocol, executed by the GSPMD decode
+forward of ``llama_spmd`` — per-head attention tp-local, batch rows
+(slots) sharded over dp, weight matmuls Megatron-sharded over tp,
+collectives inserted by GSPMD from the sharding annotations and riding
+ICI.  The reference has nothing in this design space at all (its
+``generate`` is a single-stream NumPy loop, reference
+llm/llama/model.py:258-269; no distributed layer, SURVEY.md §2.6).
+
+Protocol recap (serve.py module doc is the authority):
+* all ``B`` slots decode in lockstep at ONE shared position — one SPMD
+  dispatch per fleet chunk;
+* a finished slot is recycled by prefilling the next prompt into the
+  slot's PAST cache rows ``[pos - len, pos)`` (rows position-shifted by
+  ``_rope``'s additive rotation) without touching the other slots;
+* the recycled slot's attention is lower-bounded at its admission row
+  via the per-row ``starts`` mask (``llama_spmd.forward_tokens``);
+* admission needs ``len(prompt) <= pos`` except on an idle server.
+
+Greedy decode only (the scheduling demonstration the mesh needs);
+per-request sampling/seeds/quant/prefix-cache remain single-chip
+``LlamaServer`` features until a real multi-chip deployment asks.
+"""
+from __future__ import annotations
+
+import itertools
+from collections import deque
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .llama_spmd import (LAYER_KEYS, _rope, cache_shardings, forward_tokens,
+                         param_shardings, shard_params)
+from .mesh import Mesh, named_sharding
+
+
+def params_from_model(model, dtype=jnp.float32):
+    """Per-matrix SPMD param pytree + cfg from a ``Llama`` module — the
+    checkpoint bridge: reference checkpoints load into the module
+    (models/llama/io.py), this ships them onto a mesh.  Layout matches
+    ``llama_spmd.init_params`` (per-matrix, NOT the single-chip decode
+    snapshot's fused wqkv/wgu — GSPMD shards the last axis in contiguous
+    blocks, and only the split layout keeps each tp shard a whole block
+    of heads; see models/llama/model.py ROADMAP note)."""
+    named = dict(model.named_parameters())  # dotted names, incl. buffers
+
+    def g(name):
+        return jnp.asarray(named[name].jax, dtype)
+
+    def stack(fmt):
+        return jnp.stack([g(fmt.format(i))
+                          for i in range(model.n_layers)])
+
+    params = {
+        "tok": g("tok_embedding.weight"),
+        "cos": g("freqs_cos"),
+        "sin": g("freqs_sin"),
+        "norm": g("norm.weight"),
+        "head_w": g("lm_head.weight"),
+        "head_b": g("lm_head.bias"),
+        "wq": stack("layers.{}.attention.Q.weight"),
+        "wk": stack("layers.{}.attention.K.weight"),
+        "wv": stack("layers.{}.attention.V.weight"),
+        "wo": stack("layers.{}.attention.O.weight"),
+        "gate": stack("layers.{}.ffn.gate.weight"),
+        "up": stack("layers.{}.ffn.up.weight"),
+        "down": stack("layers.{}.ffn.down.weight"),
+        "in_norm": stack("layers.{}.input_norm.weight"),
+        "post_norm": stack("layers.{}.post_attn_norm.weight"),
+    }
+    cfg = dict(vocab_size=model.vocab_size, dim=model.embed_dim,
+               n_heads=model.n_heads, ffn_dim=params["gate"].shape[-1],
+               n_layers=model.n_layers, max_seq_len=model.max_seq_len,
+               n_kv_heads=model.n_kv_heads)
+    return params, cfg
+
+
+def make_serve_fns(mesh: Mesh, cfg):
+    """Compiled SPMD (admit_many, decode_chunk) pair over the mesh —
+    the device half of :class:`SpmdLlamaServer`."""
+    N, S = cfg["n_layers"], cfg["max_seq_len"]
+    H = cfg["n_heads"]
+    hd = cfg["dim"] // H
+    Hkv = cfg.get("n_kv_heads", H)
+    c_sh = cache_shardings(mesh, cfg)
+
+    @partial(jax.jit, donate_argnums=(1, 2, 3))
+    def admit_many(params, ck, cv, tok, prompts, pos0, slots):
+        """One admission wave: prefill k same-length prompts at position
+        0 in a fresh cache, position-shift the K rows by angle(pos0)
+        (rotations compose additively — the serve.py argument verbatim),
+        scatter them into the fleet cache rows [pos0, pos0+L) of their
+        slots, and record each request's first token."""
+        k, L = prompts.shape
+        ck1 = jnp.zeros((N, k, S, Hkv, hd), ck.dtype)
+        cv1 = jnp.zeros((N, k, S, Hkv, hd), cv.dtype)
+        tok1, ck1, cv1 = forward_tokens(params, ck1, cv1, prompts, 0, cfg)
+        pos0 = jnp.asarray(pos0, jnp.int32)
+        rows_k = ck1[:, :, :L].astype(jnp.float32)  # (N, k, L, Hkv, hd)
+        rows_v = cv1[:, :, :L]
+        cd = jax.lax.dynamic_slice_in_dim(
+            params["cos"], pos0, 1).astype(jnp.float32)
+        sd = jax.lax.dynamic_slice_in_dim(
+            params["sin"], pos0, 1).astype(jnp.float32)
+        rows_k = _rope(rows_k, cd, sd).astype(ck.dtype)
+        rows_v = rows_v.astype(cv.dtype)
+        tok1 = tok1.reshape(k).astype(jnp.int32)
+        zero = jnp.int32(0)
+        dus = jax.lax.dynamic_update_slice
+
+        def body(i, carry):
+            ck, cv, tok = carry
+            slot = slots[i]
+            ck = dus(ck, rows_k[:, i][:, None],
+                     (zero, slot, pos0, zero, zero))
+            cv = dus(cv, rows_v[:, i][:, None],
+                     (zero, slot, pos0, zero, zero))
+            return ck, cv, tok.at[slot].set(tok1[i])
+
+        ck, cv, tok = jax.lax.fori_loop(0, k, body, (ck, cv, tok))
+        return tok1, ck, cv, tok
+
+    @partial(jax.jit, static_argnames=("n", "win"), donate_argnums=(1, 2))
+    def decode_chunk(params, ck, cv, tok, pos, starts, n, win=None):
+        """Greedy fleet chunk: n lockstep steps for every slot in one
+        SPMD program; ``win`` is the pow2 attention-window bucket."""
+        def step(carry, _):
+            ck, cv, tok, p = carry
+            nxt, ck, cv = forward_tokens(params, ck, cv, tok[:, None], p,
+                                         cfg, starts=starts, win=win)
+            return (ck, cv, nxt.astype(tok.dtype), p + 1), nxt
+
+        pos = jnp.asarray(pos, jnp.int32)
+        (ck, cv, tok, p), toks = jax.lax.scan(
+            step, (ck, cv, tok, pos), None, length=n)
+        return ck, cv, tok, toks  # toks (n, B)
+
+    return admit_many, decode_chunk, c_sh
+
+
+class SpmdLlamaServer:
+    """Greedy continuous-batching server over a dp x tp mesh.
+
+    >>> mesh = make_mesh({"dp": 2, "tp": 4})
+    >>> srv = SpmdLlamaServer(model, mesh, batch_size=8)
+    >>> rid = srv.submit(prompt_ids); done = srv.run()
+
+    Accepts a ``Llama`` module (converted via :func:`params_from_model`)
+    or a ``(params, cfg)`` pair in ``llama_spmd`` layout.  ``batch_size``
+    slots ride the dp axis (NamedSharding placement needs the dp size to
+    divide batch_size); chunk semantics match ``LlamaServer``
+    (fixed-size compiled scans, surplus steps discarded).  Synchronous
+    step loop — the single-chip server's 1-deep dispatch pipeline is a
+    tunnel-latency refinement this mesh demonstration doesn't need.
+    """
+
+    def __init__(self, model_or_params, mesh: Mesh, cfg=None,
+                 batch_size: int = 8, chunk: int = 32, eos_id: int = 2,
+                 dtype=jnp.float32):
+        if cfg is None:
+            params, cfg = params_from_model(model_or_params, dtype)
+        else:
+            params = model_or_params
+        dp = mesh.shape.get("dp", 1)
+        if batch_size % dp:
+            raise ValueError(f"batch_size {batch_size} must be divisible "
+                             f"by the dp axis ({dp}) for NamedSharding")
+        self.mesh, self.cfg = mesh, cfg
+        self.B, self.chunk, self.eos_id = batch_size, chunk, eos_id
+        self.S = cfg["max_seq_len"]
+        self._params = shard_params(params, mesh)
+        self._admit, self._decode, c_sh = make_serve_fns(mesh, cfg)
+        N = cfg["n_layers"]
+        Hkv = cfg.get("n_kv_heads", cfg["n_heads"])
+        hd = cfg["dim"] // cfg["n_heads"]
+        self._ck = jax.device_put(
+            jnp.zeros((N, self.B, self.S, Hkv, hd), dtype), c_sh)
+        self._cv = jax.device_put(
+            jnp.zeros((N, self.B, self.S, Hkv, hd), dtype), c_sh)
+        self._tok = jnp.ones((self.B,), jnp.int32)
+        self._starts = np.zeros(self.B, np.int32)
+        self._pos = 0
+        self._slots = [None] * self.B
+        self._queue = deque()
+        self._rid = itertools.count()
+        self._finished = {}
+
+    # -------- host scheduling: the serve.py protocol, greedy-only ------ #
+    def submit(self, prompt_ids, max_new_tokens: int = 256) -> int:
+        from ..models.llama.serve import Request
+
+        prompt = [int(t) for t in np.asarray(prompt_ids).reshape(-1)]
+        assert 0 < len(prompt) < self.S, len(prompt)
+        rid = next(self._rid)
+        self._queue.append(Request(rid, prompt, int(max_new_tokens)))
+        return rid
+
+    @property
+    def active(self) -> int:
+        return sum(1 for r in self._slots if r is not None)
+
+    def _try_admit(self):
+        plan = []
+        for slot in range(self.B):
+            if self._slots[slot] is not None or not self._queue:
+                continue
+            req = self._queue[0]
+            L = len(req.prompt)
+            if self.active == 0 and not plan:
+                self._pos = L  # idle rewind (serve.py module doc)
+            if L > self._pos or self._pos >= self.S:
+                continue
+            self._queue.popleft()
+            self._slots[slot] = req
+            plan.append((slot, req))
+        if not plan:
+            return
+        by_len = {}
+        for slot, req in plan:
+            by_len.setdefault(len(req.prompt), []).append((slot, req))
+        waves, firsts_dev = [], []
+        for L, group in sorted(by_len.items()):
+            pos0 = self._pos - L
+            i = 0
+            while i < len(group):  # pow2 sub-batches bound compile variants
+                k = 1 << ((len(group) - i).bit_length() - 1)
+                sub = group[i:i + k]
+                i += k
+                prompts = jnp.asarray(
+                    np.array([r.prompt for _, r in sub], np.int32))
+                slots = jnp.asarray(
+                    np.array([s for s, _ in sub], np.int32))
+                tok1, self._ck, self._cv, self._tok = self._admit(
+                    self._params, self._ck, self._cv, self._tok,
+                    prompts, pos0, slots)
+                for s, _ in sub:
+                    self._starts[s] = pos0
+                waves.append(sub)
+                firsts_dev.append(tok1)
+        firsts = np.concatenate([np.asarray(t) for t in firsts_dev])
+        j = 0
+        for sub in waves:
+            for slot, req in sub:
+                req.tokens.append(int(firsts[j]))
+                j += 1
+                self._maybe_finish(slot)
+
+    def _maybe_finish(self, slot, truncated=False):
+        req = self._slots[slot]
+        if req is None:
+            return
+        if req.tokens and req.tokens[-1] == self.eos_id:
+            req.tokens.pop()
+            req.done = True
+        elif len(req.tokens) >= req.max_new_tokens or truncated:
+            req.done = True
+            req.truncated = truncated
+        if req.done:
+            self._finished[req.rid] = req
+            self._slots[slot] = None
+
+    def step(self, n: int = None):
+        """Admit what fits, decode ``n`` (default ``chunk``) lockstep
+        tokens, credit them; returns newly finished requests."""
+        before = set(self._finished)
+        self._try_admit()
+        if self.active:
+            navail = self.S - self._pos
+            if navail <= 0:
+                for slot in range(self.B):
+                    self._maybe_finish(slot, truncated=True)
+                if self.active == 0:
+                    self._pos = 0
+            else:
+                n = n or self.chunk
+                win = min(self.S, 1 << (self._pos + n - 1).bit_length())
+                starts = jnp.asarray(self._starts)
+                self._ck, self._cv, self._tok, toks = self._decode(
+                    self._params, self._ck, self._cv, self._tok,
+                    self._pos, starts, n, win=win)
+                valid = min(n, navail)
+                self._pos += valid
+                toks = np.asarray(toks)[:valid]
+                for slot in range(self.B):
+                    req = self._slots[slot]
+                    if req is None:
+                        continue
+                    for t in toks[:, slot]:
+                        req.tokens.append(int(t))
+                        if req.tokens[-1] == self.eos_id \
+                                or len(req.tokens) >= req.max_new_tokens:
+                            break
+                    self._maybe_finish(slot)
+        return [self._finished[r] for r in set(self._finished) - before]
+
+    def run(self, max_steps: int = 10_000):
+        """Drain the queue; returns {rid: Request}."""
+        for _ in range(max_steps):
+            if not self._queue and self.active == 0:
+                break
+            self.step()
+        return dict(self._finished)

@@ -1,0 +1,111 @@
+"""Multi-chip continuous-batching server (parallel/serve_spmd.py) on the
+8-virtual-device CPU mesh: the SPMD decode serves the same shared-position
+slot protocol as the single-chip server, token-exact against the Llama
+module's own scan-lane ``generate`` — which also pins the
+``params_from_model`` module -> SPMD-pytree bridge end-to-end.
+"""
+import numpy as np
+import pytest
+
+import pydynet_tpu as pdn
+from pydynet_tpu.models.llama.model import Llama
+from pydynet_tpu.parallel import make_mesh
+from pydynet_tpu.parallel.serve_spmd import SpmdLlamaServer, params_from_model
+
+CFG = dict(vocab_size=256, embed_dim=32, n_heads=4, ffn_dim=64,
+           max_seq_len=64, max_batch_size=2, n_layers=2, dtype=np.float32)
+
+
+def standalone(model, prompt, n_new):
+    with pdn.no_grad():
+        return [int(t.numpy()[0, 0])
+                for t in model.generate(np.asarray([prompt]),
+                                        len(prompt) + n_new, fused=False)]
+
+
+@pytest.mark.parametrize("axes,B", [({"dp": 2, "tp": 4}, 2),
+                                    ({"dp": 8}, 8), ({"tp": 8}, 2)])
+def test_spmd_server_matches_module_generate(axes, B):
+    """Mid-stream admission + slot recycling over dp x tp / dp-only /
+    tp-only meshes: every request's stream equals single-chip greedy
+    generate (f32 — bit-identical math, only summation order differs).
+    The B=2 meshes recycle slots (starts-mask path); the dp-only mesh
+    runs B=8 slots (dp must divide the fleet) without recycling."""
+    np.random.seed(31)
+    model = Llama(**CFG)
+    model.eval()
+    prompts = [[1, 5, 9], [2, 7, 3, 11], [30, 20], [4, 4, 4, 4, 4]]
+    want = [standalone(model, p, 8) for p in prompts]
+
+    mesh = make_mesh(axes)
+    with pdn.no_grad():
+        srv = SpmdLlamaServer(model, mesh, batch_size=B, chunk=4,
+                              eos_id=-1)
+        rids = [srv.submit(p, max_new_tokens=8) for p in prompts]
+        done = srv.run()
+    assert set(done) == set(rids)
+    for rid, exp in zip(rids, want):
+        assert done[rid].tokens == exp, (axes, done[rid].tokens, exp)
+    if B == 2:
+        assert len(prompts) > srv.B  # recycling (starts mask) really ran
+
+
+def test_spmd_server_gqa():
+    """GQA config through the mesh server (kv heads narrower than tp)."""
+    cfg = dict(CFG, n_heads=4, n_kv_heads=2)
+    np.random.seed(32)
+    model = Llama(**cfg)
+    model.eval()
+    prompts = [[1, 5, 9], [2, 7, 3]]
+    want = [standalone(model, p, 6) for p in prompts]
+    mesh = make_mesh({"dp": 2, "tp": 4})
+    with pdn.no_grad():
+        srv = SpmdLlamaServer(model, mesh, batch_size=2, chunk=4,
+                              eos_id=-1)
+        rids = [srv.submit(p, max_new_tokens=6) for p in prompts]
+        done = srv.run()
+    for rid, exp in zip(rids, want):
+        assert done[rid].tokens == exp, (done[rid].tokens, exp)
+
+
+def test_spmd_server_params_pair_and_validation():
+    """(params, cfg) construction path + the dp-divisibility guard."""
+    np.random.seed(33)
+    model = Llama(**CFG)
+    model.eval()
+    params, cfg = params_from_model(model)
+    mesh = make_mesh({"dp": 2, "tp": 4})
+    want = standalone(model, [3, 1, 4], 5)
+    with pdn.no_grad():
+        srv = SpmdLlamaServer(params, mesh, cfg=cfg, batch_size=2,
+                              chunk=4, eos_id=-1)
+        rid = srv.submit([3, 1, 4], max_new_tokens=5)
+        done = srv.run()
+    assert done[rid].tokens == want
+    with pytest.raises(ValueError, match="divisible"):
+        SpmdLlamaServer(params, mesh, cfg=cfg, batch_size=3)
+
+
+def test_spmd_server_eos_and_truncation():
+    """EOS finishes a request without emitting it; cache exhaustion
+    truncates the fleet and rewinds for the queue."""
+    np.random.seed(34)
+    model = Llama(**CFG)
+    model.eval()
+    mesh = make_mesh({"dp": 2, "tp": 4})
+    with pdn.no_grad():
+        srv = SpmdLlamaServer(model, mesh, batch_size=2, chunk=4,
+                              eos_id=-1)  # no EOS: run to max_new
+        ra = srv.submit([1, 2, 3], max_new_tokens=1000)  # hits cache end
+        done = srv.run()
+    assert done[ra].truncated
+    assert len(done[ra].tokens) == CFG["max_seq_len"] - 3 + 1
+
+    # EOS: pick the first greedy token as eos -> zero-token result
+    want = standalone(model, [5, 6], 1)
+    with pdn.no_grad():
+        srv = SpmdLlamaServer(model, mesh, batch_size=2, chunk=4,
+                              eos_id=want[0])
+        rb = srv.submit([5, 6], max_new_tokens=8)
+        done = srv.run()
+    assert done[rb].tokens == [] and done[rb].done
