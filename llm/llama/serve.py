@@ -13,7 +13,10 @@ defaults for every request (0 = greedy).  ``--quant int8[-head]`` halves
 the shared weight stream (``int4`` quarters it); ``--kv-quant int8``
 halves the KV footprint (mutually exclusive with --quant).
 ``--prompts-file`` reads one prompt per line; ``--stream`` prints tokens
-incrementally as chunks are read back.
+incrementally as chunks are read back.  ``--lane xla`` forces the
+big-dims scan engine (auto-routed for 7B-class models); with it,
+``--prefix-cache`` reuses KV rows across requests sharing a prompt
+prefix (shared-system-prompt serving).
 """
 import argparse
 import sys
@@ -73,6 +76,14 @@ def main(argv=None):
                         help="print tokens incrementally as chunks are "
                         "read back (LlamaServer.stream) instead of "
                         "completions at the end")
+    parser.add_argument("--lane", choices=["fused", "xla"], default=None,
+                        help="decode engine override (default: auto-route "
+                        "like generate — fused mega-kernel at small dims, "
+                        "XLA scan at 7B-class dims)")
+    parser.add_argument("--prefix-cache", action="store_true",
+                        help="reuse KV rows across requests sharing a "
+                        "prompt prefix (XLA lane; shared-system-prompt "
+                        "serving)")
     args = parser.parse_args(argv)
 
     prompts = list(args.prompt or [])
@@ -107,7 +118,9 @@ def main(argv=None):
                           eos_id=tokenizer.eos_id,
                           temperature=args.temperature, top_k=args.top_k,
                           top_p=args.top_p, seed=args.seed,
-                          quant=args.quant, kv_quant=args.kv_quant)
+                          quant=args.quant, kv_quant=args.kv_quant,
+                          lane=args.lane,
+                          prefix_cache=args.prefix_cache)
         encoded = [tokenizer.encode(p) for p in prompts]
         rids = [srv.submit(ids, max_new_tokens=args.max_new_tokens)
                 for ids in encoded]

@@ -229,12 +229,17 @@ class LlamaServer:
             self._cv = jnp.zeros((N, self.B, S, width), cdt)
         self._tok = jnp.ones((self.B,), jnp.int32)
         self._starts = np.zeros(self.B, np.int32)
-        # prefix-cache residency: slot -> (prompt tuple, admission row) of
-        # the prompt rows currently materialized in that slot's cache —
-        # donors for later admissions sharing a prefix.  Entries survive a
-        # request finishing (its rows do too) and die when the slot is
-        # re-admitted or the shared position resets (rows above the new
-        # position get rewritten by subsequent decode steps).
+        # prefix-cache residency: slot -> (rid, resident tokens, admission
+        # row) — the token sequence whose KV rows are materialized in that
+        # slot's cache, donors for later admissions sharing a prefix.
+        # Starts as the prompt at admission and EXTENDS with credited
+        # tokens as they decode (multi-turn serving: a follow-up prompt
+        # quoting the previous exchange reuses the whole turn), except the
+        # last credited token, whose row is only written when it is fed
+        # back as the next step's input.  Entries survive a request
+        # finishing (its rows do too) and die when the slot is re-admitted
+        # or the shared position resets (rows above the new position get
+        # rewritten by subsequent decode steps).
         self._resident: list = [None] * self.B
         self._pos = 0
         self._slots: list = [None] * self.B
@@ -629,7 +634,7 @@ class LlamaServer:
             if ent is None or (slot in planned_slots
                                and slot != target_slot):
                 continue
-            rp, start = ent
+            _, rp, start = ent
             n = 0
             for a, b in zip(rp, prompt[:limit]):
                 if a != b:
@@ -711,7 +716,7 @@ class LlamaServer:
                     jnp.asarray(self._ptopp[slots]), sample=wave_sample)
                 for s, r in sub:
                     self._starts[s] = pos0
-                    self._resident[s] = (tuple(r.prompt), pos0)
+                    self._resident[s] = (r.rid, tuple(r.prompt), pos0)
                 waves.append(sub)
                 firsts_dev.append(tok1)
         # prefix-cache admissions: one program each (donors vary), the
@@ -732,7 +737,7 @@ class LlamaServer:
                 jnp.asarray(self._ptopp[sl]), kb=kb,
                 sample=row_samples[slot])
             self._starts[slot] = pos0
-            self._resident[slot] = (tuple(req.prompt), pos0)
+            self._resident[slot] = (req.rid, tuple(req.prompt), pos0)
             self.prefix_hits += 1
             self.prefix_rows_reused += kb
             waves.append([(slot, req)])
@@ -853,6 +858,17 @@ class LlamaServer:
             new = req.tokens[before:]  # after _maybe_finish pops the EOS
             if new:
                 credited.append((req.rid, new))
+            if self._prefix_cache:
+                ent = self._resident[slot]
+                if ent is not None and ent[0] == req.rid:
+                    # multi-turn donor growth: credited tokens' rows are
+                    # written as each is fed back — all but the last,
+                    # whose row only exists once the NEXT step consumes
+                    # it (see _resident's init comment)
+                    self._resident[slot] = (
+                        req.rid,
+                        tuple(req.prompt) + tuple(req.tokens[:-1]),
+                        ent[2])
         return credited
 
     def _truncate_fleet(self):

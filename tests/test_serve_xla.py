@@ -240,3 +240,36 @@ def test_prefix_cache_requires_xla_lane():
     model.eval()
     with pytest.raises(ValueError, match="prefix_cache"):
         LlamaServer(model, batch_size=2, lane="fused", prefix_cache=True)
+
+
+def test_prefix_cache_multi_turn_reuses_generated_rows():
+    """Resident entries grow with credited tokens: a follow-up prompt
+    quoting the previous exchange (prompt + generated reply) reuses rows
+    past the original prompt — the multi-turn conversation pattern."""
+    np.random.seed(25)
+    model = Llama(**dict(CFG, max_seq_len=128))
+    model.eval()
+    pa = [1, 5, 9, 4, 7, 2]
+    out_a = standalone(model, pa, 10)
+    # follow-up quotes the whole first exchange plus a new "question";
+    # lcp = 6 + 8 = 14 -> kb 8 needs rows past the 6-token prompt
+    pb = pa + out_a[:8] + [3, 11]
+    want_b = standalone(model, pb, 5)
+
+    with pdn.no_grad():
+        srv = LlamaServer(model, batch_size=2, chunk=4, eos_id=-1,
+                          lane="xla", prefix_cache=True)
+        ra = srv.submit(pa, max_new_tokens=10)
+        # a long-lived co-tenant keeps the fleet busy: the position must
+        # not rewind (that invalidates donors) between A and B
+        srv.submit([2, 7, 4], max_new_tokens=60)
+        for _ in range(20):     # drive A to completion
+            if ra in srv._finished:
+                break
+            srv.step()
+        assert ra in srv._finished
+        rb = srv.submit(pb, max_new_tokens=5)
+        done = srv.run()
+    assert srv.prefix_hits == 1, srv.prefix_hits
+    assert srv.prefix_rows_reused == 8, srv.prefix_rows_reused
+    assert done[rb].tokens == want_b, (done[rb].tokens, want_b)
