@@ -60,7 +60,103 @@ class Request:
     seed: int = None  # None -> derived from the server seed + rid
 
 
-class LlamaServer:
+class _FleetScheduler:
+    """Host-side slot protocol shared by every decode engine — the
+    single-chip :class:`LlamaServer` (fused + XLA lanes) and the mesh
+    :class:`~pydynet_tpu.parallel.serve_spmd.SpmdLlamaServer`: queueing,
+    admission planning (incl. the idle position rewind), power-of-two
+    admission-wave splitting, finish rules (EOS pop, max_new,
+    truncation) and fleet truncation.  One implementation so protocol
+    fixes cannot drift between engines; subclasses provide the device
+    programs and the chunk loop, and may hook :meth:`_on_rewind` (the
+    prefix cache invalidates its donors there)."""
+
+    def _init_fleet_state(self):
+        self._starts = np.zeros(self.B, np.int32)
+        self._pos = 0
+        self._slots: list = [None] * self.B
+        self._queue: deque = deque()
+        self._rid = itertools.count()
+        self._finished: dict = {}
+
+    def submit(self, prompt_ids, max_new_tokens: int = 256, **overrides):
+        """Queue one prompt (list/array of token ids); returns rid."""
+        prompt = [int(t) for t in np.asarray(prompt_ids).reshape(-1)]
+        assert 0 < len(prompt) < self.S, len(prompt)
+        rid = next(self._rid)
+        self._queue.append(Request(rid, prompt, int(max_new_tokens),
+                                   **overrides))
+        return rid
+
+    @property
+    def active(self) -> int:
+        return sum(1 for r in self._slots if r is not None)
+
+    def _on_rewind(self):
+        """Called whenever the shared position resets (idle admission or
+        fleet truncation) — rows above the new position will be
+        rewritten by subsequent decode steps."""
+
+    def _plan_admissions(self):
+        """Assign queued requests to free slots under the admission rule
+        (module doc): the prompt must land in past rows, except on an
+        idle server, where the position rewinds to the prompt length."""
+        plan = []
+        for slot in range(self.B):
+            if self._slots[slot] is not None or not self._queue:
+                continue
+            req = self._queue[0]
+            L = len(req.prompt)
+            if self.active == 0 and not plan:
+                # idle server: reset the shared position to the prompt
+                # length so the request gets the WHOLE cache as headroom
+                # (stale rows are invisible — below the admission row
+                # they are masked by ``starts``, above the decode
+                # position the engine's position bound hides them until
+                # rewritten), instead of inheriting the drained fleet's
+                # position and truncating early
+                self._pos = L
+                self._on_rewind()
+            if L > self._pos or self._pos >= self.S:
+                continue  # must land in past rows (see module doc)
+            self._queue.popleft()
+            self._slots[slot] = req
+            plan.append((slot, req))
+        return plan
+
+    @staticmethod
+    def _pow2_subwaves(group):
+        """Split one same-length admission group into power-of-two
+        sub-batches — bounds prefill compile variants to (L, 2^i)."""
+        i = 0
+        while i < len(group):
+            k = 1 << ((len(group) - i).bit_length() - 1)
+            yield group[i:i + k]
+            i += k
+
+    def _maybe_finish(self, slot, truncated=False):
+        req = self._slots[slot]
+        if req is None:
+            return
+        if req.tokens and req.tokens[-1] == self.eos_id:
+            req.tokens.pop()  # EOS itself is not emitted
+            req.done = True
+        elif len(req.tokens) >= req.max_new_tokens or truncated:
+            req.done = True
+            req.truncated = truncated
+        if req.done:
+            self._finished[req.rid] = req
+            self._slots[slot] = None
+
+    def _truncate_fleet(self):
+        for slot in range(self.B):
+            self._maybe_finish(slot, truncated=True)
+        if self.active == 0:
+            self._pos = 0  # fleet drained: rewind for the queue
+            self._on_rewind()
+
+
+class LlamaServer(_FleetScheduler):
     """Greedy or sampled continuous-batching decode for one Llama model.
 
     >>> srv = LlamaServer(model, batch_size=8, dtype=jnp.bfloat16)
@@ -228,7 +324,7 @@ class LlamaServer:
             self._ck = jnp.zeros((N, self.B, S, width), cdt)
             self._cv = jnp.zeros((N, self.B, S, width), cdt)
         self._tok = jnp.ones((self.B,), jnp.int32)
-        self._starts = np.zeros(self.B, np.int32)
+        self._init_fleet_state()
         # prefix-cache residency: slot -> (rid, resident tokens, admission
         # row) — the token sequence whose KV rows are materialized in that
         # slot's cache, donors for later admissions sharing a prefix.
@@ -241,12 +337,7 @@ class LlamaServer:
         # or the shared position resets (rows above the new position get
         # rewritten by subsequent decode steps).
         self._resident: list = [None] * self.B
-        self._pos = 0
-        self._slots: list = [None] * self.B
         self._admit_credits: list = []  # (rid, [first_token]) for stream()
-        self._queue: deque = deque()
-        self._rid = itertools.count()
-        self._finished: dict = {}
 
         Hkv, hd = model.n_kv_heads, model.head_dim
 
@@ -286,284 +377,302 @@ class LlamaServer:
             ks = jax.vmap(jax.random.split)(keys_k)  # (k, 2, 2)
             return ks[:, 0], ks[:, 1]
 
-        @partial(jax.jit, static_argnames=("sample",),
-                 donate_argnums=(1, 2, 3, 4))
-        def admit_many(w, ck, cv, tok, pkeys, prompts, pos0, slots,
-                       seeds_k, has_seed_k, rids_k,
-                       temp_k, topk_k, topp_k, sample=False):
-            """Prefill a WAVE of k same-length requests into slots
-            ``slots`` at absolute rows [pos0, pos0+L) of the shared cache
-            in ONE program; returns their first tokens (k,) — greedy
-            argmax, or (``sample=True``) drawn per row with the wave's
-            (k,) temperature/top-k/top-p vectors (key/params unused on a
-            greedy wave).
-            pos0/slots are traced — compiles once per (k, L); the caller
-            buckets k to powers of two to bound that.  (Per-request admit
-            dispatches cost ~15 ms each through the remote tunnel and
-            dominated serving throughput at high request turnover.)
-
-            The prefill itself runs at position 0 (exactly the standalone
-            ``generate`` semantics — at pos0 it would attend the empty
-            rows below it), and the K rows are then post-rotated by the
-            shift: rotary rotations compose additively, so a row rotated
-            for position p and again by row pos0 of the table carries the
-            rotation for absolute position p + pos0."""
-            k, L = prompts.shape
-            ck1 = jnp.zeros((N, k, S, Hkv, hd), cdt)
-            cv1 = jnp.zeros((N, k, S, Hkv, hd), cdt)
-            draw_k, keys_out = derive_keys(seeds_k, has_seed_k, rids_k)
-            if sample:
-                logits1, ck1, cv1 = forward_logits(w, ck1, cv1, prompts, 0)
-                tok1 = sample_logits_per_row(logits1, draw_k, temp_k,
-                                             topk_k, topp_k)
-            else:
-                tok1, ck1, cv1 = forward_tokens(w, ck1, cv1, prompts, 0)
-            fk = pad_cache_lanes(model._kv_flat(ck1, narrow), width)
-            fv = pad_cache_lanes(model._kv_flat(cv1, narrow), width)
-            if k == 1:  # _kv_flat squeezes the unit batch axis
-                fk, fv = fk[:, None], fv[:, None]
-            zero = jnp.int32(0)
-            pos0 = jnp.asarray(pos0, jnp.int32)
-            rows_k = fk[:, :, :L].astype(jnp.float32)      # (N, k, L, W)
-            rows_v = fv[:, :, :L]
-            cd = rot_c[pos0].astype(jnp.float32)[None, None, None]
-            sd = rot_s[pos0].astype(jnp.float32)[None, None, None]
-            rm = rot_m.astype(jnp.float32)
-            rows_k = rows_k * cd + (rows_k @ rm) * sd  # f32
-            sc_k = sc_v = None
-            if kv_quant:
-                # quantize the admitted rows EXACTLY as the kernel
-                # quantizes freshly decoded ones (quantize_kv), so
-                # prefilled and decoded cache rows are indistinguishable
-                rows_k, sc_k = quantize_kv(rows_k)
-                rows_v, sc_v = quantize_kv(rows_v)
-            else:
-                rows_k = rows_k.astype(cdt)
-            tok1 = tok1.reshape(k).astype(jnp.int32)
-            dus = jax.lax.dynamic_update_slice
-
-            def body(i, carry):
-                ck, cv, tok = carry
-                slot = slots[i]
-                if kv_quant:
-                    (ckq, cks), (cvq, cvs) = ck, cv
-                    ck = (dus(ckq, rows_k[:, i][:, None],
-                              (zero, slot, pos0, zero)),
-                          dus(cks, sc_k[:, i][:, None], (zero, slot, pos0)))
-                    cv = (dus(cvq, rows_v[:, i][:, None],
-                              (zero, slot, pos0, zero)),
-                          dus(cvs, sc_v[:, i][:, None], (zero, slot, pos0)))
-                else:
-                    ck = dus(ck, rows_k[:, i][:, None],
-                             (zero, slot, pos0, zero))
-                    cv = dus(cv, rows_v[:, i][:, None],
-                             (zero, slot, pos0, zero))
-                return ck, cv, tok.at[slot].set(tok1[i])
-
-            ck, cv, tok = jax.lax.fori_loop(0, k, body, (ck, cv, tok))
-            pkeys = pkeys.at[slots].set(keys_out)
-            return tok1, ck, cv, tok, pkeys
-
-        @partial(jax.jit, static_argnames=("n",), donate_argnums=(1, 2))
-        def decode(w, ck, cv, tok, pos, starts, n):
-            def step(carry, _):
-                ck, cv, tok, p = carry
-                nxt, ck, cv = fused_step_batched(w, ck, cv, tok, p,
-                                                 starts=starts)
-                return (ck, cv, nxt.astype(tok.dtype), p + 1), nxt
-
-            pos = jnp.asarray(pos, jnp.int32)
-            (ck, cv, tok, p), toks = jax.lax.scan(
-                step, (ck, cv, tok, pos), None, length=n)
-            return ck, cv, tok, toks  # toks (n, B)
-
-        @partial(jax.jit, static_argnames=("n",), donate_argnums=(1, 2))
-        def decode_sampled(w, ck, cv, tok, pos, starts, keys, temp_b,
-                           topk_b, topp_b, n):
-            """``keys`` (B, 2): per-SLOT key streams, split per step per
-            row — a row's draws depend only on its own key lineage."""
-            def step(carry, _):
-                ck, cv, tok, p, keys = carry
-                logits, ck, cv = fused_step_batched(w, ck, cv, tok, p,
-                                                    emit_logits=True,
-                                                    starts=starts)
-                ks = jax.vmap(jax.random.split)(keys)  # (B, 2, 2)
-                nxt = sample_logits_per_row(logits, ks[:, 0], temp_b,
-                                            topk_b, topp_b).astype(tok.dtype)
-                return (ck, cv, nxt, p + 1, ks[:, 1]), nxt
-
-            pos = jnp.asarray(pos, jnp.int32)
-            (ck, cv, tok, p, keys), toks = jax.lax.scan(
-                step, (ck, cv, tok, pos, keys), None, length=n)
-            return ck, cv, tok, toks, keys
-
-        # ---------------- XLA scan lane (big-dims serving) -------------- #
-        # same wave/chunk protocol as the fused lane, but every step is
-        # the lax.scan decode forward (forward_logits_one) with the new
-        # per-row ``starts`` mask — the lane generate() routes 7B-class
-        # dims to (_fused_decode_supported's VMEM bound), with quant=
-        # riding the streamed gemv_quant kernels.  Caches keep the scan
-        # layout (N, B, S, Hkv, hd); admission scatters the prefilled
-        # rows directly and post-rotates K with the decode tables.
-
-        @partial(jax.jit, static_argnames=("sample",),
-                 donate_argnums=(1, 2, 3, 4))
-        def admit_many_xla(w, ck, cv, tok, pkeys, prompts, pos0, slots,
+        # Only the selected lane's programs are built: the other
+        # lane's closures would capture locals this lane never
+        # assigns (fused_step_batched / rot tables vs the scan
+        # forward) — a latent NameError trap, and dead code.
+        if fused_lane:
+            @partial(jax.jit, static_argnames=("sample",),
+                     donate_argnums=(1, 2, 3, 4))
+            def admit_many(w, ck, cv, tok, pkeys, prompts, pos0, slots,
                            seeds_k, has_seed_k, rids_k,
                            temp_k, topk_k, topp_k, sample=False):
-            """Scan-lane admission wave: prefill k same-length prompts at
-            position 0 in a fresh (N, k, S, Hkv, hd) cache, post-rotate
-            the K rows by angle(pos0) via _rope_pure (rotations compose
-            additively, so a row rotated for position p and again by
-            pos0 carries the rotation for absolute position p + pos0 —
-            the same argument as the fused variant above), and scatter
-            them into the fleet cache at rows [pos0, pos0+L)."""
-            k, L = prompts.shape
-            ck1 = jnp.zeros((N, k, S, Hkv, hd), cdt)
-            cv1 = jnp.zeros((N, k, S, Hkv, hd), cdt)
-            draw_k, keys_out = derive_keys(seeds_k, has_seed_k, rids_k)
-            if sample:
-                logits1, ck1, cv1 = forward_logits(w, ck1, cv1, prompts, 0)
-                tok1 = sample_logits_per_row(logits1, draw_k, temp_k,
-                                             topk_k, topp_k)
-            else:
-                tok1, ck1, cv1 = forward_tokens(w, ck1, cv1, prompts, 0)
-            pos0 = jnp.asarray(pos0, jnp.int32)
-            rows_k = ck1[:, :, :L].astype(jnp.float32)  # (N, k, L, Hkv, hd)
-            rows_v = cv1[:, :, :L]
-            cd = jax.lax.dynamic_slice_in_dim(
-                w["cos"], pos0, 1).astype(jnp.float32)   # (1, hd//2)
-            sd = jax.lax.dynamic_slice_in_dim(
-                w["sin"], pos0, 1).astype(jnp.float32)
-            rows_k = _rope_pure(rows_k, cd, sd).astype(cdt)
-            tok1 = tok1.reshape(k).astype(jnp.int32)
-            zero = jnp.int32(0)
-            dus = jax.lax.dynamic_update_slice
+                """Prefill a WAVE of k same-length requests into slots
+                ``slots`` at absolute rows [pos0, pos0+L) of the shared cache
+                in ONE program; returns their first tokens (k,) — greedy
+                argmax, or (``sample=True``) drawn per row with the wave's
+                (k,) temperature/top-k/top-p vectors (key/params unused on a
+                greedy wave).
+                pos0/slots are traced — compiles once per (k, L); the caller
+                buckets k to powers of two to bound that.  (Per-request admit
+                dispatches cost ~15 ms each through the remote tunnel and
+                dominated serving throughput at high request turnover.)
 
-            def body(i, carry):
-                ck, cv, tok = carry
-                slot = slots[i]
-                ck = dus(ck, rows_k[:, i][:, None],
-                         (zero, slot, pos0, zero, zero))
-                cv = dus(cv, rows_v[:, i][:, None],
-                         (zero, slot, pos0, zero, zero))
-                return ck, cv, tok.at[slot].set(tok1[i])
+                The prefill itself runs at position 0 (exactly the standalone
+                ``generate`` semantics — at pos0 it would attend the empty
+                rows below it), and the K rows are then post-rotated by the
+                shift: rotary rotations compose additively, so a row rotated
+                for position p and again by row pos0 of the table carries the
+                rotation for absolute position p + pos0."""
+                k, L = prompts.shape
+                ck1 = jnp.zeros((N, k, S, Hkv, hd), cdt)
+                cv1 = jnp.zeros((N, k, S, Hkv, hd), cdt)
+                # generate()'s prefill win bucketing: queries live in [0, L),
+                # so the pow2 window drops only causally-masked columns
+                win = min(S, 1 << (L - 1).bit_length())
+                draw_k, keys_out = derive_keys(seeds_k, has_seed_k, rids_k)
+                if sample:
+                    logits1, ck1, cv1 = forward_logits(w, ck1, cv1, prompts, 0,
+                                                       win=win)
+                    tok1 = sample_logits_per_row(logits1, draw_k, temp_k,
+                                                 topk_k, topp_k)
+                else:
+                    tok1, ck1, cv1 = forward_tokens(w, ck1, cv1, prompts, 0,
+                                                    win=win)
+                fk = pad_cache_lanes(model._kv_flat(ck1, narrow), width)
+                fv = pad_cache_lanes(model._kv_flat(cv1, narrow), width)
+                if k == 1:  # _kv_flat squeezes the unit batch axis
+                    fk, fv = fk[:, None], fv[:, None]
+                zero = jnp.int32(0)
+                pos0 = jnp.asarray(pos0, jnp.int32)
+                rows_k = fk[:, :, :L].astype(jnp.float32)      # (N, k, L, W)
+                rows_v = fv[:, :, :L]
+                cd = rot_c[pos0].astype(jnp.float32)[None, None, None]
+                sd = rot_s[pos0].astype(jnp.float32)[None, None, None]
+                rm = rot_m.astype(jnp.float32)
+                rows_k = rows_k * cd + (rows_k @ rm) * sd  # f32
+                sc_k = sc_v = None
+                if kv_quant:
+                    # quantize the admitted rows EXACTLY as the kernel
+                    # quantizes freshly decoded ones (quantize_kv), so
+                    # prefilled and decoded cache rows are indistinguishable
+                    rows_k, sc_k = quantize_kv(rows_k)
+                    rows_v, sc_v = quantize_kv(rows_v)
+                else:
+                    rows_k = rows_k.astype(cdt)
+                tok1 = tok1.reshape(k).astype(jnp.int32)
+                dus = jax.lax.dynamic_update_slice
 
-            ck, cv, tok = jax.lax.fori_loop(0, k, body, (ck, cv, tok))
-            pkeys = pkeys.at[slots].set(keys_out)
-            return tok1, ck, cv, tok, pkeys
+                def body(i, carry):
+                    ck, cv, tok = carry
+                    slot = slots[i]
+                    if kv_quant:
+                        (ckq, cks), (cvq, cvs) = ck, cv
+                        ck = (dus(ckq, rows_k[:, i][:, None],
+                                  (zero, slot, pos0, zero)),
+                              dus(cks, sc_k[:, i][:, None], (zero, slot, pos0)))
+                        cv = (dus(cvq, rows_v[:, i][:, None],
+                                  (zero, slot, pos0, zero)),
+                              dus(cvs, sc_v[:, i][:, None], (zero, slot, pos0)))
+                    else:
+                        ck = dus(ck, rows_k[:, i][:, None],
+                                 (zero, slot, pos0, zero))
+                        cv = dus(cv, rows_v[:, i][:, None],
+                                 (zero, slot, pos0, zero))
+                    return ck, cv, tok.at[slot].set(tok1[i])
 
-        @partial(jax.jit, static_argnames=("kb", "sample"),
-                 donate_argnums=(1, 2, 3, 4))
-        def admit_prefix_xla(w, ck, cv, tok, pkeys, suffix, donor_slot,
-                             donor_start, pos0, slot, seeds_k, has_seed_k,
-                             rids_k, temp_k, topk_k, topp_k, kb=0,
-                             sample=False):
-            """Prefix-cache admission (scan lane): reuse ``kb`` prefix
-            rows already materialized by a donor slot instead of
-            re-prefilling them — KV rows depend only on tokens at or
-            before their position, so a shared prompt prefix's rows are
-            identical for every request carrying it (up to RoPE
-            position), and RoPE is linear in position, so a donor row at
-            absolute position ``ds + i`` un-rotates to relative ``i`` by
-            angle(-ds) and re-rotates to the new slot's ``pos0 + i`` by
-            angle(pos0) — the same additive-composition argument as
-            ``admit_many_xla``, two hops instead of one.
+                ck, cv, tok = jax.lax.fori_loop(0, k, body, (ck, cv, tok))
+                pkeys = pkeys.at[slots].set(keys_out)
+                return tok1, ck, cv, tok, pkeys
 
-            Only the SUFFIX (len L - kb) runs the prefill forward: at 7B
-            dims admission cost is prefill FLOPs, so a shared system
-            prompt's admission drops by ~L/Ls.  One request per call
-            (donors vary); compiled per (kb, suffix-length) pair, kb a
-            power of two — same bounded-variants discipline as the
-            per-length admission waves."""
-            Ls = suffix.shape[1]
-            zero = jnp.int32(0)
-            dss = jax.lax.dynamic_slice
-            dus = jax.lax.dynamic_update_slice
-            donor_slot = jnp.asarray(donor_slot, jnp.int32)
-            donor_start = jnp.asarray(donor_start, jnp.int32)
-            pos0 = jnp.asarray(pos0, jnp.int32)
-            slot = jnp.asarray(slot, jnp.int32)
-            # donor prefix rows, extracted BEFORE this slot's overwrite
-            # (pure dataflow: donor == slot is fine)
-            pk = dss(ck, (zero, donor_slot, donor_start, zero, zero),
-                     (N, 1, kb, Hkv, hd)).astype(jnp.float32)
-            pv = dss(cv, (zero, donor_slot, donor_start, zero, zero),
-                     (N, 1, kb, Hkv, hd))
-            # un-rotate K to relative positions [0, kb): angle(-ds) has
-            # cos(ds), -sin(ds) — single-row tables broadcast over rows
-            cd = jax.lax.dynamic_slice_in_dim(
-                w["cos"], donor_start, 1).astype(jnp.float32)
-            sd = jax.lax.dynamic_slice_in_dim(
-                w["sin"], donor_start, 1).astype(jnp.float32)
-            pk = _rope_pure(pk, cd, -sd).astype(cdt)
-            ck1 = jnp.zeros((N, 1, S, Hkv, hd), cdt)
-            cv1 = jnp.zeros((N, 1, S, Hkv, hd), cdt)
-            ck1 = dus(ck1, pk, (zero,) * 5)
-            cv1 = dus(cv1, pv.astype(cdt), (zero,) * 5)
-            draw_k, keys_out = derive_keys(seeds_k, has_seed_k, rids_k)
-            if sample:
-                logits1, ck1, cv1 = forward_logits(w, ck1, cv1, suffix, kb)
-                tok1 = sample_logits_per_row(logits1, draw_k, temp_k,
-                                             topk_k, topp_k)
-            else:
-                tok1, ck1, cv1 = forward_tokens(w, ck1, cv1, suffix, kb)
-            L = kb + Ls
-            rows_k = ck1[:, :, :L].astype(jnp.float32)
-            rows_v = cv1[:, :, :L]
-            c0 = jax.lax.dynamic_slice_in_dim(
-                w["cos"], pos0, 1).astype(jnp.float32)
-            s0 = jax.lax.dynamic_slice_in_dim(
-                w["sin"], pos0, 1).astype(jnp.float32)
-            rows_k = _rope_pure(rows_k, c0, s0).astype(cdt)
-            ck = dus(ck, rows_k, (zero, slot, pos0, zero, zero))
-            cv = dus(cv, rows_v.astype(cdt), (zero, slot, pos0, zero, zero))
-            tok1 = tok1.reshape(1).astype(jnp.int32)
-            tok = tok.at[slot].set(tok1[0])
-            pkeys = pkeys.at[slot].set(keys_out[0])
-            return tok1, ck, cv, tok, pkeys
+            @partial(jax.jit, static_argnames=("n",), donate_argnums=(1, 2))
+            def decode(w, ck, cv, tok, pos, starts, n):
+                def step(carry, _):
+                    ck, cv, tok, p = carry
+                    nxt, ck, cv = fused_step_batched(w, ck, cv, tok, p,
+                                                     starts=starts)
+                    return (ck, cv, nxt.astype(tok.dtype), p + 1), nxt
 
-        @partial(jax.jit, static_argnames=("n", "win"),
-                 donate_argnums=(1, 2))
-        def decode_xla(w, ck, cv, tok, pos, starts, n, win=None):
-            """Greedy fleet chunk on the scan lane; ``win`` (static) is
-            _dispatch's pow2 attention window >= pos + n, clamped to S —
-            generate()'s bucketing discipline, a handful of variants."""
-            def step(carry, _):
-                ck, cv, tok, p = carry
-                logits, ck, cv = forward_logits(w, ck, cv, tok[:, None], p,
-                                                win=win, starts=starts)
-                nxt = jnp.argmax(logits, axis=-1).astype(tok.dtype)
-                return (ck, cv, nxt, p + 1), nxt
+                pos = jnp.asarray(pos, jnp.int32)
+                (ck, cv, tok, p), toks = jax.lax.scan(
+                    step, (ck, cv, tok, pos), None, length=n)
+                return ck, cv, tok, toks  # toks (n, B)
 
-            pos = jnp.asarray(pos, jnp.int32)
-            (ck, cv, tok, p), toks = jax.lax.scan(
-                step, (ck, cv, tok, pos), None, length=n)
-            return ck, cv, tok, toks  # toks (n, B)
+            @partial(jax.jit, static_argnames=("n",), donate_argnums=(1, 2))
+            def decode_sampled(w, ck, cv, tok, pos, starts, keys, temp_b,
+                               topk_b, topp_b, n):
+                """``keys`` (B, 2): per-SLOT key streams, split per step per
+                row — a row's draws depend only on its own key lineage."""
+                def step(carry, _):
+                    ck, cv, tok, p, keys = carry
+                    logits, ck, cv = fused_step_batched(w, ck, cv, tok, p,
+                                                        emit_logits=True,
+                                                        starts=starts)
+                    ks = jax.vmap(jax.random.split)(keys)  # (B, 2, 2)
+                    nxt = sample_logits_per_row(logits, ks[:, 0], temp_b,
+                                                topk_b, topp_b).astype(tok.dtype)
+                    return (ck, cv, nxt, p + 1, ks[:, 1]), nxt
 
-        @partial(jax.jit, static_argnames=("n", "win"),
-                 donate_argnums=(1, 2))
-        def decode_sampled_xla(w, ck, cv, tok, pos, starts, keys, temp_b,
-                               topk_b, topp_b, n, win=None):
-            def step(carry, _):
-                ck, cv, tok, p, keys = carry
-                logits, ck, cv = forward_logits(w, ck, cv, tok[:, None], p,
-                                                win=win, starts=starts)
-                ks = jax.vmap(jax.random.split)(keys)  # (B, 2, 2)
-                nxt = sample_logits_per_row(logits, ks[:, 0], temp_b,
-                                            topk_b, topp_b).astype(tok.dtype)
-                return (ck, cv, nxt, p + 1, ks[:, 1]), nxt
+                pos = jnp.asarray(pos, jnp.int32)
+                (ck, cv, tok, p, keys), toks = jax.lax.scan(
+                    step, (ck, cv, tok, pos, keys), None, length=n)
+                return ck, cv, tok, toks, keys
 
-            pos = jnp.asarray(pos, jnp.int32)
-            (ck, cv, tok, p, keys), toks = jax.lax.scan(
-                step, (ck, cv, tok, pos, keys), None, length=n)
-            return ck, cv, tok, toks, keys
-
-        if fused_lane:
             self._admit_many, self._decode = admit_many, decode
             self._decode_sampled = decode_sampled
             self._admit_prefix = None
         else:
+            # ---------------- XLA scan lane (big-dims serving) -------------- #
+            # same wave/chunk protocol as the fused lane, but every step is
+            # the lax.scan decode forward (forward_logits_one) with the new
+            # per-row ``starts`` mask — the lane generate() routes 7B-class
+            # dims to (_fused_decode_supported's VMEM bound), with quant=
+            # riding the streamed gemv_quant kernels.  Caches keep the scan
+            # layout (N, B, S, Hkv, hd); admission scatters the prefilled
+            # rows directly and post-rotates K with the decode tables.
+
+            @partial(jax.jit, static_argnames=("sample",),
+                     donate_argnums=(1, 2, 3, 4))
+            def admit_many_xla(w, ck, cv, tok, pkeys, prompts, pos0, slots,
+                               seeds_k, has_seed_k, rids_k,
+                               temp_k, topk_k, topp_k, sample=False):
+                """Scan-lane admission wave: prefill k same-length prompts at
+                position 0 in a fresh (N, k, S, Hkv, hd) cache, post-rotate
+                the K rows by angle(pos0) via _rope_pure (rotations compose
+                additively, so a row rotated for position p and again by
+                pos0 carries the rotation for absolute position p + pos0 —
+                the same argument as the fused variant above), and scatter
+                them into the fleet cache at rows [pos0, pos0+L)."""
+                k, L = prompts.shape
+                ck1 = jnp.zeros((N, k, S, Hkv, hd), cdt)
+                cv1 = jnp.zeros((N, k, S, Hkv, hd), cdt)
+                # generate()'s prefill win bucketing: queries live in [0, L),
+                # so the pow2 window drops only causally-masked columns
+                win = min(S, 1 << (L - 1).bit_length())
+                draw_k, keys_out = derive_keys(seeds_k, has_seed_k, rids_k)
+                if sample:
+                    logits1, ck1, cv1 = forward_logits(w, ck1, cv1, prompts, 0,
+                                                       win=win)
+                    tok1 = sample_logits_per_row(logits1, draw_k, temp_k,
+                                                 topk_k, topp_k)
+                else:
+                    tok1, ck1, cv1 = forward_tokens(w, ck1, cv1, prompts, 0,
+                                                    win=win)
+                pos0 = jnp.asarray(pos0, jnp.int32)
+                rows_k = ck1[:, :, :L].astype(jnp.float32)  # (N, k, L, Hkv, hd)
+                rows_v = cv1[:, :, :L]
+                cd = jax.lax.dynamic_slice_in_dim(
+                    w["cos"], pos0, 1).astype(jnp.float32)   # (1, hd//2)
+                sd = jax.lax.dynamic_slice_in_dim(
+                    w["sin"], pos0, 1).astype(jnp.float32)
+                rows_k = _rope_pure(rows_k, cd, sd).astype(cdt)
+                tok1 = tok1.reshape(k).astype(jnp.int32)
+                zero = jnp.int32(0)
+                dus = jax.lax.dynamic_update_slice
+
+                def body(i, carry):
+                    ck, cv, tok = carry
+                    slot = slots[i]
+                    ck = dus(ck, rows_k[:, i][:, None],
+                             (zero, slot, pos0, zero, zero))
+                    cv = dus(cv, rows_v[:, i][:, None],
+                             (zero, slot, pos0, zero, zero))
+                    return ck, cv, tok.at[slot].set(tok1[i])
+
+                ck, cv, tok = jax.lax.fori_loop(0, k, body, (ck, cv, tok))
+                pkeys = pkeys.at[slots].set(keys_out)
+                return tok1, ck, cv, tok, pkeys
+
+            @partial(jax.jit, static_argnames=("kb", "sample"),
+                     donate_argnums=(1, 2, 3, 4))
+            def admit_prefix_xla(w, ck, cv, tok, pkeys, suffix, donor_slot,
+                                 donor_start, pos0, slot, seeds_k, has_seed_k,
+                                 rids_k, temp_k, topk_k, topp_k, kb=0,
+                                 sample=False):
+                """Prefix-cache admission (scan lane): reuse ``kb`` prefix
+                rows already materialized by a donor slot instead of
+                re-prefilling them — KV rows depend only on tokens at or
+                before their position, so a shared prompt prefix's rows are
+                identical for every request carrying it (up to RoPE
+                position), and RoPE is linear in position, so a donor row at
+                absolute position ``ds + i`` un-rotates to relative ``i`` by
+                angle(-ds) and re-rotates to the new slot's ``pos0 + i`` by
+                angle(pos0) — the same additive-composition argument as
+                ``admit_many_xla``, two hops instead of one.
+
+                Only the SUFFIX (len L - kb) runs the prefill forward: at 7B
+                dims admission cost is prefill FLOPs, so a shared system
+                prompt's admission drops by ~L/Ls.  One request per call
+                (donors vary); compiled per (kb, suffix-length) pair, kb a
+                power of two — same bounded-variants discipline as the
+                per-length admission waves."""
+                Ls = suffix.shape[1]
+                zero = jnp.int32(0)
+                dss = jax.lax.dynamic_slice
+                dus = jax.lax.dynamic_update_slice
+                donor_slot = jnp.asarray(donor_slot, jnp.int32)
+                donor_start = jnp.asarray(donor_start, jnp.int32)
+                pos0 = jnp.asarray(pos0, jnp.int32)
+                slot = jnp.asarray(slot, jnp.int32)
+                # donor prefix rows, extracted BEFORE this slot's overwrite
+                # (pure dataflow: donor == slot is fine)
+                pk = dss(ck, (zero, donor_slot, donor_start, zero, zero),
+                         (N, 1, kb, Hkv, hd)).astype(jnp.float32)
+                pv = dss(cv, (zero, donor_slot, donor_start, zero, zero),
+                         (N, 1, kb, Hkv, hd))
+                # un-rotate K to relative positions [0, kb): angle(-ds) has
+                # cos(ds), -sin(ds) — single-row tables broadcast over rows
+                cd = jax.lax.dynamic_slice_in_dim(
+                    w["cos"], donor_start, 1).astype(jnp.float32)
+                sd = jax.lax.dynamic_slice_in_dim(
+                    w["sin"], donor_start, 1).astype(jnp.float32)
+                pk = _rope_pure(pk, cd, -sd).astype(cdt)
+                ck1 = jnp.zeros((N, 1, S, Hkv, hd), cdt)
+                cv1 = jnp.zeros((N, 1, S, Hkv, hd), cdt)
+                ck1 = dus(ck1, pk, (zero,) * 5)
+                cv1 = dus(cv1, pv.astype(cdt), (zero,) * 5)
+                draw_k, keys_out = derive_keys(seeds_k, has_seed_k, rids_k)
+                # suffix queries live in [kb, kb+Ls): pow2 prefill win
+                win = min(S, 1 << (kb + Ls - 1).bit_length())
+                if sample:
+                    logits1, ck1, cv1 = forward_logits(w, ck1, cv1, suffix, kb,
+                                                       win=win)
+                    tok1 = sample_logits_per_row(logits1, draw_k, temp_k,
+                                                 topk_k, topp_k)
+                else:
+                    tok1, ck1, cv1 = forward_tokens(w, ck1, cv1, suffix, kb,
+                                                    win=win)
+                L = kb + Ls
+                rows_k = ck1[:, :, :L].astype(jnp.float32)
+                rows_v = cv1[:, :, :L]
+                c0 = jax.lax.dynamic_slice_in_dim(
+                    w["cos"], pos0, 1).astype(jnp.float32)
+                s0 = jax.lax.dynamic_slice_in_dim(
+                    w["sin"], pos0, 1).astype(jnp.float32)
+                rows_k = _rope_pure(rows_k, c0, s0).astype(cdt)
+                ck = dus(ck, rows_k, (zero, slot, pos0, zero, zero))
+                cv = dus(cv, rows_v.astype(cdt), (zero, slot, pos0, zero, zero))
+                tok1 = tok1.reshape(1).astype(jnp.int32)
+                tok = tok.at[slot].set(tok1[0])
+                pkeys = pkeys.at[slot].set(keys_out[0])
+                return tok1, ck, cv, tok, pkeys
+
+            @partial(jax.jit, static_argnames=("n", "win"),
+                     donate_argnums=(1, 2))
+            def decode_xla(w, ck, cv, tok, pos, starts, n, win=None):
+                """Greedy fleet chunk on the scan lane; ``win`` (static) is
+                _dispatch's pow2 attention window >= pos + n, clamped to S —
+                generate()'s bucketing discipline, a handful of variants."""
+                def step(carry, _):
+                    ck, cv, tok, p = carry
+                    logits, ck, cv = forward_logits(w, ck, cv, tok[:, None], p,
+                                                    win=win, starts=starts)
+                    nxt = jnp.argmax(logits, axis=-1).astype(tok.dtype)
+                    return (ck, cv, nxt, p + 1), nxt
+
+                pos = jnp.asarray(pos, jnp.int32)
+                (ck, cv, tok, p), toks = jax.lax.scan(
+                    step, (ck, cv, tok, pos), None, length=n)
+                return ck, cv, tok, toks  # toks (n, B)
+
+            @partial(jax.jit, static_argnames=("n", "win"),
+                     donate_argnums=(1, 2))
+            def decode_sampled_xla(w, ck, cv, tok, pos, starts, keys, temp_b,
+                                   topk_b, topp_b, n, win=None):
+                def step(carry, _):
+                    ck, cv, tok, p, keys = carry
+                    logits, ck, cv = forward_logits(w, ck, cv, tok[:, None], p,
+                                                    win=win, starts=starts)
+                    ks = jax.vmap(jax.random.split)(keys)  # (B, 2, 2)
+                    nxt = sample_logits_per_row(logits, ks[:, 0], temp_b,
+                                                topk_b, topp_b).astype(tok.dtype)
+                    return (ck, cv, nxt, p + 1, ks[:, 1]), nxt
+
+                pos = jnp.asarray(pos, jnp.int32)
+                (ck, cv, tok, p, keys), toks = jax.lax.scan(
+                    step, (ck, cv, tok, pos, keys), None, length=n)
+                return ck, cv, tok, toks, keys
+
             self._admit_many, self._decode = admit_many_xla, decode_xla
             self._decode_sampled = decode_sampled_xla
             self._admit_prefix = admit_prefix_xla
@@ -586,19 +695,15 @@ class LlamaServer:
         fleet composition, slot assignment, or co-tenant requests
         (unseeded requests derive a stream from the server seed + rid,
         so whole-server runs stay deterministic)."""
-        prompt = [int(t) for t in np.asarray(prompt_ids).reshape(-1)]
-        assert 0 < len(prompt) < self.S, len(prompt)
         if temperature is not None and temperature < 0:
             raise ValueError(f"temperature must be >= 0, got {temperature}")
         if top_k is not None and not 0 < top_k:
             raise ValueError(f"top_k must be positive, got {top_k}")
         if top_p is not None and not 0.0 < top_p <= 1.0:
             raise ValueError(f"top_p must be in (0, 1], got {top_p}")
-        rid = next(self._rid)
-        self._queue.append(Request(rid, prompt, int(max_new_tokens),
-                                   temperature=temperature, top_k=top_k,
-                                   top_p=top_p, seed=seed))
-        return rid
+        return super().submit(prompt_ids, max_new_tokens,
+                              temperature=temperature, top_k=top_k,
+                              top_p=top_p, seed=seed)
 
     def _slot_params(self, slot, req):
         """Resolve a request's effective sampling params into the per-slot
@@ -611,10 +716,6 @@ class LlamaServer:
         self._ptopk[slot] = k if k is not None else self._V
         self._ptopp[slot] = p if p is not None else 1.0
         return t > 0
-
-    @property
-    def active(self) -> int:
-        return sum(1 for r in self._slots if r is not None)
 
     _MIN_PREFIX = 8  # smallest reusable prefix (power-of-two rows)
 
@@ -647,31 +748,14 @@ class LlamaServer:
                 best = (slot, start, kb)
         return best
 
+    def _on_rewind(self):
+        # a position reset invalidates every prefix-cache donor: rows
+        # above the new position get rewritten by decode steps
+        self._resident = [None] * self.B
+
     def _try_admit(self):
         jnp = self._jnp
-        plan = []  # (slot, req) — admissions planned this wave
-        for slot in range(self.B):
-            if self._slots[slot] is not None or not self._queue:
-                continue
-            req = self._queue[0]
-            L = len(req.prompt)
-            if self.active == 0 and not plan:
-                # idle server: reset the shared position to the prompt
-                # length so the request gets the WHOLE cache as headroom
-                # (stale rows are invisible — below the admission row
-                # they are masked by ``starts``, above the decode
-                # position the kernel's position bound hides them until
-                # rewritten), instead of inheriting the drained fleet's
-                # position and truncating early
-                self._pos = L
-                # the rewind invalidates every prefix-cache donor: rows
-                # above the new position get rewritten by decode steps
-                self._resident = [None] * self.B
-            if L > self._pos or self._pos >= self.S:
-                continue  # must land in past rows (see module doc)
-            self._queue.popleft()
-            self._slots[slot] = req
-            plan.append((slot, req))
+        plan = self._plan_admissions()
         if not plan:
             return
         # dispatch the wave grouped by prompt length, each group split
@@ -695,11 +779,7 @@ class LlamaServer:
         waves, firsts_dev = [], []
         for L, group in sorted(by_len.items()):
             pos0 = self._pos - L
-            i = 0
-            while i < len(group):
-                k = 1 << ((len(group) - i).bit_length() - 1)
-                sub = group[i:i + k]
-                i += k
+            for sub in self._pow2_subwaves(group):
                 prompts = np.array([r.prompt for _, r in sub], np.int32)
                 slots = np.array([s for s, _ in sub], np.int32)
                 wave_sample = any(row_samples[s] for s, _ in sub)
@@ -754,20 +834,6 @@ class LlamaServer:
                     # surface the admission-time first token to stream()
                     self._admit_credits.append((req.rid, [req.tokens[-1]]))
 
-    def _maybe_finish(self, slot, truncated=False):
-        req = self._slots[slot]
-        if req is None:
-            return
-        if req.tokens and req.tokens[-1] == self.eos_id:
-            req.tokens.pop()  # EOS itself is not emitted
-            req.done = True
-        elif len(req.tokens) >= req.max_new_tokens or truncated:
-            req.done = True
-            req.truncated = truncated
-        if req.done:
-            self._finished[req.rid] = req
-            self._slots[slot] = None
-
     _EXHAUSTED = object()  # _dispatch sentinel: cache end reached
 
     def _refresh_weights(self):
@@ -775,8 +841,15 @@ class LlamaServer:
         cache (finetune_step / add_lora / merge_lora / load_* all call
         ``_weights_cache.clear()``) — otherwise the server would silently
         keep serving the pre-update weights forever.  Requests already
-        mid-decode continue on the new weights from their next chunk."""
-        key = ("serve", self._lane, self._dtype, self._quant)
+        mid-decode continue on the new weights from their next chunk.
+
+        The cache key is shared with ``generate``'s (model.py:
+        ``(dtype_name, fused, quant)``) because the snapshots are built
+        by the very same calls — a private serve key would keep a second
+        multi-GB weight copy resident in HBM for nothing (the same
+        argument beam search makes at its key, model.py)."""
+        key = (np.dtype(self._dtype).name if self._dtype else "native",
+               self._lane == "fused", self._quant)
         w = self.model._weights_cache.get(key)
         if w is None:
             if self._lane == "fused":
@@ -786,6 +859,14 @@ class LlamaServer:
             else:
                 w = self.model._weights(self._dtype)
             self.model._weights_cache[key] = w
+        if w is not getattr(self, "_w", None):
+            # a new snapshot (weight update): resident prefix-cache rows
+            # were computed under the OLD weights — a new request reusing
+            # them would silently decode against stale keys/values.
+            # Mid-decode requests continuing on mixed weights is the
+            # documented contract; donating stale rows to NEW ones is not.
+            if getattr(self, "_prefix_cache", False):
+                self._resident = [None] * self.B
         self._w = w
 
     def _dispatch(self, n: int = None):
@@ -870,13 +951,6 @@ class LlamaServer:
                         tuple(req.prompt) + tuple(req.tokens[:-1]),
                         ent[2])
         return credited
-
-    def _truncate_fleet(self):
-        for slot in range(self.B):
-            self._maybe_finish(slot, truncated=True)
-        if self.active == 0:
-            self._pos = 0  # fleet drained: rewind for the queue
-            self._resident = [None] * self.B  # donors died with the rows
 
     def step(self, n: int = None):
         """Admit what fits, then decode ``n`` (default ``chunk``) tokens for

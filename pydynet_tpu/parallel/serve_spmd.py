@@ -26,8 +26,6 @@ per-request sampling/seeds/quant/prefix-cache remain single-chip
 """
 from __future__ import annotations
 
-import itertools
-from collections import deque
 from functools import partial
 
 import numpy as np
@@ -35,9 +33,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .llama_spmd import (LAYER_KEYS, _rope, cache_shardings, forward_tokens,
-                         param_shardings, shard_params)
-from .mesh import Mesh, named_sharding
+from ..models.llama.serve import _FleetScheduler
+from .llama_spmd import (_rope, cache_shardings, forward_tokens,
+                         shard_params)
+from .mesh import Mesh
 
 
 def params_from_model(model, dtype=jnp.float32):
@@ -100,7 +99,11 @@ def make_serve_fns(mesh: Mesh, cfg):
         k, L = prompts.shape
         ck1 = jnp.zeros((N, k, S, Hkv, hd), ck.dtype)
         cv1 = jnp.zeros((N, k, S, Hkv, hd), cv.dtype)
-        tok1, ck1, cv1 = forward_tokens(params, ck1, cv1, prompts, 0, cfg)
+        # generate()'s prefill bucketing: queries live in [0, L), so the
+        # pow2 window drops only causally-masked columns
+        win = min(S, 1 << (L - 1).bit_length())
+        tok1, ck1, cv1 = forward_tokens(params, ck1, cv1, prompts, 0, cfg,
+                                        win=win)
         pos0 = jnp.asarray(pos0, jnp.int32)
         rows_k = ck1[:, :, :L].astype(jnp.float32)  # (N, k, L, Hkv, hd)
         rows_v = cv1[:, :, :L]
@@ -144,7 +147,7 @@ def make_serve_fns(mesh: Mesh, cfg):
     return admit_many, decode_chunk, c_sh
 
 
-class SpmdLlamaServer:
+class SpmdLlamaServer(_FleetScheduler):
     """Greedy continuous-batching server over a dp x tp mesh.
 
     >>> mesh = make_mesh({"dp": 2, "tp": 4})
@@ -179,46 +182,23 @@ class SpmdLlamaServer:
         N = cfg["n_layers"]
         Hkv = cfg.get("n_kv_heads", cfg["n_heads"])
         hd = cfg["dim"] // cfg["n_heads"]
+        # caches follow the PARAMS' dtype, not the constructor arg: on
+        # the (params, cfg) path the params arrive pre-cast, and a
+        # mismatched cache dtype crashes the first admission's
+        # dynamic_update_slice
+        cdt = self._params["tok"].dtype
         self._ck = jax.device_put(
-            jnp.zeros((N, self.B, self.S, Hkv, hd), dtype), c_sh)
+            jnp.zeros((N, self.B, self.S, Hkv, hd), cdt), c_sh)
         self._cv = jax.device_put(
-            jnp.zeros((N, self.B, self.S, Hkv, hd), dtype), c_sh)
+            jnp.zeros((N, self.B, self.S, Hkv, hd), cdt), c_sh)
         self._tok = jnp.ones((self.B,), jnp.int32)
-        self._starts = np.zeros(self.B, np.int32)
-        self._pos = 0
-        self._slots = [None] * self.B
-        self._queue = deque()
-        self._rid = itertools.count()
-        self._finished = {}
+        self._init_fleet_state()
 
-    # -------- host scheduling: the serve.py protocol, greedy-only ------ #
-    def submit(self, prompt_ids, max_new_tokens: int = 256) -> int:
-        from ..models.llama.serve import Request
-
-        prompt = [int(t) for t in np.asarray(prompt_ids).reshape(-1)]
-        assert 0 < len(prompt) < self.S, len(prompt)
-        rid = next(self._rid)
-        self._queue.append(Request(rid, prompt, int(max_new_tokens)))
-        return rid
-
-    @property
-    def active(self) -> int:
-        return sum(1 for r in self._slots if r is not None)
-
+    # host scheduling: _FleetScheduler (serve.py) is the protocol's one
+    # implementation — submit/admission-planning/finish/truncation rules
+    # cannot drift from the single-chip server's
     def _try_admit(self):
-        plan = []
-        for slot in range(self.B):
-            if self._slots[slot] is not None or not self._queue:
-                continue
-            req = self._queue[0]
-            L = len(req.prompt)
-            if self.active == 0 and not plan:
-                self._pos = L  # idle rewind (serve.py module doc)
-            if L > self._pos or self._pos >= self.S:
-                continue
-            self._queue.popleft()
-            self._slots[slot] = req
-            plan.append((slot, req))
+        plan = self._plan_admissions()
         if not plan:
             return
         by_len = {}
@@ -227,11 +207,7 @@ class SpmdLlamaServer:
         waves, firsts_dev = [], []
         for L, group in sorted(by_len.items()):
             pos0 = self._pos - L
-            i = 0
-            while i < len(group):  # pow2 sub-batches bound compile variants
-                k = 1 << ((len(group) - i).bit_length() - 1)
-                sub = group[i:i + k]
-                i += k
+            for sub in self._pow2_subwaves(group):
                 prompts = jnp.asarray(
                     np.array([r.prompt for _, r in sub], np.int32))
                 slots = jnp.asarray(
@@ -251,20 +227,6 @@ class SpmdLlamaServer:
                 j += 1
                 self._maybe_finish(slot)
 
-    def _maybe_finish(self, slot, truncated=False):
-        req = self._slots[slot]
-        if req is None:
-            return
-        if req.tokens and req.tokens[-1] == self.eos_id:
-            req.tokens.pop()
-            req.done = True
-        elif len(req.tokens) >= req.max_new_tokens or truncated:
-            req.done = True
-            req.truncated = truncated
-        if req.done:
-            self._finished[req.rid] = req
-            self._slots[slot] = None
-
     def step(self, n: int = None):
         """Admit what fits, decode ``n`` (default ``chunk``) lockstep
         tokens, credit them; returns newly finished requests."""
@@ -273,10 +235,7 @@ class SpmdLlamaServer:
         if self.active:
             navail = self.S - self._pos
             if navail <= 0:
-                for slot in range(self.B):
-                    self._maybe_finish(slot, truncated=True)
-                if self.active == 0:
-                    self._pos = 0
+                self._truncate_fleet()
             else:
                 n = n or self.chunk
                 win = min(self.S, 1 << (self._pos + n - 1).bit_length())

@@ -273,3 +273,25 @@ def test_prefix_cache_multi_turn_reuses_generated_rows():
     assert srv.prefix_hits == 1, srv.prefix_hits
     assert srv.prefix_rows_reused == 8, srv.prefix_rows_reused
     assert done[rb].tokens == want_b, (done[rb].tokens, want_b)
+
+
+def test_prefix_cache_invalidated_on_weight_update():
+    """A weight update (finetune/LoRA merge clears the model's weight
+    cache) must kill prefix-cache donors: their rows were computed under
+    the OLD weights, and a new request reusing them would silently
+    decode against stale keys/values."""
+    np.random.seed(26)
+    model = Llama(**dict(CFG, max_seq_len=128))
+    model.eval()
+    with pdn.no_grad():
+        srv = LlamaServer(model, batch_size=2, chunk=4, eos_id=-1,
+                          lane="xla", prefix_cache=True)
+        srv.submit(PA, max_new_tokens=30)       # long-lived donor
+        srv.step()
+        assert any(srv._resident)
+        model._weights_cache.clear()            # what finetune_step does
+        want_b = standalone(model, PB, 5)       # post-"update" truth
+        rb = srv.submit(PB, max_new_tokens=5)
+        done = srv.run()
+    assert srv.prefix_hits == 0, srv.prefix_hits
+    assert done[rb].tokens == want_b, (done[rb].tokens, want_b)
