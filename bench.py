@@ -177,7 +177,9 @@ def _emit(payload):
     line = json.dumps(payload)
     if len(line) > _MAX_LINE and "configs" in payload:
         payload["configs"] = [
-            {k: c[k] for k in ("name", "checked", "ok", "agree") if k in c}
+            dict({k: c[k] for k in ("name", "checked", "ok", "agree")
+                  if k in c},
+                 **({"error": c["error"][:60]} if c.get("error") else {}))
             for c in payload["configs"]]
         payload["configs_trimmed"] = True
         line = json.dumps(payload)

@@ -147,6 +147,33 @@ def _advance(model, w, st, tok, pos, want_logits):
     return w["head_w"] @ hn + w["head_b"]
 
 
+_DRAW = None  # module-cached jitted draw: jax.jit caches per function
+# OBJECT, so a per-call closure would retrace/reload on every sampled
+# generate() — measured 0.4-2 s per short request vs ~0 amortized
+
+
+def _get_draw():
+    global _DRAW
+    if _DRAW is None:
+        import jax
+        from functools import partial
+
+        from .model import _mark_seen, sample_logits
+
+        # placement rides the committed key/seen arrays (created under
+        # default_device(cpu) by the caller): even with the TPU plugin
+        # active, the per-token draw never touches the tunnel
+        @partial(jax.jit, static_argnames=("top_k", "top_p", "rep"))
+        def draw(logits, key, seen, tvec, top_k, top_p, rep):
+            key, sub = jax.random.split(key)
+            nxt = sample_logits(logits[None, :], sub, tvec, top_k, top_p,
+                                seen, rep)
+            return nxt[0], key, _mark_seen(seen, nxt)
+
+        _DRAW = draw
+    return _DRAW
+
+
 def _make_sampler(model, temperature, top_k, top_p, seed,
                   repetition_penalty, prompt_ids):
     """Per-token sampling closure for the numpy lane, built on the SAME
@@ -160,24 +187,12 @@ def _make_sampler(model, temperature, top_k, top_p, seed,
     tens of us against the lane's multi-ms GEMV budget."""
     import jax
     import jax.numpy as jnp
-    from functools import partial
-
-    from .model import _mark_seen, sample_logits
 
     cpu = jax.local_devices(backend="cpu")[0]
     rep = (float(repetition_penalty)
            if repetition_penalty is not None else None)
 
-    # placement rides the committed key/seen arrays (created under
-    # default_device(cpu) below): even with the TPU plugin active, the
-    # per-token draw never touches the tunnel
-    @partial(jax.jit, static_argnames=("top_k", "top_p", "rep"))
-    def draw(logits, key, seen, tvec, top_k, top_p, rep):
-        key, sub = jax.random.split(key)
-        nxt = sample_logits(logits[None, :], sub, tvec, top_k, top_p,
-                            seen, rep)
-        return nxt[0], key, _mark_seen(seen, nxt)
-
+    draw = _get_draw()
     with jax.default_device(cpu):
         key = jax.random.PRNGKey(seed)
         seen = jnp.zeros((1, model.vocab_size), bool)

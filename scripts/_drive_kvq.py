@@ -18,8 +18,8 @@ for kvq in (None, "int8"):
     t0 = time.perf_counter()
     done = srv.run()
     dt = time.perf_counter() - t0
-    toks = sum(len(done[r].output) for r in rids)
-    outs[kvq] = [tuple(done[r].output) for r in rids]
+    toks = sum(len(done[r].tokens) for r in rids)
+    outs[kvq] = [tuple(done[r].tokens) for r in rids]
     print(f"kv_quant={kvq}: {toks} tokens in {dt:.2f}s -> {toks/dt:.0f} tok/s aggregate")
 
 match = sum(a == b for a, b in zip(outs[None], outs["int8"]))

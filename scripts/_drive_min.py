@@ -9,4 +9,4 @@ srv = LlamaServer(m, batch_size=8, dtype=jnp.bfloat16, chunk=32, eos_id=-1)
 print("ck device:", srv._ck.devices() if hasattr(srv._ck, "devices") else "?")
 rid = srv.submit(list(range(1, 9)), max_new_tokens=8)
 done = srv.run()
-print("OK", done[rid].output[:4])
+print("OK", done[rid].tokens[:4])

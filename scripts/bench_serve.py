@@ -109,7 +109,8 @@ def main():
             srv.submit(p, max_new_tokens=400)
         probe_rid, t_submit, ttft = None, None, None
         n_yields = 0
-        for rid, new in srv.stream():
+        stream = srv.stream()
+        for rid, new in stream:
             n_yields += 1
             if n_yields == 3 and probe_rid is None:
                 probe_rid = srv.submit(prompts(1)[0], max_new_tokens=8)
@@ -117,8 +118,11 @@ def main():
             if probe_rid is not None and rid == probe_rid and ttft is None:
                 ttft = (time.time() - t_submit) * 1e3
                 break
-        # drain without timing
-        for _ in srv.stream():
+        # drain the SAME generator without timing: breaking out leaves a
+        # dispatched chunk in its 1-deep pipeline, and a fresh stream()
+        # would abandon those tokens (every active request would lose a
+        # chunk and decode one surplus chunk during the drain)
+        for _ in stream:
             pass
 
     out = {

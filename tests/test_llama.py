@@ -481,8 +481,13 @@ def test_generate_int8_quant_plumbing():
     lg8, _, _ = fwd(wq8, ck, cv, jnp.asarray(ids, jnp.int32), 0)
     np.testing.assert_array_equal(np.asarray(lg0), np.asarray(lg8))
 
-    with pytest.raises(ValueError):
-        next(iter(model.generate(ids, 8, fused=False, quant="int8")))
+    # round 4: quant without the fused kernel is no longer an error —
+    # it runs the XLA scan with streamed gemv_quant matmuls (the
+    # big-dims lane; stream-exactness pinned in test_serve_xla.py and
+    # test_ops_kernels.py) — the plumbing check here is just that the
+    # route yields valid tokens
+    t0 = next(iter(model.generate(ids, 8, fused=False, quant="int8")))
+    assert 0 <= int(t0.numpy()[0, 0]) < 256
 
 
 @pytest.mark.slow
