@@ -1,12 +1,16 @@
 """Prefix-cache serving benchmark: admission latency (time-to-first-token)
-for a request whose 512-token system prefix is already resident in a
-donor slot, vs the same admission prefilling all 544 prompt tokens.
+for a request whose 1024-token system prefix is already resident in a
+donor slot, vs the same admission prefilling all 1056 prompt tokens.
+(1024 not 512: at 4 layers the tunnel's ~±5 ms dispatch jitter swamped
+the 512-prefix compute delta — measured round 4; the prefill-FLOP delta
+must clear the noise floor for the per-trial differences to mean
+anything, and it scales with both prefix length and layer count.)
 
 Runs at 7B layer geometry (dim 4096 / 32 heads / ffn 11008, 4 of 32
 layers — see bench_7b_probe.py for the HBM accounting) on the XLA scan
 serving lane, where admission cost IS prefill compute: the prefix-cache
-path copies the donor's 512 rows (delta-rotated) and prefills only the
-32-token suffix, ~17x less admission FLOPs.
+path copies the donor's 1024 rows (delta-rotated) and prefills only
+the 32-token suffix, ~33x less admission FLOPs.
 
 Methodology: interleaved same-session trials on one model shared by two
 servers (prefix_cache on/off); each trial times submit + step(n=1) —
@@ -30,10 +34,10 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 CFG = dict(vocab_size=32000, embed_dim=4096, n_heads=32, ffn_dim=11008,
-           max_seq_len=1024, max_batch_size=4, n_layers=4,
+           max_seq_len=2048, max_batch_size=4, n_layers=4,
            dtype=np.float32)
-SHARED, SUFFIX = 512, 32          # lcp 512 is a power of two: kb == 512
-TRIALS, WARMUP = 5, 1
+SHARED, SUFFIX = 1024, 32         # lcp 1024 is a power of two: kb == 1024
+TRIALS, WARMUP = 7, 1
 
 
 def main():
@@ -88,6 +92,9 @@ def main():
             print(f"# trial {i}: reuse {reuse[-1]*1e3:.1f} ms, "
                   f"full {full[-1]*1e3:.1f} ms, floor "
                   f"{floors[-1]*1e3:.1f} ms", file=sys.stderr, flush=True)
+        # paired per-trial deltas cancel the slow drift the shared
+        # tunnel's co-tenant load adds to both admission paths
+        deltas = [f - r for r, f in zip(reuse, full)]
         hits = sa.prefix_hits
     assert hits == WARMUP + TRIALS, hits
     assert sb.prefix_hits == 0
@@ -108,6 +115,8 @@ def main():
            "step_floor_ms": med(floors),
            "admission_ms_prefix_cache": round(adm_r, 1),
            "admission_ms_full_prefill": round(adm_f, 1),
+           "paired_delta_ms_median": round(
+               float(np.median(deltas)) * 1e3, 1),
            "ttft_speedup": round(med(full) / max(med(reuse), 1e-9), 2),
            "admission_speedup": round(adm_f / max(adm_r, 1e-9), 2),
            "prefix_hits": int(hits)}
