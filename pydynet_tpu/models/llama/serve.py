@@ -79,14 +79,55 @@ class _FleetScheduler:
         self._rid = itertools.count()
         self._finished: dict = {}
 
-    def submit(self, prompt_ids, max_new_tokens: int = 256, **overrides):
-        """Queue one prompt (list/array of token ids); returns rid."""
+    def _init_sampling_state(self, V, temperature, top_k, top_p):
+        """Server-default sampling params + the per-SLOT override vectors
+        (traced (B,) inputs — mixed fleets share one compiled program;
+        off-encodings: top_k=V keeps all, top_p=1.0 keeps all,
+        temperature<=0 rows take exact argmax)."""
+        self.sampling = temperature is not None and temperature > 0
+        self._temp = float(temperature or 0.0)
+        self._top_k, self._top_p = top_k, top_p
+        self._V = V
+        self._ptemp = np.full(self.B, self._temp, np.float32)
+        self._ptopk = np.full(self.B,
+                              top_k if top_k is not None else V, np.int32)
+        self._ptopp = np.full(self.B,
+                              top_p if top_p is not None else 1.0,
+                              np.float32)
+
+    def submit(self, prompt_ids, max_new_tokens: int = 256,
+               temperature: float = None, top_k: int = None,
+               top_p: float = None, seed: int = None) -> int:
+        """Queue one prompt (list/array of token ids); returns request id.
+
+        ``temperature``/``top_k``/``top_p`` override the server defaults
+        for THIS request only (vLLM-style per-request params); ``seed``
+        pins the request's private PRNG stream so its sampled tokens are
+        a pure function of (prompt, params, seed) — see LlamaServer."""
         prompt = [int(t) for t in np.asarray(prompt_ids).reshape(-1)]
         assert 0 < len(prompt) < self.S, len(prompt)
+        if temperature is not None and temperature < 0:
+            raise ValueError(f"temperature must be >= 0, got {temperature}")
+        if top_k is not None and not 0 < top_k:
+            raise ValueError(f"top_k must be positive, got {top_k}")
+        if top_p is not None and not 0.0 < top_p <= 1.0:
+            raise ValueError(f"top_p must be in (0, 1], got {top_p}")
         rid = next(self._rid)
         self._queue.append(Request(rid, prompt, int(max_new_tokens),
-                                   **overrides))
+                                   temperature=temperature, top_k=top_k,
+                                   top_p=top_p, seed=seed))
         return rid
+
+    def _slot_params(self, slot, req):
+        """Resolve a request's effective sampling params into the per-slot
+        vectors; returns True when the row samples."""
+        t = self._temp if req.temperature is None else float(req.temperature)
+        k = self._top_k if req.top_k is None else req.top_k
+        p = self._top_p if req.top_p is None else req.top_p
+        self._ptemp[slot] = t
+        self._ptopk[slot] = k if k is not None else self._V
+        self._ptopp[slot] = p if p is not None else 1.0
+        return t > 0
 
     @property
     def active(self) -> int:
@@ -258,9 +299,6 @@ class LlamaServer(_FleetScheduler):
         self.B = batch_size
         self.chunk = chunk
         self.eos_id = eos_id
-        self.sampling = temperature is not None and temperature > 0
-        self._temp = float(temperature or 0.0)
-        self._top_k, self._top_p = top_k, top_p
         self._quant = quant
         self._base_key = jax.random.PRNGKey(seed)
         # per-SLOT PRNG keys (device-resident, never synced): each request
@@ -270,20 +308,8 @@ class LlamaServer(_FleetScheduler):
         self._pkeys = jax.vmap(jax.random.fold_in,
                                (None, 0))(self._base_key,
                                           jnp.arange(batch_size))
-        # per-SLOT sampling params (vLLM-style per-request overrides ride
-        # submit(); traced (B,) vectors, so requests with different
-        # temperature/top-k/top-p share one compiled chunk program).
-        # Off-encodings: top_k=V keeps all, top_p=1.0 keeps all
-        # (filter_logits_per_row), temperature<=0 rows take exact argmax
-        # (sample_logits_per_row).
-        V = model.vocab_size
-        self._V = V
-        self._ptemp = np.full(batch_size, self._temp, np.float32)
-        self._ptopk = np.full(batch_size,
-                              top_k if top_k is not None else V, np.int32)
-        self._ptopp = np.full(batch_size,
-                              top_p if top_p is not None else 1.0,
-                              np.float32)
+        self._init_sampling_state(model.vocab_size, temperature,
+                                  top_k, top_p)
 
         if model._decode_fns is None:
             model._decode_fns = model._make_decode_fns()
@@ -680,43 +706,6 @@ class LlamaServer(_FleetScheduler):
         self._jax = jax
 
     # ------------------------------ API ------------------------------ #
-    def submit(self, prompt_ids, max_new_tokens: int = 256,
-               temperature: float = None, top_k: int = None,
-               top_p: float = None, seed: int = None) -> int:
-        """Queue one prompt (list/array of token ids); returns request id.
-
-        ``temperature``/``top_k``/``top_p`` override the server defaults
-        for THIS request only (vLLM-style per-request params): rows carry
-        their own traced (B,) sampling vectors, so a fleet can mix greedy
-        (temperature=0) and differently-sampled requests in the same
-        compiled chunk program with no recompiles.  ``seed`` pins the
-        request's private PRNG stream: its sampled tokens become a pure
-        function of (prompt, params, seed) — reproducible regardless of
-        fleet composition, slot assignment, or co-tenant requests
-        (unseeded requests derive a stream from the server seed + rid,
-        so whole-server runs stay deterministic)."""
-        if temperature is not None and temperature < 0:
-            raise ValueError(f"temperature must be >= 0, got {temperature}")
-        if top_k is not None and not 0 < top_k:
-            raise ValueError(f"top_k must be positive, got {top_k}")
-        if top_p is not None and not 0.0 < top_p <= 1.0:
-            raise ValueError(f"top_p must be in (0, 1], got {top_p}")
-        return super().submit(prompt_ids, max_new_tokens,
-                              temperature=temperature, top_k=top_k,
-                              top_p=top_p, seed=seed)
-
-    def _slot_params(self, slot, req):
-        """Resolve a request's effective sampling params into the per-slot
-        vectors; returns True when the row samples (key derivation happens
-        inside admit_many — zero extra device dispatches)."""
-        t = self._temp if req.temperature is None else float(req.temperature)
-        k = self._top_k if req.top_k is None else req.top_k
-        p = self._top_p if req.top_p is None else req.top_p
-        self._ptemp[slot] = t
-        self._ptopk[slot] = k if k is not None else self._V
-        self._ptopp[slot] = p if p is not None else 1.0
-        return t > 0
-
     _MIN_PREFIX = 8  # smallest reusable prefix (power-of-two rows)
 
     def _find_donor(self, prompt, target_slot, planned_slots):

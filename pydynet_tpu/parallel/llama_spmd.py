@@ -203,7 +203,7 @@ def cache_shardings(mesh: Mesh, cfg=None):
 
 
 def forward_tokens(params, ck, cv, tokens, pos, cfg, starts=None,
-                   win=None):
+                   win=None, emit_logits=False):
     """Cache-threaded forward of ``tokens`` (B, L) at absolute ``pos``.
 
     Returns ``(next_token (B,), ck, cv)``.  Same math as the single-chip
@@ -268,7 +268,10 @@ def forward_tokens(params, ck, cv, tokens, pos, cfg, starts=None,
     layer_w = {k: params[k] for k in LAYER_KEYS}
     h, (ck, cv) = jax.lax.scan(layer, h, (layer_w, ck, cv))
     h = _rms(h, params["norm"])
-    logits = h[:, -1] @ params["head_w"] + params["head_b"]
+    logits = (h[:, -1] @ params["head_w"]).astype(jnp.float32) \
+        + params["head_b"].astype(jnp.float32)
+    if emit_logits:  # sampling path: the caller draws from these
+        return logits, ck, cv
     return jnp.argmax(logits, axis=-1).astype(tokens.dtype), ck, cv
 
 

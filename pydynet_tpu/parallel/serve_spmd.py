@@ -20,8 +20,9 @@ Protocol recap (serve.py module doc is the authority):
   via the per-row ``starts`` mask (``llama_spmd.forward_tokens``);
 * admission needs ``len(prompt) <= pos`` except on an idle server.
 
-Greedy decode only (the scheduling demonstration the mesh needs);
-per-request sampling/seeds/quant/prefix-cache remain single-chip
+Greedy and sampled decode, with the single-chip server's per-request
+params and seeded per-slot key streams (``submit(temperature=, top_k=,
+top_p=, seed=)``); quant and prefix-cache remain single-chip
 ``LlamaServer`` features until a real multi-chip deployment asks.
 """
 from __future__ import annotations
@@ -80,17 +81,41 @@ def params_from_model(model, dtype=jnp.float32):
     return params, cfg
 
 
-def make_serve_fns(mesh: Mesh, cfg):
-    """Compiled SPMD (admit_many, decode_chunk) pair over the mesh —
-    the device half of :class:`SpmdLlamaServer`."""
+def make_serve_fns(mesh: Mesh, cfg, seed: int = 0):
+    """Compiled SPMD (admit_many, decode_chunk, decode_sampled_chunk)
+    triple over the mesh — the device half of :class:`SpmdLlamaServer`.
+    The sampling design is the single-chip server's verbatim: per-SLOT
+    PRNG key streams (seeded requests derive from a FIXED constant so a
+    (prompt, params, seed) triple reproduces across servers and
+    fleets), per-slot (B,) parameter vectors drawn through
+    ``sample_logits_per_row`` (greedy rows resolve to exact argmax, so
+    mixed fleets share one compiled program)."""
+    from ..models.llama.model import sample_logits_per_row
+
     N, S = cfg["n_layers"], cfg["max_seq_len"]
     H = cfg["n_heads"]
     hd = cfg["dim"] // H
     Hkv = cfg.get("n_kv_heads", H)
     c_sh = cache_shardings(mesh, cfg)
+    base_key = jax.random.PRNGKey(seed)
+    fixed_key = jax.random.PRNGKey(0x5EED)
 
-    @partial(jax.jit, donate_argnums=(1, 2, 3))
-    def admit_many(params, ck, cv, tok, prompts, pos0, slots):
+    def derive_keys(seeds_k, has_seed_k, rids_k):
+        """Per-request key derivation INSIDE the admission program
+        (serve.py's rule: seeded -> fixed constant + seed, unseeded ->
+        server seed + rid); returns (draw keys, carried slot keys)."""
+        k_seed = jax.vmap(jax.random.fold_in, (None, 0))(fixed_key,
+                                                         seeds_k)
+        k_rid = jax.vmap(jax.random.fold_in, (None, 0))(base_key, rids_k)
+        keys_k = jnp.where(has_seed_k[:, None], k_seed, k_rid)
+        ks = jax.vmap(jax.random.split)(keys_k)  # (k, 2, 2)
+        return ks[:, 0], ks[:, 1]
+
+    @partial(jax.jit, static_argnames=("sample",),
+             donate_argnums=(1, 2, 3, 4))
+    def admit_many(params, ck, cv, tok, pkeys, prompts, pos0, slots,
+                   seeds_k, has_seed_k, rids_k, temp_k, topk_k, topp_k,
+                   sample=False):
         """One admission wave: prefill k same-length prompts at position
         0 in a fresh cache, position-shift the K rows by angle(pos0)
         (rotations compose additively — the serve.py argument verbatim),
@@ -102,8 +127,16 @@ def make_serve_fns(mesh: Mesh, cfg):
         # generate()'s prefill bucketing: queries live in [0, L), so the
         # pow2 window drops only causally-masked columns
         win = min(S, 1 << (L - 1).bit_length())
-        tok1, ck1, cv1 = forward_tokens(params, ck1, cv1, prompts, 0, cfg,
-                                        win=win)
+        draw_k, keys_out = derive_keys(seeds_k, has_seed_k, rids_k)
+        if sample:
+            logits1, ck1, cv1 = forward_tokens(params, ck1, cv1, prompts,
+                                               0, cfg, win=win,
+                                               emit_logits=True)
+            tok1 = sample_logits_per_row(logits1, draw_k, temp_k, topk_k,
+                                         topp_k)
+        else:
+            tok1, ck1, cv1 = forward_tokens(params, ck1, cv1, prompts, 0,
+                                            cfg, win=win)
         pos0 = jnp.asarray(pos0, jnp.int32)
         rows_k = ck1[:, :, :L].astype(jnp.float32)  # (N, k, L, Hkv, hd)
         rows_v = cv1[:, :, :L]
@@ -127,7 +160,8 @@ def make_serve_fns(mesh: Mesh, cfg):
             return ck, cv, tok.at[slot].set(tok1[i])
 
         ck, cv, tok = jax.lax.fori_loop(0, k, body, (ck, cv, tok))
-        return tok1, ck, cv, tok
+        pkeys = pkeys.at[slots].set(keys_out)
+        return tok1, ck, cv, tok, pkeys
 
     @partial(jax.jit, static_argnames=("n", "win"), donate_argnums=(1, 2))
     def decode_chunk(params, ck, cv, tok, pos, starts, n, win=None):
@@ -144,15 +178,37 @@ def make_serve_fns(mesh: Mesh, cfg):
             step, (ck, cv, tok, pos), None, length=n)
         return ck, cv, tok, toks  # toks (n, B)
 
-    return admit_many, decode_chunk, c_sh
+    @partial(jax.jit, static_argnames=("n", "win"), donate_argnums=(1, 2))
+    def decode_sampled_chunk(params, ck, cv, tok, pos, starts, keys,
+                             temp_b, topk_b, topp_b, n, win=None):
+        """``keys`` (B, 2): per-SLOT key streams, split per step per
+        row — a row's draws depend only on its own key lineage."""
+        def step(carry, _):
+            ck, cv, tok, p, keys = carry
+            logits, ck, cv = forward_tokens(params, ck, cv, tok[:, None],
+                                            p, cfg, starts=starts,
+                                            win=win, emit_logits=True)
+            ks = jax.vmap(jax.random.split)(keys)  # (B, 2, 2)
+            nxt = sample_logits_per_row(logits, ks[:, 0], temp_b, topk_b,
+                                        topp_b).astype(tok.dtype)
+            return (ck, cv, nxt, p + 1, ks[:, 1]), nxt
+
+        pos = jnp.asarray(pos, jnp.int32)
+        (ck, cv, tok, p, keys), toks = jax.lax.scan(
+            step, (ck, cv, tok, pos, keys), None, length=n)
+        return ck, cv, tok, toks, keys
+
+    return admit_many, decode_chunk, decode_sampled_chunk, c_sh
 
 
 class SpmdLlamaServer(_FleetScheduler):
-    """Greedy continuous-batching server over a dp x tp mesh.
+    """Continuous-batching server over a dp x tp mesh (greedy or
+    sampled, per-request params like the single-chip server).
 
     >>> mesh = make_mesh({"dp": 2, "tp": 4})
     >>> srv = SpmdLlamaServer(model, mesh, batch_size=8)
-    >>> rid = srv.submit(prompt_ids); done = srv.run()
+    >>> rid = srv.submit(prompt_ids, temperature=0.8, seed=7)
+    >>> done = srv.run()
 
     Accepts a ``Llama`` module (converted via :func:`params_from_model`)
     or a ``(params, cfg)`` pair in ``llama_spmd`` layout.  ``batch_size``
@@ -165,7 +221,8 @@ class SpmdLlamaServer(_FleetScheduler):
 
     def __init__(self, model_or_params, mesh: Mesh, cfg=None,
                  batch_size: int = 8, chunk: int = 32, eos_id: int = 2,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, temperature: float = 0.0,
+                 top_k: int = None, top_p: float = None, seed: int = 0):
         if cfg is None:
             params, cfg = params_from_model(model_or_params, dtype)
         else:
@@ -178,7 +235,10 @@ class SpmdLlamaServer(_FleetScheduler):
         self.B, self.chunk, self.eos_id = batch_size, chunk, eos_id
         self.S = cfg["max_seq_len"]
         self._params = shard_params(params, mesh)
-        self._admit, self._decode, c_sh = make_serve_fns(mesh, cfg)
+        (self._admit, self._decode, self._decode_sampled,
+         c_sh) = make_serve_fns(mesh, cfg, seed=seed)
+        self._pkeys = jax.vmap(jax.random.fold_in, (None, 0))(
+            jax.random.PRNGKey(seed), jnp.arange(batch_size))
         N = cfg["n_layers"]
         Hkv = cfg.get("n_kv_heads", cfg["n_heads"])
         hd = cfg["dim"] // cfg["n_heads"]
@@ -193,6 +253,8 @@ class SpmdLlamaServer(_FleetScheduler):
             jnp.zeros((N, self.B, self.S, Hkv, hd), cdt), c_sh)
         self._tok = jnp.ones((self.B,), jnp.int32)
         self._init_fleet_state()
+        self._init_sampling_state(cfg["vocab_size"], temperature,
+                                  top_k, top_p)
 
     # host scheduling: _FleetScheduler (serve.py) is the protocol's one
     # implementation — submit/admission-planning/finish/truncation rules
@@ -204,17 +266,27 @@ class SpmdLlamaServer(_FleetScheduler):
         by_len = {}
         for slot, req in plan:
             by_len.setdefault(len(req.prompt), []).append((slot, req))
+        row_samples = {slot: self._slot_params(slot, req)
+                       for slot, req in plan}
         waves, firsts_dev = [], []
         for L, group in sorted(by_len.items()):
             pos0 = self._pos - L
             for sub in self._pow2_subwaves(group):
                 prompts = jnp.asarray(
                     np.array([r.prompt for _, r in sub], np.int32))
-                slots = jnp.asarray(
-                    np.array([s for s, _ in sub], np.int32))
-                tok1, self._ck, self._cv, self._tok = self._admit(
+                slots = np.array([s for s, _ in sub], np.int32)
+                seeds = np.array([r.seed or 0 for _, r in sub], np.int32)
+                has_seed = np.array([r.seed is not None for _, r in sub])
+                rids = np.array([r.rid for _, r in sub], np.int32)
+                (tok1, self._ck, self._cv, self._tok,
+                 self._pkeys) = self._admit(
                     self._params, self._ck, self._cv, self._tok,
-                    prompts, pos0, slots)
+                    self._pkeys, prompts, pos0, jnp.asarray(slots),
+                    jnp.asarray(seeds), jnp.asarray(has_seed),
+                    jnp.asarray(rids), jnp.asarray(self._ptemp[slots]),
+                    jnp.asarray(self._ptopk[slots]),
+                    jnp.asarray(self._ptopp[slots]),
+                    sample=any(row_samples[s] for s, _ in sub))
                 for s, _ in sub:
                     self._starts[s] = pos0
                 waves.append(sub)
@@ -240,9 +312,21 @@ class SpmdLlamaServer(_FleetScheduler):
                 n = n or self.chunk
                 win = min(self.S, 1 << (self._pos + n - 1).bit_length())
                 starts = jnp.asarray(self._starts)
-                self._ck, self._cv, self._tok, toks = self._decode(
-                    self._params, self._ck, self._cv, self._tok,
-                    self._pos, starts, n, win=win)
+                any_sampled = self.sampling or any(
+                    self._ptemp[i] > 0 for i in range(self.B)
+                    if self._slots[i] is not None)
+                if any_sampled:
+                    (self._ck, self._cv, self._tok, toks,
+                     self._pkeys) = self._decode_sampled(
+                        self._params, self._ck, self._cv, self._tok,
+                        self._pos, starts, self._pkeys,
+                        jnp.asarray(self._ptemp),
+                        jnp.asarray(self._ptopk),
+                        jnp.asarray(self._ptopp), n, win=win)
+                else:
+                    self._ck, self._cv, self._tok, toks = self._decode(
+                        self._params, self._ck, self._cv, self._tok,
+                        self._pos, starts, n, win=win)
                 valid = min(n, navail)
                 self._pos += valid
                 toks = np.asarray(toks)[:valid]

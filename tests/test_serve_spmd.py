@@ -109,3 +109,49 @@ def test_spmd_server_eos_and_truncation():
         rb = srv.submit([5, 6], max_new_tokens=8)
         done = srv.run()
     assert done[rb].tokens == [] and done[rb].done
+
+
+def test_spmd_server_seeded_sampling_reproduces():
+    """Per-request sampling on the mesh server: a seeded request's
+    stream is a pure function of (prompt, params, seed) — reproduced on
+    a fresh server with different co-tenants, slot layout, and server
+    seed (the single-chip server's contract, same key derivation)."""
+    np.random.seed(35)
+    model = Llama(**CFG)
+    model.eval()
+    mesh = make_mesh({"dp": 2, "tp": 4})
+    prompt = [1, 6, 2]
+
+    def run_fleet(extra, server_seed):
+        with pdn.no_grad():
+            srv = SpmdLlamaServer(model, mesh, batch_size=2, chunk=4,
+                                  eos_id=-1, seed=server_seed)
+            for p in extra:
+                srv.submit(p, max_new_tokens=6, temperature=0.7, top_k=9)
+            rid = srv.submit(prompt, max_new_tokens=8, temperature=0.9,
+                             top_k=17, top_p=0.95, seed=1234)
+            done = srv.run()
+        return done[rid].tokens
+
+    a = run_fleet([], server_seed=0)
+    b = run_fleet([[7, 7], [3, 1, 4, 1, 5]], server_seed=42)
+    assert a == b and len(a) == 8, (a, b)
+
+
+def test_spmd_server_mixed_fleet_greedy_rows_exact():
+    """A mixed fleet (one sampled, one greedy request) shares the
+    sampled chunk program; the greedy row resolves to exact argmax —
+    token-identical to single-chip generate."""
+    np.random.seed(36)
+    model = Llama(**CFG)
+    model.eval()
+    mesh = make_mesh({"dp": 2, "tp": 4})
+    pg = [2, 7, 3, 11]
+    want = standalone(model, pg, 8)
+    with pdn.no_grad():
+        srv = SpmdLlamaServer(model, mesh, batch_size=2, chunk=4,
+                              eos_id=-1)
+        srv.submit([1, 5, 9], max_new_tokens=8, temperature=0.8, seed=3)
+        rg = srv.submit(pg, max_new_tokens=8)  # greedy row
+        done = srv.run()
+    assert done[rg].tokens == want, (done[rg].tokens, want)
