@@ -112,6 +112,11 @@ class _FleetScheduler:
             raise ValueError(f"top_k must be positive, got {top_k}")
         if top_p is not None and not 0.0 < top_p <= 1.0:
             raise ValueError(f"top_p must be in (0, 1], got {top_p}")
+        if seed is not None and not -2**31 <= int(seed) < 2**31:
+            # the admission wave ships seeds as an int32 array; numpy 2.x
+            # raises OverflowError MID-SERVING (after the slot was
+            # assigned), leaving the fleet corrupted — fail at submit
+            raise ValueError(f"seed must fit int32, got {seed}")
         rid = next(self._rid)
         self._queue.append(Request(rid, prompt, int(max_new_tokens),
                                    temperature=temperature, top_k=top_k,
@@ -174,6 +179,32 @@ class _FleetScheduler:
             k = 1 << ((len(group) - i).bit_length() - 1)
             yield group[i:i + k]
             i += k
+
+    @staticmethod
+    def _wave_arrays(sub):
+        """The admission wave's host arrays for one pow2 sub-batch:
+        (prompts (k, L) i32, slots, seeds, has_seed, rids)."""
+        return (np.array([r.prompt for _, r in sub], np.int32),
+                np.array([s for s, _ in sub], np.int32),
+                np.array([r.seed or 0 for _, r in sub], np.int32),
+                np.array([r.seed is not None for _, r in sub]),
+                np.array([r.rid for _, r in sub], np.int32))
+
+    def _on_first_token(self, slot, req):
+        """Hook after an admission's first token is credited (the
+        single-chip server surfaces it to stream() here)."""
+
+    def _credit_firsts(self, waves, firsts_dev):
+        """ONE stacked host readback for every admission wave's first
+        tokens, credited to their requests in dispatch order."""
+        firsts = np.concatenate([np.asarray(t) for t in firsts_dev])
+        j = 0
+        for sub in waves:
+            for slot, req in sub:
+                req.tokens.append(int(firsts[j]))
+                j += 1
+                self._maybe_finish(slot)
+                self._on_first_token(slot, req)
 
     def _maybe_finish(self, slot, truncated=False):
         req = self._slots[slot]
@@ -319,7 +350,6 @@ class LlamaServer(_FleetScheduler):
             fused_step_batched = model._fused_chunk_fn[6]
         forward_tokens = model._xla_forward_tokens
         forward_logits = model._xla_forward_logits
-        sampling = self.sampling
 
         self._dtype = dtype
         self._refresh_weights()  # builds + caches the weight snapshot
@@ -769,12 +799,9 @@ class LlamaServer(_FleetScheduler):
         for L, group in sorted(by_len.items()):
             pos0 = self._pos - L
             for sub in self._pow2_subwaves(group):
-                prompts = np.array([r.prompt for _, r in sub], np.int32)
-                slots = np.array([s for s, _ in sub], np.int32)
+                prompts, slots, seeds, has_seed, rids = \
+                    self._wave_arrays(sub)
                 wave_sample = any(row_samples[s] for s, _ in sub)
-                seeds = np.array([r.seed or 0 for _, r in sub], np.int32)
-                has_seed = np.array([r.seed is not None for _, r in sub])
-                rids = np.array([r.rid for _, r in sub], np.int32)
                 (tok1, self._ck, self._cv, self._tok,
                  self._pkeys) = self._admit_many(
                     self._w, self._ck, self._cv, self._tok, self._pkeys,
@@ -811,17 +838,12 @@ class LlamaServer(_FleetScheduler):
             self.prefix_rows_reused += kb
             waves.append([(slot, req)])
             firsts_dev.append(tok1)
-        firsts = np.asarray(jnp.concatenate(firsts_dev)) \
-            if len(firsts_dev) > 1 else np.asarray(firsts_dev[0])
-        j = 0
-        for sub in waves:
-            for slot, req in sub:
-                req.tokens.append(int(firsts[j]))
-                j += 1
-                self._maybe_finish(slot)
-                if req.tokens:  # EOS-as-first was popped -> nothing to show
-                    # surface the admission-time first token to stream()
-                    self._admit_credits.append((req.rid, [req.tokens[-1]]))
+        self._credit_firsts(waves, firsts_dev)
+
+    def _on_first_token(self, slot, req):
+        if req.tokens:  # EOS-as-first was popped -> nothing to show
+            # surface the admission-time first token to stream()
+            self._admit_credits.append((req.rid, [req.tokens[-1]]))
 
     _EXHAUSTED = object()  # _dispatch sentinel: cache end reached
 
@@ -884,9 +906,12 @@ class LlamaServer(_FleetScheduler):
             # steps satisfy qpos < pos + n <= win; surplus steps past the
             # S clamp are discarded via ``valid`` like the fused lane
             kw["win"] = min(self.S, 1 << (self._pos + n - 1).bit_length())
-        any_sampled = self.sampling or any(
-            self._ptemp[i] > 0 for i in range(self.B)
-            if self._slots[i] is not None)
+        # per-slot vectors already encode inherited server defaults, so
+        # the ACTIVE slots' temperatures alone decide the program — a
+        # fleet where every request overrode to greedy runs the cheaper
+        # greedy chunk even on a sampling server
+        any_sampled = any(self._ptemp[i] > 0 for i in range(self.B)
+                          if self._slots[i] is not None)
         if any_sampled:
             (self._ck, self._cv, self._tok, toks,
              self._pkeys) = self._decode_sampled(

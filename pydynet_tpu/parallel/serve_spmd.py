@@ -272,18 +272,15 @@ class SpmdLlamaServer(_FleetScheduler):
         for L, group in sorted(by_len.items()):
             pos0 = self._pos - L
             for sub in self._pow2_subwaves(group):
-                prompts = jnp.asarray(
-                    np.array([r.prompt for _, r in sub], np.int32))
-                slots = np.array([s for s, _ in sub], np.int32)
-                seeds = np.array([r.seed or 0 for _, r in sub], np.int32)
-                has_seed = np.array([r.seed is not None for _, r in sub])
-                rids = np.array([r.rid for _, r in sub], np.int32)
+                prompts, slots, seeds, has_seed, rids = \
+                    self._wave_arrays(sub)
                 (tok1, self._ck, self._cv, self._tok,
                  self._pkeys) = self._admit(
                     self._params, self._ck, self._cv, self._tok,
-                    self._pkeys, prompts, pos0, jnp.asarray(slots),
-                    jnp.asarray(seeds), jnp.asarray(has_seed),
-                    jnp.asarray(rids), jnp.asarray(self._ptemp[slots]),
+                    self._pkeys, jnp.asarray(prompts), pos0,
+                    jnp.asarray(slots), jnp.asarray(seeds),
+                    jnp.asarray(has_seed), jnp.asarray(rids),
+                    jnp.asarray(self._ptemp[slots]),
                     jnp.asarray(self._ptopk[slots]),
                     jnp.asarray(self._ptopp[slots]),
                     sample=any(row_samples[s] for s, _ in sub))
@@ -291,13 +288,7 @@ class SpmdLlamaServer(_FleetScheduler):
                     self._starts[s] = pos0
                 waves.append(sub)
                 firsts_dev.append(tok1)
-        firsts = np.concatenate([np.asarray(t) for t in firsts_dev])
-        j = 0
-        for sub in waves:
-            for slot, req in sub:
-                req.tokens.append(int(firsts[j]))
-                j += 1
-                self._maybe_finish(slot)
+        self._credit_firsts(waves, firsts_dev)
 
     def step(self, n: int = None):
         """Admit what fits, decode ``n`` (default ``chunk``) lockstep
@@ -312,7 +303,7 @@ class SpmdLlamaServer(_FleetScheduler):
                 n = n or self.chunk
                 win = min(self.S, 1 << (self._pos + n - 1).bit_length())
                 starts = jnp.asarray(self._starts)
-                any_sampled = self.sampling or any(
+                any_sampled = any(
                     self._ptemp[i] > 0 for i in range(self.B)
                     if self._slots[i] is not None)
                 if any_sampled:

@@ -2,11 +2,13 @@
 the round-3 headline JSON).  Pure-host: no device work — bench's module
 scope only defines helpers."""
 import json
+import os
 import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def _capture_emit(payload, capsys):
-    sys.path.insert(0, ".")
     import bench
 
     bench._emit(payload)

@@ -295,3 +295,16 @@ def test_prefix_cache_invalidated_on_weight_update():
         done = srv.run()
     assert srv.prefix_hits == 0, srv.prefix_hits
     assert done[rb].tokens == want_b, (done[rb].tokens, want_b)
+
+
+def test_submit_rejects_out_of_range_seed():
+    """Seeds ship as int32 arrays in the admission wave; an overflowing
+    seed must fail AT SUBMIT, not mid-serving after the slot was
+    assigned (numpy 2.x raises OverflowError there, corrupting the
+    fleet)."""
+    np.random.seed(0)
+    model = Llama(**CFG)
+    model.eval()
+    srv = LlamaServer(model, batch_size=2, lane="xla", eos_id=-1)
+    with pytest.raises(ValueError, match="int32"):
+        srv.submit([1, 2, 3], temperature=0.5, seed=2**31)
