@@ -239,7 +239,10 @@ def generate_speculative(model, input_ids, max_new_tokens: int, *,
         ck, cv, seq, n, it, acc, _ = spec(weights, ck, cv, seq, L + 1,
                                           total)
 
-    n = int(n)
+    # ONE host round trip for all three loop scalars: device_get overlaps
+    # the transfers (copy_to_host_async), where int() three times pays the
+    # remote tunnel's ~30 ms RTT once per scalar (measured via SPECBENCH)
+    n, it, acc = (int(v) for v in jax.device_get((n, it, acc)))
     rem = total - n  # < K+1 tail: plain single-token steps
     if rem > 0:
         # the decode chunks take the position OF last (row n-1 is
@@ -256,7 +259,6 @@ def generate_speculative(model, input_ids, max_new_tokens: int, *,
         seq = seq.at[n:n + rem].set(toks[:, 0].astype(jnp.int32))
 
     out = np.asarray(seq)[L:total].astype(np.int64)
-    it, acc = int(it), int(acc)
     dispatches = it + max(rem, 0) + 1  # +1 prefill
     stats = {"iterations": it, "accepted_drafts": acc,
              "tail_tokens": max(rem, 0),  # plain steps after the loop
