@@ -24,7 +24,7 @@ Methodology:
 
 Run on the real chip, ONE process at a time:
 
-    python scripts/bench_train.py            # writes TRAINBENCH_r04.json
+    python scripts/bench_train.py            # writes TRAINBENCH_r05.json
 
 One JSON line:
   {"metric": "train_epoch_seconds", "value": <lenet s/epoch>, "unit": "s",
@@ -158,7 +158,7 @@ def main():
     line = json.dumps(out)
     print(line)
     root = os.path.join(os.path.dirname(__file__), "..")
-    with open(os.path.join(root, "TRAINBENCH_r04.json"), "w") as f:
+    with open(os.path.join(root, "TRAINBENCH_r05.json"), "w") as f:
         f.write(line + "\n")
 
 
