@@ -19,11 +19,32 @@ if _X64:
 
 # Persistent compilation cache: one-shot CLI invocations (infer/finetune)
 # are otherwise dominated by XLA compile time on every run.
+
+
+def _machine_tag() -> str:
+    """Host-CPU fingerprint for the cache path: XLA:CPU AOT results are
+    compiled for the build host's exact feature set, and loading them on
+    a different machine spews cpu_aot_loader feature-mismatch errors
+    (burying real diagnostics in the multichip dryrun artifact) and
+    risks SIGILL.  Scoping the cache per machine type makes a foreign
+    host recompile once instead."""
+    import hashlib
+    import platform
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    return hashlib.sha1(line.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    return platform.machine() or "unknown"
+
+
 if os.environ.get("PYDYNET_TPU_COMPILE_CACHE", "1") != "0":
     _cache_dir = os.environ.get(
         "PYDYNET_TPU_COMPILE_CACHE_DIR",
         os.path.join(os.path.expanduser("~"), ".cache", "pydynet_tpu",
-                     "jax_cache"))
+                     "jax_cache-" + _machine_tag()))
     try:
         os.makedirs(_cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", _cache_dir)

@@ -248,6 +248,28 @@ def bucket_prompt(input_ids, L, max_seq_len):
     return input_ids, None
 
 
+FLASH_PREFILL_MIN = 1024  # below this the dense (L, L) score matrix is
+#                           small, XLA-fused, and bit-identical to prior
+#                           rounds' streams — flash buys nothing
+
+
+def flash_prefill_mode(weights, L: int):
+    """Static ``flash`` value for a pure-causal prefill of ``L`` tokens
+    (shared routing rule: ``generate``, ``LlamaServer`` admission).
+
+    Long prompts on a real TPU route the prefill attention through the
+    Pallas blockwise flash kernel (O(block) VMEM instead of the
+    O(L * win) materialized score matrix — the reference prefills through
+    the same dense matrix it decodes with, llm/llama/model.py:112-121).
+    Short prompts and non-TPU platforms keep the dense einsum: below
+    ``FLASH_PREFILL_MIN`` the score matrix is cheap, and interpret-mode
+    Pallas is a test-only lane (tests pass ``flash="interpret"``
+    explicitly)."""
+    if L < FLASH_PREFILL_MIN:
+        return False
+    return next(iter(weights["tok"].devices())).platform == "tpu"
+
+
 class FeedForward(nn.Module):
     """SwiGLU feed-forward (reference model.py:49-58)."""
 
@@ -665,7 +687,7 @@ class Llama(nn.Module):
 
         def forward_logits_one(weights, ck, cv, tokens, pos,
                                all_positions=False, last_idx=None, win=None,
-                               starts=None):
+                               starts=None, flash=False):
             """tokens (B, L) at absolute pos; ck/cv (layers, B, S, Hkv, hd).
             One transformer forward as a scan over the layer axis; returns
             (last-position logits (B, V) f32, ck, cv) — or (B, L, V) with
@@ -690,16 +712,35 @@ class Llama(nn.Module):
             bit-preserving.  Cache WRITES still land in the full (S,) cache
             carried through the scan.  This is what keeps early-position
             decode from paying O(S) attention per step (the reference's
-            NumPy loop attends only [0, pos]; see ROADMAP 'CPU backend')."""
+            NumPy loop attends only [0, pos]; see ROADMAP 'CPU backend').
+
+            ``flash`` (STATIC: False | True | "interpret") routes the
+            attention through the Pallas blockwise flash kernel
+            (ops/flash_attention.py) instead of the materialized
+            (L, win) score einsum — the long-prompt PREFILL path (the
+            reference's prefill is the same O(L^2) dense score matrix,
+            llm/llama/model.py:112-121; this is the deliberate TPU
+            redesign).  Contract: callers pass flash only when
+            ``pos == 0`` and ``starts is None`` — then every query in
+            [0, L) attends exactly the freshly-written rows [0, L) and
+            pure-causal attention over the CURRENT tokens' K/V is
+            bit-equivalent to the cache-read path (the causal mask
+            already zeroes every cache column >= L).  "interpret" runs
+            the kernel in Pallas interpret mode (CPU tests)."""
             B, L = tokens.shape
             if win is None or win > S:
                 win = S
+            if flash and starts is not None:
+                raise ValueError("flash prefill is pure-causal: it cannot "
+                                 "honor per-row starts masks")
             # big-dims quant lane (_weights_xq): quantized matrices ride
             # the dict as <name>_q/<name>_s; presence is static per trace
             q4 = "q4" in weights
             interp = "xinterp" in weights  # weights committed off-TPU
             if any(k.endswith("_xq") for k in weights):
                 from ...ops.gemv_quant import qmatmul
+            if flash:
+                from ...ops.flash_attention import flash_attention_causal
 
             def mm(x, W, name):
                 if name + "_xq" not in W:
@@ -741,16 +782,27 @@ class Llama(nn.Module):
                     ck_i, k, (zero, pos32, zero, zero))
                 cv_i = jax.lax.dynamic_update_slice(
                     cv_i, v, (zero, pos32, zero, zero))
-                # static slice: attention reads only the live window
-                kk, vv = ck_i[:, :win], cv_i[:, :win]
-                if g != 1:
-                    kk = jnp.repeat(kk, g, axis=2)
-                    vv = jnp.repeat(vv, g, axis=2)
-                s = jnp.einsum("blhd,bmhd->bhlm", q, kk,
-                               preferred_element_type=jnp.float32) * scale
-                p = jax.nn.softmax(s + mask, axis=-1).astype(h.dtype)
-                att = jnp.einsum("bhlm,bmhd->blhd", p,
-                                 vv).reshape(B, L, -1)
+                if flash:
+                    # pure-causal prefill (pos == 0, no starts): attention
+                    # over the CURRENT tokens' K/V only — O(block) VMEM
+                    # blockwise softmax instead of the (L, win) score matrix
+                    kf = jnp.repeat(k, g, axis=2) if g != 1 else k
+                    vf = jnp.repeat(v, g, axis=2) if g != 1 else v
+                    att = flash_attention_causal(
+                        q, kf, vf, scale,
+                        interpret=(flash == "interpret"))
+                    att = att.astype(h.dtype).reshape(B, L, -1)
+                else:
+                    # static slice: attention reads only the live window
+                    kk, vv = ck_i[:, :win], cv_i[:, :win]
+                    if g != 1:
+                        kk = jnp.repeat(kk, g, axis=2)
+                        vv = jnp.repeat(vv, g, axis=2)
+                    s = jnp.einsum("blhd,bmhd->bhlm", q, kk,
+                                   preferred_element_type=jnp.float32) * scale
+                    p = jax.nn.softmax(s + mask, axis=-1).astype(h.dtype)
+                    att = jnp.einsum("bhlm,bmhd->blhd", p,
+                                     vv).reshape(B, L, -1)
                 z = h + mm(att, W, "wo")
                 zn = rms(z, W["post_norm"])
                 gu = mm(zn, W, "wgu")  # fused (D, 2F) gate+up matmul
@@ -762,8 +814,14 @@ class Llama(nn.Module):
                        if k in ("in_norm", "post_norm")
                        or k.removesuffix("_xq").removesuffix("_xs")
                        in ("wqkv", "wo", "wgu", "down")}
+            # full unroll lets XLA overlap each layer's weight stream with
+            # the previous layer's compute at small depths; past ~16 layers
+            # (7B geometry: 32) the unrolled graph blows up compile time
+            # through the remote tunnel, and the rolled scan streams the
+            # stacked weights per iteration just as well
+            nl = weights["in_norm"].shape[0]
             h, (ck, cv) = jax.lax.scan(layer, h, (layer_w, ck, cv),
-                                       unroll=True)
+                                       unroll=True if nl <= 16 else 1)
             h = rms(h, weights["norm"])
             if all_positions:
                 hl = h
@@ -785,9 +843,10 @@ class Llama(nn.Module):
             return logits, ck, cv
 
         def forward_tokens(weights, ck, cv, tokens, pos, last_idx=None,
-                           win=None):
+                           win=None, flash=False):
             logits, ck, cv = forward_logits_one(weights, ck, cv, tokens, pos,
-                                                last_idx=last_idx, win=win)
+                                                last_idx=last_idx, win=win,
+                                                flash=flash)
             return jnp.argmax(logits, axis=-1).astype(tokens.dtype), ck, cv
 
         self._xla_forward_logits = forward_logits_one
@@ -795,10 +854,14 @@ class Llama(nn.Module):
                                                all_positions=True)
         self._xla_forward_tokens = forward_tokens
 
-        @partial(jax.jit, static_argnames=("win",))
-        def prefill(weights, ck, cv, tokens, pos, last_idx=None, win=None):
-            return forward_tokens(weights, ck, cv, tokens, pos, last_idx,
-                                  win)
+        @partial(jax.jit, static_argnames=("win", "flash"))
+        def prefill(weights, ck, cv, tokens, pos, last_idx=None, win=None,
+                    flash=False):
+            logits, ck, cv = forward_logits_one(weights, ck, cv, tokens,
+                                                pos, last_idx=last_idx,
+                                                win=win, flash=flash)
+            return (jnp.argmax(logits, axis=-1).astype(tokens.dtype),
+                    ck, cv)
 
         @partial(jax.jit, static_argnames=("n_steps", "win"),
                  donate_argnames=("ck", "cv"))
@@ -835,11 +898,13 @@ class Llama(nn.Module):
         V = self.vocab_size
         mark = _mark_seen
 
-        @partial(jax.jit, static_argnames=("top_k", "top_p", "rep", "win"))
+        @partial(jax.jit, static_argnames=("top_k", "top_p", "rep", "win",
+                                           "flash"))
         def prefill_sample(weights, ck, cv, tokens, pos, key, temperature,
-                           top_k, top_p, rep, last_idx=None, win=None):
+                           top_k, top_p, rep, last_idx=None, win=None,
+                           flash=False):
             logits, ck, cv = fwd(weights, ck, cv, tokens, pos,
-                                 last_idx=last_idx, win=win)
+                                 last_idx=last_idx, win=win, flash=flash)
             B, L = tokens.shape
             seen = jnp.zeros((B, V), bool)
             if rep is not None:  # prompt tokens count as seen
@@ -1328,8 +1393,9 @@ class Llama(nn.Module):
         Dp = lane_pad_dim(D)
         Dkp = lane_pad_dim(Hkv * hd)  # narrow-KV cache width (GQA)
 
-        @partial(jax.jit, static_argnames=("n_steps",))
-        def prefill_decode(weights, prompt, n_steps, last_idx=None):
+        @partial(jax.jit, static_argnames=("n_steps", "flash"))
+        def prefill_decode(weights, prompt, n_steps, last_idx=None,
+                           flash=False):
             """Whole sequence in ONE dispatch: allocate caches, prefill the
             prompt (XLA path), then the fused-kernel decode scan.  Returns
             (1+n_steps, B) tokens including the prefill token.  ``last_idx``
@@ -1342,7 +1408,7 @@ class Llama(nn.Module):
             ck5 = jnp.zeros((N, B, S, Hkv, hd), dt)  # XLA-path KV layout
             cv5 = jnp.zeros((N, B, S, Hkv, hd), dt)
             tok, ck5, cv5 = forward_tokens(weights, ck5, cv5, prompt, 0,
-                                           last_idx)
+                                           last_idx, flash=flash)
             ck = pad_cache_lanes(self._kv_flat(ck5, narrow), width)
             cv = pad_cache_lanes(self._kv_flat(cv5, narrow), width)
             pos0 = prompt.shape[1] if last_idx is None else last_idx
@@ -1382,7 +1448,7 @@ class Llama(nn.Module):
                  quant=None, temperature: float = 0.0, top_k: int = None,
                  top_p: float = None, seed: int = 0,
                  repetition_penalty: float = None, kv_quant=None,
-                 bucket_prefill: bool = True):
+                 bucket_prefill: bool = True, flash_prefill=None):
         """Greedy generation; yields (B,1) id tensors one token at a time
         like the reference (model.py:258-269), while computing CHUNK tokens
         per compiled on-device scan, with the next chunk dispatched before
@@ -1426,7 +1492,14 @@ class Llama(nn.Module):
         (a fresh length otherwise costs a full XLA compile — ~20-40 s
         through the remote tunnel).  Token-exact: the logits are read at
         the true last position, and every padded cache row sits strictly
-        above the decode position until the step that rewrites it."""
+        above the decode position until the step that rewrites it.
+
+        ``flash_prefill`` (default None = auto): route the prefill
+        attention through the Pallas flash kernel when the (padded)
+        prompt is long (``flash_prefill_mode``: >= FLASH_PREFILL_MIN on
+        a real TPU) — O(block) VMEM instead of the O(L^2) score matrix
+        the reference materializes.  False forces the dense path;
+        True/"interpret" force the kernel (tests)."""
         if self._decode_fns is None:
             self._decode_fns = self._make_decode_fns()
         prefill, decode_chunk = self._decode_fns
@@ -1510,6 +1583,8 @@ class Llama(nn.Module):
 
         ids_pad, last_idx = (bucket_prompt(input_ids, L, self.max_seq_len)
                              if bucket_prefill else (input_ids, None))
+        flash_p = (flash_prefill_mode(weights, ids_pad.shape[1])
+                   if flash_prefill is None else flash_prefill)
 
         # a short request must not compile/execute a full default-size
         # chunk (a 24-token ask on the XLA:CPU path was paying a 512-step
@@ -1526,7 +1601,7 @@ class Llama(nn.Module):
             prefill_decode = self._fused_chunk_fn[1]
             toks = prefill_decode(weights,
                                   jnp.asarray(ids_pad, jnp.int32),
-                                  total - L - 1, last_idx)
+                                  total - L - 1, last_idx, flash=flash_p)
             for row in np.asarray(toks):
                 yield Tensor._wrap(row[:, None], cpu, False)
             return
@@ -1549,11 +1624,12 @@ class Llama(nn.Module):
                    if repetition_penalty is not None else None)
             tok, ck, cv, rkey, seen = prefill_s(
                 weights, ck, cv, jnp.asarray(ids_pad, jnp.int32), 0,
-                rkey, tvec, top_k, top_p, rep, last_idx, win=win_p)
+                rkey, tvec, top_k, top_p, rep, last_idx, win=win_p,
+                flash=flash_p)
         else:
             tok, ck, cv = prefill(weights, ck, cv,
                                   jnp.asarray(ids_pad, jnp.int32), 0,
-                                  last_idx, win=win_p)
+                                  last_idx, win=win_p, flash=flash_p)
         if fused:
             # fused kernel uses flat lane-padded (N, S, W) caches
             # ((N, B, S, W) batched); W is the narrow Hkv*hd width under

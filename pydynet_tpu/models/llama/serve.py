@@ -190,6 +190,52 @@ class _FleetScheduler:
                 np.array([r.seed is not None for _, r in sub]),
                 np.array([r.rid for _, r in sub], np.int32))
 
+    # ---------------- prefix-cache donor matching (shared) ------------- #
+    # host half of prefix caching, shared by the single-chip XLA lane and
+    # the mesh server (both keep a `_resident` slot->tokens table); the
+    # device half (donor-row copy + delta rotation) is each engine's
+    # admit_prefix program
+    _MIN_PREFIX = 8  # smallest reusable prefix (power-of-two rows)
+
+    def _find_donor(self, prompt, target_slot, planned_slots):
+        """Best ``(slot, start_row, kb)`` donor for ``prompt``: the
+        resident entry sharing the longest common prefix, rounded down
+        to a power of two (bounds compile variants), of at least
+        ``_MIN_PREFIX`` rows and leaving at least one suffix token (the
+        first output's logits come from the suffix forward).  A slot
+        being re-admitted this wave can't donate — its rows may be
+        overwritten before the reuse program reads them — EXCEPT to
+        itself: within one program the donor read is sequenced before
+        the slot's overwrite by dataflow."""
+        best = None
+        limit = len(prompt) - 1
+        for slot, ent in enumerate(self._resident):
+            if ent is None or (slot in planned_slots
+                               and slot != target_slot):
+                continue
+            _, rp, start = ent
+            n = 0
+            for a, b in zip(rp, prompt[:limit]):
+                if a != b:
+                    break
+                n += 1
+            if n < self._MIN_PREFIX:
+                continue
+            kb = 1 << (n.bit_length() - 1)
+            if best is None or kb > best[2]:
+                best = (slot, start, kb)
+        return best
+
+    def _grow_resident(self, slot, req):
+        """Multi-turn donor growth: credited tokens' rows are written as
+        each is fed back — all but the last, whose row only exists once
+        the NEXT step consumes it."""
+        ent = self._resident[slot]
+        if ent is not None and ent[0] == req.rid:
+            self._resident[slot] = (req.rid,
+                                    tuple(req.prompt)
+                                    + tuple(req.tokens[:-1]), ent[2])
+
     def _on_first_token(self, slot, req):
         """Hook after an admission's first token is credited (the
         single-chip server surfaces it to stream() here)."""
@@ -277,11 +323,23 @@ class LlamaServer(_FleetScheduler):
     ``prefix_rows_reused`` count what it saved.
     """
 
+    def __new__(cls, *args, **kwargs):
+        # ``LlamaServer(model, speculative=K)`` builds the speculative
+        # per-slot-position engine (serve_spec.SpecLlamaServer) — a
+        # different fleet protocol (slots advance at their own accepted-
+        # draft rates), same scheduler base.  Python skips this class's
+        # __init__ on the foreign instance.
+        if cls is LlamaServer and kwargs.get("speculative"):
+            from .serve_spec import SpecLlamaServer
+            return SpecLlamaServer(*args, **kwargs)
+        return super().__new__(cls)
+
     def __init__(self, model, batch_size: int = 8, dtype=None,
                  chunk: int = 128, eos_id: int = 2, temperature: float = 0.0,
                  top_k: int = None, top_p: float = None, seed: int = 0,
                  kv_quant=None, quant=None, lane: str = None,
-                 prefix_cache: bool = False):
+                 prefix_cache: bool = False, flash_prefill=None,
+                 speculative=None):
         # chunk trades slot-recycle latency (a finished request's slot is
         # reused at the next chunk boundary, one chunk late under run()'s
         # pipeline) against per-chunk dispatch+readback overhead; through
@@ -314,6 +372,10 @@ class LlamaServer(_FleetScheduler):
                 "fused lane's flat-lane cache layout has no row-reuse "
                 "path (and nothing to gain at its dims)")
         self._prefix_cache = bool(prefix_cache)
+        # admission-prefill flash routing (generate()'s flash_prefill):
+        # None = auto per wave length (flash_prefill_mode), False = dense,
+        # True/"interpret" = force the Pallas kernel (tests)
+        self._flash_prefill = flash_prefill
         self.prefix_hits = 0          # reuse admissions served
         self.prefix_rows_reused = 0   # prefill rows skipped via reuse
         if kv_quant not in (None, "int8"):
@@ -438,11 +500,12 @@ class LlamaServer(_FleetScheduler):
         # assigns (fused_step_batched / rot tables vs the scan
         # forward) — a latent NameError trap, and dead code.
         if fused_lane:
-            @partial(jax.jit, static_argnames=("sample",),
+            @partial(jax.jit, static_argnames=("sample", "flash"),
                      donate_argnums=(1, 2, 3, 4))
             def admit_many(w, ck, cv, tok, pkeys, prompts, pos0, slots,
                            seeds_k, has_seed_k, rids_k,
-                           temp_k, topk_k, topp_k, sample=False):
+                           temp_k, topk_k, topp_k, sample=False,
+                           flash=False):
                 """Prefill a WAVE of k same-length requests into slots
                 ``slots`` at absolute rows [pos0, pos0+L) of the shared cache
                 in ONE program; returns their first tokens (k,) — greedy
@@ -469,12 +532,12 @@ class LlamaServer(_FleetScheduler):
                 draw_k, keys_out = derive_keys(seeds_k, has_seed_k, rids_k)
                 if sample:
                     logits1, ck1, cv1 = forward_logits(w, ck1, cv1, prompts, 0,
-                                                       win=win)
+                                                       win=win, flash=flash)
                     tok1 = sample_logits_per_row(logits1, draw_k, temp_k,
                                                  topk_k, topp_k)
                 else:
                     tok1, ck1, cv1 = forward_tokens(w, ck1, cv1, prompts, 0,
-                                                    win=win)
+                                                    win=win, flash=flash)
                 fk = pad_cache_lanes(model._kv_flat(ck1, narrow), width)
                 fv = pad_cache_lanes(model._kv_flat(cv1, narrow), width)
                 if k == 1:  # _kv_flat squeezes the unit batch axis
@@ -567,11 +630,12 @@ class LlamaServer(_FleetScheduler):
             # layout (N, B, S, Hkv, hd); admission scatters the prefilled
             # rows directly and post-rotates K with the decode tables.
 
-            @partial(jax.jit, static_argnames=("sample",),
+            @partial(jax.jit, static_argnames=("sample", "flash"),
                      donate_argnums=(1, 2, 3, 4))
             def admit_many_xla(w, ck, cv, tok, pkeys, prompts, pos0, slots,
                                seeds_k, has_seed_k, rids_k,
-                               temp_k, topk_k, topp_k, sample=False):
+                               temp_k, topk_k, topp_k, sample=False,
+                               flash=False):
                 """Scan-lane admission wave: prefill k same-length prompts at
                 position 0 in a fresh (N, k, S, Hkv, hd) cache, post-rotate
                 the K rows by angle(pos0) via _rope_pure (rotations compose
@@ -588,12 +652,12 @@ class LlamaServer(_FleetScheduler):
                 draw_k, keys_out = derive_keys(seeds_k, has_seed_k, rids_k)
                 if sample:
                     logits1, ck1, cv1 = forward_logits(w, ck1, cv1, prompts, 0,
-                                                       win=win)
+                                                       win=win, flash=flash)
                     tok1 = sample_logits_per_row(logits1, draw_k, temp_k,
                                                  topk_k, topp_k)
                 else:
                     tok1, ck1, cv1 = forward_tokens(w, ck1, cv1, prompts, 0,
-                                                    win=win)
+                                                    win=win, flash=flash)
                 pos0 = jnp.asarray(pos0, jnp.int32)
                 rows_k = ck1[:, :, :L].astype(jnp.float32)  # (N, k, L, Hkv, hd)
                 rows_v = cv1[:, :, :L]
@@ -736,37 +800,6 @@ class LlamaServer(_FleetScheduler):
         self._jax = jax
 
     # ------------------------------ API ------------------------------ #
-    _MIN_PREFIX = 8  # smallest reusable prefix (power-of-two rows)
-
-    def _find_donor(self, prompt, target_slot, planned_slots):
-        """Best ``(slot, start_row, kb)`` donor for ``prompt``: the
-        resident entry sharing the longest common prefix, rounded down
-        to a power of two (bounds compile variants), of at least
-        ``_MIN_PREFIX`` rows and leaving at least one suffix token (the
-        first output's logits come from the suffix forward).  A slot
-        being re-admitted this wave can't donate — its rows may be
-        overwritten before the reuse program reads them — EXCEPT to
-        itself: within one program the donor read is sequenced before
-        the slot's overwrite by dataflow."""
-        best = None
-        limit = len(prompt) - 1
-        for slot, ent in enumerate(self._resident):
-            if ent is None or (slot in planned_slots
-                               and slot != target_slot):
-                continue
-            _, rp, start = ent
-            n = 0
-            for a, b in zip(rp, prompt[:limit]):
-                if a != b:
-                    break
-                n += 1
-            if n < self._MIN_PREFIX:
-                continue
-            kb = 1 << (n.bit_length() - 1)
-            if best is None or kb > best[2]:
-                best = (slot, start, kb)
-        return best
-
     def _on_rewind(self):
         # a position reset invalidates every prefix-cache donor: rows
         # above the new position get rewritten by decode steps
@@ -796,8 +829,11 @@ class LlamaServer(_FleetScheduler):
             else:
                 by_len.setdefault(len(req.prompt), []).append((slot, req))
         waves, firsts_dev = [], []
+        from .model import flash_prefill_mode
         for L, group in sorted(by_len.items()):
             pos0 = self._pos - L
+            flash = (flash_prefill_mode(self._w, L)
+                     if self._flash_prefill is None else self._flash_prefill)
             for sub in self._pow2_subwaves(group):
                 prompts, slots, seeds, has_seed, rids = \
                     self._wave_arrays(sub)
@@ -809,7 +845,8 @@ class LlamaServer(_FleetScheduler):
                     jnp.asarray(seeds), jnp.asarray(has_seed),
                     jnp.asarray(rids), jnp.asarray(self._ptemp[slots]),
                     jnp.asarray(self._ptopk[slots]),
-                    jnp.asarray(self._ptopp[slots]), sample=wave_sample)
+                    jnp.asarray(self._ptopp[slots]), sample=wave_sample,
+                    flash=flash)
                 for s, r in sub:
                     self._starts[s] = pos0
                     self._resident[s] = (r.rid, tuple(r.prompt), pos0)
@@ -954,16 +991,7 @@ class LlamaServer(_FleetScheduler):
             if new:
                 credited.append((req.rid, new))
             if self._prefix_cache:
-                ent = self._resident[slot]
-                if ent is not None and ent[0] == req.rid:
-                    # multi-turn donor growth: credited tokens' rows are
-                    # written as each is fed back — all but the last,
-                    # whose row only exists once the NEXT step consumes
-                    # it (see _resident's init comment)
-                    self._resident[slot] = (
-                        req.rid,
-                        tuple(req.prompt) + tuple(req.tokens[:-1]),
-                        ent[2])
+                self._grow_resident(slot, req)
         return credited
 
     def step(self, n: int = None):

@@ -93,6 +93,19 @@ def run(n_devices: int) -> None:
     assert set(sdone) == set(srids) and \
         all(len(sdone[r].tokens) == 4 for r in srids)
 
+    # quant x tp x prefix-cache serving on the mesh (weight-only int8
+    # pytree, plain-XLA scaled int matmuls — llama_spmd.quantize_params;
+    # the second request reuses the first's prompt-prefix KV rows)
+    qsrv = SpmdLlamaServer(params, mesh, cfg=cfg, batch_size=dp, chunk=4,
+                           eos_id=-1, quant="int8", prefix_cache=True)
+    pa = [1, 2, 3, 4, 5, 6, 7, 8, 9, 10]
+    qa = qsrv.submit(pa, max_new_tokens=6)  # outlives chunk 1: stays a
+    qsrv.step()                             # live donor (no idle rewind)
+    qb = qsrv.submit(pa[:9] + [11], max_new_tokens=3)
+    qdone = qsrv.run()
+    assert set(qdone) == {qa, qb} and qsrv.prefix_hits == 1, \
+        (sorted(qdone), qsrv.prefix_hits)
+
     # -- dp x pp x tp: GPipe ring with Megatron tp INSIDE the shard_map -- #
     pp = 2 if n_devices % 2 == 0 else 1
     ptp = 2 if n_devices % 4 == 0 else 1

@@ -38,6 +38,62 @@ def _kv_dim(cfg):
 # per-layer (leading layer-axis) parameter names, one array per matrix
 LAYER_KEYS = ("wq", "wk", "wv", "wo", "gate", "up", "down",
               "in_norm", "post_norm")
+_QUANT_MATS = ("wq", "wk", "wv", "wo", "gate", "up", "down")
+
+
+def quantize_params(params, quant="int8"):
+    """Weight-only quantized SPMD param pytree (serving: the decode regime
+    is weight-streaming-bound, ops/gemv_quant.py module doc).
+
+    Every layer matrix and the lm_head are replaced by ``<k>_q``/``<k>_s``
+    pairs in the ``ops/quant`` layouts (contraction axis quantized,
+    per-output-channel f32 scales; int4 nibble-packs the contraction
+    axis).  Key PRESENCE is the static switch ``forward_tokens`` branches
+    on — the same convention as the single-chip ``_weights_xq``
+    (models/llama/model.py:617).  Unlike the single-chip lane's Mosaic
+    ``qmatmul`` kernels (which cannot ride GSPMD partitioning), the mesh
+    matmuls stay plain XLA ops — ``(x @ q) * scale`` with the scale
+    commuted out of the contraction — so GSPMD shards them exactly like
+    the dense matrices and the tp collectives are unchanged."""
+    from ..ops import quant as Q
+
+    if quant not in ("int8", "int4"):
+        raise ValueError(f"unsupported quant mode: {quant!r}")
+    qfn = Q.quantize_int4 if quant == "int4" else Q.quantize_int8
+    out = dict(params)
+    for k in _QUANT_MATS:
+        out[k + "_q"], out[k + "_s"] = qfn(out.pop(k), axis=1)
+    out["head_q"], out["head_s"] = qfn(out.pop("head_w"), axis=0)
+    if quant == "int4":
+        out["q4"] = jnp.ones((), jnp.int8)  # static marker key
+    return out
+
+
+def _qmm(x, q, s, q4):
+    """Quantized matmul ``x @ dequant(q, s)`` with the per-output-channel
+    scale commuted out of the contraction (``(x @ q) * s`` — exact, the
+    scale is constant along the summed axis).  int4 runs the two
+    half-K dots of the ``ops/quant`` nibble layout directly (no concat
+    along the possibly-tp-sharded contraction axis, so GSPMD partitions
+    both halves exactly like the dense matmul)."""
+    if q4:
+        from ..ops.quant import unpack_int4
+
+        lo, hi = unpack_int4(q)
+        K2 = q.shape[-2]
+        y = (x[..., :K2] @ lo.astype(x.dtype)
+             + x[..., K2:] @ hi.astype(x.dtype))
+    else:
+        y = x @ q.astype(x.dtype)
+    return y * jnp.squeeze(s, -2).astype(x.dtype)
+
+
+def _wmm(x, W, name, q4):
+    """``x @ W[name]``, routed through :func:`_qmm` when the pytree
+    carries the quantized ``<name>_q``/``<name>_s`` pair."""
+    if name + "_q" not in W:
+        return x @ W[name]
+    return _qmm(x, W[name + "_q"], W[name + "_s"], q4)
 
 
 def init_params(rng: np.random.RandomState, cfg, dtype=jnp.float32):
@@ -78,11 +134,19 @@ def init_params(rng: np.random.RandomState, cfg, dtype=jnp.float32):
     }
 
 
-def param_shardings(mesh: Mesh):
+def param_shardings(mesh: Mesh, params=None):
     """Megatron-style PartitionSpecs per parameter (replicated where the
-    mesh has no ``tp`` axis — dp-only meshes are legitimate)."""
+    mesh has no ``tp`` axis — dp-only meshes are legitimate).
+
+    Default (``params=None``) returns the dense-pytree table (the train /
+    generate layout).  Passing a pytree filters the table to its keys —
+    how a :func:`quantize_params` serving pytree gets its shardings: a
+    ``<k>_q`` shards like the dense ``<k>`` (int4 halves the contraction
+    axis, which stays tp-divisible at pow2 dims), and a ``<k>_s`` shards
+    on the output axis exactly where the dense spec shards it (row-
+    parallel matrices' scales are replicated: their output axis is)."""
     tp = _ax(mesh, "tp")
-    specs = {
+    dense = {
         "tok": P(tp, None),            # vocab-sharded embedding
         "cos": P(),
         "sin": P(),
@@ -99,11 +163,21 @@ def param_shardings(mesh: Mesh):
         "in_norm": P(),
         "post_norm": P(),
     }
-    return {k: named_sharding(mesh, *spec) for k, spec in specs.items()}
+    if params is None:
+        return {k: named_sharding(mesh, *spec) for k, spec in dense.items()}
+    specs = dict(dense)
+    for k in _QUANT_MATS:
+        specs[k + "_q"] = dense[k]
+        # scale (N, 1, out): tp-sharded iff the dense output axis is
+        specs[k + "_s"] = P(None, None, dense[k][2])
+    specs["head_q"] = dense["head_w"]
+    specs["head_s"] = P(None, tp)
+    specs["q4"] = P()
+    return {k: named_sharding(mesh, *specs[k]) for k in params}
 
 
 def shard_params(params, mesh: Mesh):
-    sh = param_shardings(mesh)
+    sh = param_shardings(mesh, params)
     return {k: jax.device_put(v, sh[k]) for k, v in params.items()}
 
 
@@ -219,11 +293,16 @@ def forward_tokens(params, ck, cv, tokens, pos, cfg, starts=None,
     the continuous-batching slot-recycling mask; ``win`` (STATIC int)
     bounds the attention read to cache rows [0, win) for steps whose
     consumed outputs satisfy pos + L <= win.
+
+    A :func:`quantize_params` pytree (``<k>_q``/``<k>_s`` keys, presence
+    static per trace) routes every weight matmul through :func:`_qmm` —
+    weight-only int8/int4 serving with the tp sharding schedule unchanged.
     """
     B, L = tokens.shape
     H, D, S = cfg["n_heads"], cfg["dim"], cfg["max_seq_len"]
     if win is None or win > S:
         win = S
+    q4 = "q4" in params
     hd = D // H
     Hkv = cfg.get("n_kv_heads", H)
     g = H // Hkv
@@ -244,9 +323,9 @@ def forward_tokens(params, ck, cv, tokens, pos, cfg, starts=None,
     def layer(h, xs):
         W, ck_i, cv_i = xs
         hn = _rms(h, W["in_norm"])
-        q = (hn @ W["wq"]).reshape(B, L, H, hd)
-        k = (hn @ W["wk"]).reshape(B, L, Hkv, hd)
-        v = (hn @ W["wv"]).reshape(B, L, Hkv, hd)
+        q = _wmm(hn, W, "wq", q4).reshape(B, L, H, hd)
+        k = _wmm(hn, W, "wk", q4).reshape(B, L, Hkv, hd)
+        v = _wmm(hn, W, "wv", q4).reshape(B, L, Hkv, hd)
         q, k = _rope(q, cos, sin), _rope(k, cos, sin)
         ck_i = jax.lax.dynamic_update_slice(ck_i, k, (zero, pos32, zero,
                                                       zero))
@@ -259,17 +338,24 @@ def forward_tokens(params, ck, cv, tokens, pos, cfg, starts=None,
                        preferred_element_type=jnp.float32) / math.sqrt(hd)
         p = jax.nn.softmax(s + mask, axis=-1).astype(h.dtype)
         att = jnp.einsum("bhlm,bmhd->blhd", p, vv).reshape(B, L, D)
-        z = h + att @ W["wo"]
+        z = h + _wmm(att, W, "wo", q4)
         zn = _rms(z, W["post_norm"])
-        gate, up = zn @ W["gate"], zn @ W["up"]
-        return z + ((gate * jax.nn.sigmoid(gate)) * up) @ W["down"], \
-            (ck_i, cv_i)
+        gate = _wmm(zn, W, "gate", q4)
+        up = _wmm(zn, W, "up", q4)
+        return z + _wmm((gate * jax.nn.sigmoid(gate)) * up, W, "down",
+                        q4), (ck_i, cv_i)
 
-    layer_w = {k: params[k] for k in LAYER_KEYS}
+    layer_w = {k: params[k] for k in params
+               if k in ("in_norm", "post_norm")
+               or k.removesuffix("_q").removesuffix("_s") in _QUANT_MATS}
     h, (ck, cv) = jax.lax.scan(layer, h, (layer_w, ck, cv))
-    h = _rms(h, params["norm"])
-    logits = (h[:, -1] @ params["head_w"]).astype(jnp.float32) \
-        + params["head_b"].astype(jnp.float32)
+    hl = _rms(h, params["norm"])[:, -1]
+    if "head_q" in params:
+        logits = _qmm(hl, params["head_q"], params["head_s"],
+                      q4).astype(jnp.float32)
+    else:
+        logits = (hl @ params["head_w"]).astype(jnp.float32)
+    logits = logits + params["head_b"].astype(jnp.float32)
     if emit_logits:  # sampling path: the caller draws from these
         return logits, ck, cv
     return jnp.argmax(logits, axis=-1).astype(tokens.dtype), ck, cv

@@ -22,8 +22,13 @@ Protocol recap (serve.py module doc is the authority):
 
 Greedy and sampled decode, with the single-chip server's per-request
 params and seeded per-slot key streams (``submit(temperature=, top_k=,
-top_p=, seed=)``); quant and prefix-cache remain single-chip
-``LlamaServer`` features until a real multi-chip deployment asks.
+top_p=, seed=)``).  ``quant="int8"/"int4"`` serves weight-only-quantized
+params (``llama_spmd.quantize_params`` — plain-XLA scaled int matmuls,
+so the tp sharding schedule is unchanged; 7B-class serving is exactly
+where tp x quant must compose).  ``prefix_cache=True`` reuses donor
+slots' KV rows across requests sharing a prompt prefix (the single-chip
+XLA lane's admission machinery, host half shared via
+``_FleetScheduler._find_donor``).
 """
 from __future__ import annotations
 
@@ -36,7 +41,7 @@ import jax.numpy as jnp
 
 from ..models.llama.serve import _FleetScheduler
 from .llama_spmd import (_rope, cache_shardings, forward_tokens,
-                         shard_params)
+                         quantize_params, shard_params)
 from .mesh import Mesh
 
 
@@ -163,6 +168,71 @@ def make_serve_fns(mesh: Mesh, cfg, seed: int = 0):
         pkeys = pkeys.at[slots].set(keys_out)
         return tok1, ck, cv, tok, pkeys
 
+    @partial(jax.jit, static_argnames=("kb", "sample"),
+             donate_argnums=(1, 2, 3, 4))
+    def admit_prefix(params, ck, cv, tok, pkeys, suffix, donor_slot,
+                     donor_start, pos0, slot, seeds_k, has_seed_k,
+                     rids_k, temp_k, topk_k, topp_k, kb=0, sample=False):
+        """Prefix-cache admission on the mesh: reuse ``kb`` donor rows,
+        prefill only the suffix — the XLA scan lane's ``admit_prefix_xla``
+        (models/llama/serve.py) ported onto the GSPMD forward; the
+        donor-row un-rotate/re-rotate argument is identical (RoPE is
+        additive in position).  The dynamic slices ride the sharded
+        (N, B, S, Hkv, hd) cache; GSPMD gathers across dp as needed —
+        admission cost at big dims is the suffix prefill FLOPs, which is
+        the point."""
+        Ls = suffix.shape[1]
+        zero = jnp.int32(0)
+        dss = jax.lax.dynamic_slice
+        dus = jax.lax.dynamic_update_slice
+        donor_slot = jnp.asarray(donor_slot, jnp.int32)
+        donor_start = jnp.asarray(donor_start, jnp.int32)
+        pos0 = jnp.asarray(pos0, jnp.int32)
+        slot = jnp.asarray(slot, jnp.int32)
+        # donor prefix rows, extracted BEFORE this slot's overwrite
+        # (pure dataflow: donor == slot is fine)
+        pk = dss(ck, (zero, donor_slot, donor_start, zero, zero),
+                 (N, 1, kb, Hkv, hd)).astype(jnp.float32)
+        pv = dss(cv, (zero, donor_slot, donor_start, zero, zero),
+                 (N, 1, kb, Hkv, hd))
+        # un-rotate K to relative positions [0, kb): angle(-ds)
+        cd = jax.lax.dynamic_slice_in_dim(
+            params["cos"], donor_start, 1).astype(jnp.float32)
+        sd = jax.lax.dynamic_slice_in_dim(
+            params["sin"], donor_start, 1).astype(jnp.float32)
+        pk = _rope(pk, cd, -sd).astype(ck.dtype)
+        ck1 = jnp.zeros((N, 1, S, Hkv, hd), ck.dtype)
+        cv1 = jnp.zeros((N, 1, S, Hkv, hd), cv.dtype)
+        ck1 = dus(ck1, pk, (zero,) * 5)
+        cv1 = dus(cv1, pv.astype(cv.dtype), (zero,) * 5)
+        draw_k, keys_out = derive_keys(seeds_k, has_seed_k, rids_k)
+        # suffix queries live in [kb, kb+Ls): pow2 prefill win
+        win = min(S, 1 << (kb + Ls - 1).bit_length())
+        if sample:
+            logits1, ck1, cv1 = forward_tokens(params, ck1, cv1, suffix,
+                                               kb, cfg, win=win,
+                                               emit_logits=True)
+            tok1 = sample_logits_per_row(logits1, draw_k, temp_k, topk_k,
+                                         topp_k)
+        else:
+            tok1, ck1, cv1 = forward_tokens(params, ck1, cv1, suffix, kb,
+                                            cfg, win=win)
+        L = kb + Ls
+        rows_k = ck1[:, :, :L].astype(jnp.float32)
+        rows_v = cv1[:, :, :L]
+        c0 = jax.lax.dynamic_slice_in_dim(
+            params["cos"], pos0, 1).astype(jnp.float32)
+        s0 = jax.lax.dynamic_slice_in_dim(
+            params["sin"], pos0, 1).astype(jnp.float32)
+        rows_k = _rope(rows_k, c0, s0).astype(ck.dtype)
+        ck = dus(ck, rows_k, (zero, slot, pos0, zero, zero))
+        cv = dus(cv, rows_v.astype(cv.dtype), (zero, slot, pos0, zero,
+                                               zero))
+        tok1 = tok1.reshape(1).astype(jnp.int32)
+        tok = tok.at[slot].set(tok1[0])
+        pkeys = pkeys.at[slot].set(keys_out[0])
+        return tok1, ck, cv, tok, pkeys
+
     @partial(jax.jit, static_argnames=("n", "win"), donate_argnums=(1, 2))
     def decode_chunk(params, ck, cv, tok, pos, starts, n, win=None):
         """Greedy fleet chunk: n lockstep steps for every slot in one
@@ -198,15 +268,17 @@ def make_serve_fns(mesh: Mesh, cfg, seed: int = 0):
             step, (ck, cv, tok, pos, keys), None, length=n)
         return ck, cv, tok, toks, keys
 
-    return admit_many, decode_chunk, decode_sampled_chunk, c_sh
+    return admit_many, decode_chunk, decode_sampled_chunk, c_sh, \
+        admit_prefix
 
 
 class SpmdLlamaServer(_FleetScheduler):
     """Continuous-batching server over a dp x tp mesh (greedy or
-    sampled, per-request params like the single-chip server).
+    sampled, per-request params like the single-chip server; weight-only
+    ``quant=`` and ``prefix_cache=True`` compose with the mesh).
 
     >>> mesh = make_mesh({"dp": 2, "tp": 4})
-    >>> srv = SpmdLlamaServer(model, mesh, batch_size=8)
+    >>> srv = SpmdLlamaServer(model, mesh, batch_size=8, quant="int8")
     >>> rid = srv.submit(prompt_ids, temperature=0.8, seed=7)
     >>> done = srv.run()
 
@@ -222,11 +294,17 @@ class SpmdLlamaServer(_FleetScheduler):
     def __init__(self, model_or_params, mesh: Mesh, cfg=None,
                  batch_size: int = 8, chunk: int = 32, eos_id: int = 2,
                  dtype=jnp.float32, temperature: float = 0.0,
-                 top_k: int = None, top_p: float = None, seed: int = 0):
+                 top_k: int = None, top_p: float = None, seed: int = 0,
+                 quant=None, prefix_cache: bool = False):
         if cfg is None:
             params, cfg = params_from_model(model_or_params, dtype)
         else:
             params = model_or_params
+        if quant is not None:
+            # weight-only int8/int4 serving pytree; the tp schedule is
+            # unchanged (llama_spmd.quantize_params) — 7B-class serving
+            # is exactly where tp x quant must compose (VERDICT r04 #5)
+            params = quantize_params(params, quant)
         dp = mesh.shape.get("dp", 1)
         if batch_size % dp:
             raise ValueError(f"batch_size {batch_size} must be divisible "
@@ -235,8 +313,12 @@ class SpmdLlamaServer(_FleetScheduler):
         self.B, self.chunk, self.eos_id = batch_size, chunk, eos_id
         self.S = cfg["max_seq_len"]
         self._params = shard_params(params, mesh)
-        (self._admit, self._decode, self._decode_sampled,
-         c_sh) = make_serve_fns(mesh, cfg, seed=seed)
+        (self._admit, self._decode, self._decode_sampled, c_sh,
+         self._admit_prefix) = make_serve_fns(mesh, cfg, seed=seed)
+        self._prefix_cache = bool(prefix_cache)
+        self.prefix_hits = 0
+        self.prefix_rows_reused = 0
+        self._resident: list = [None] * batch_size
         self._pkeys = jax.vmap(jax.random.fold_in, (None, 0))(
             jax.random.PRNGKey(seed), jnp.arange(batch_size))
         N = cfg["n_layers"]
@@ -259,15 +341,27 @@ class SpmdLlamaServer(_FleetScheduler):
     # host scheduling: _FleetScheduler (serve.py) is the protocol's one
     # implementation — submit/admission-planning/finish/truncation rules
     # cannot drift from the single-chip server's
+    def _on_rewind(self):
+        # a position reset invalidates every prefix-cache donor: rows
+        # above the new position get rewritten by decode steps
+        self._resident = [None] * self.B
+
     def _try_admit(self):
         plan = self._plan_admissions()
         if not plan:
             return
         by_len = {}
+        reuse = []  # (slot, req, donor) — prefix-cache admissions
+        planned_slots = {s for s, _ in plan}
+        row_samples = {}
         for slot, req in plan:
-            by_len.setdefault(len(req.prompt), []).append((slot, req))
-        row_samples = {slot: self._slot_params(slot, req)
-                       for slot, req in plan}
+            row_samples[slot] = self._slot_params(slot, req)
+            donor = self._find_donor(req.prompt, slot, planned_slots) \
+                if self._prefix_cache else None
+            if donor is not None:
+                reuse.append((slot, req, donor))
+            else:
+                by_len.setdefault(len(req.prompt), []).append((slot, req))
         waves, firsts_dev = [], []
         for L, group in sorted(by_len.items()):
             pos0 = self._pos - L
@@ -284,10 +378,35 @@ class SpmdLlamaServer(_FleetScheduler):
                     jnp.asarray(self._ptopk[slots]),
                     jnp.asarray(self._ptopp[slots]),
                     sample=any(row_samples[s] for s, _ in sub))
-                for s, _ in sub:
+                for s, r in sub:
                     self._starts[s] = pos0
+                    if self._prefix_cache:
+                        self._resident[s] = (r.rid, tuple(r.prompt), pos0)
                 waves.append(sub)
                 firsts_dev.append(tok1)
+        # prefix-cache admissions: one program each (serve.py's rule —
+        # donors vary; compiled per (kb, suffix-length) pair)
+        for slot, req, (dslot, dstart, kb) in reuse:
+            L = len(req.prompt)
+            pos0 = self._pos - L
+            suffix = np.array([req.prompt[kb:]], np.int32)
+            sl = np.array([slot], np.int32)
+            (tok1, self._ck, self._cv, self._tok,
+             self._pkeys) = self._admit_prefix(
+                self._params, self._ck, self._cv, self._tok, self._pkeys,
+                jnp.asarray(suffix), dslot, dstart, pos0, slot,
+                jnp.asarray(np.array([req.seed or 0], np.int32)),
+                jnp.asarray(np.array([req.seed is not None])),
+                jnp.asarray(np.array([req.rid], np.int32)),
+                jnp.asarray(self._ptemp[sl]), jnp.asarray(self._ptopk[sl]),
+                jnp.asarray(self._ptopp[sl]), kb=kb,
+                sample=row_samples[slot])
+            self._starts[slot] = pos0
+            self._resident[slot] = (req.rid, tuple(req.prompt), pos0)
+            self.prefix_hits += 1
+            self.prefix_rows_reused += kb
+            waves.append([(slot, req)])
+            firsts_dev.append(tok1)
         self._credit_firsts(waves, firsts_dev)
 
     def step(self, n: int = None):
@@ -331,6 +450,8 @@ class SpmdLlamaServer(_FleetScheduler):
                                 or len(req.tokens) >= req.max_new_tokens:
                             break
                     self._maybe_finish(slot)
+                    if self._prefix_cache:
+                        self._grow_resident(slot, req)
         return [self._finished[r] for r in set(self._finished) - before]
 
     def run(self, max_steps: int = 10_000):

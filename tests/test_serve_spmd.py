@@ -138,6 +138,91 @@ def test_spmd_server_seeded_sampling_reproduces():
     assert a == b and len(a) == 8, (a, b)
 
 
+# ---------------- quant + prefix cache on the mesh ------------------- #
+
+PA = [1, 5, 9, 4, 7, 2, 8, 3, 6, 1, 2, 4]          # 12 tokens
+PB = PA[:10] + [7, 5]                               # lcp 10 -> kb 8
+
+
+@pytest.mark.parametrize("quant", ["int8", "int4"])
+def test_spmd_server_quant_exact_across_meshes(quant):
+    """Weight-only quantized mesh serving (llama_spmd.quantize_params):
+    the dp x tp stream equals the SAME quantized program on a 1-device
+    mesh — GSPMD partitioning is value-preserving, so tp x quant compose
+    without re-deriving the math (quant itself is lossy vs dense, which
+    is the single-chip lane's already-pinned contract)."""
+    np.random.seed(41)
+    model = Llama(**CFG)
+    model.eval()
+    prompts = [[1, 5, 9], [2, 7, 3, 11], [30, 20]]
+
+    def run_mesh(axes):
+        mesh = make_mesh(axes)
+        with pdn.no_grad():
+            srv = SpmdLlamaServer(model, mesh, batch_size=2, chunk=4,
+                                  eos_id=-1, quant=quant)
+            rids = [srv.submit(p, max_new_tokens=8) for p in prompts]
+            done = srv.run()
+        return [done[r].tokens for r in rids]
+
+    a = run_mesh({"dp": 2, "tp": 4})
+    b = run_mesh({"dp": 1})
+    assert a == b, (quant, a, b)
+    assert all(len(t) == 8 for t in a)
+
+
+def test_spmd_server_prefix_cache_reuses_and_matches():
+    """prefix_cache=True on the mesh: the donor-row reuse admission
+    (suffix-only prefill on the GSPMD forward) emits exactly the
+    standalone generate stream, and the hit counters prove the reuse
+    path actually ran."""
+    np.random.seed(42)
+    model = Llama(**dict(CFG, max_seq_len=128))
+    model.eval()
+    want_a = standalone(model, PA, 6)
+    want_b = standalone(model, PB, 6)
+    mesh = make_mesh({"dp": 2, "tp": 4})
+    with pdn.no_grad():
+        srv = SpmdLlamaServer(model, mesh, batch_size=2, chunk=4,
+                              eos_id=-1, prefix_cache=True)
+        ra = srv.submit(PA, max_new_tokens=6)
+        srv.step()  # admit A alone so its rows become donor material
+        rb = srv.submit(PB, max_new_tokens=6)
+        done = srv.run()
+    assert srv.prefix_hits == 1 and srv.prefix_rows_reused == 8, \
+        (srv.prefix_hits, srv.prefix_rows_reused)
+    assert srv._finished[ra].tokens == want_a
+    assert srv._finished[rb].tokens == want_b, \
+        (srv._finished[rb].tokens, want_b)
+
+
+def test_spmd_server_quant_prefix_compose():
+    """quant= and prefix_cache= together on the mesh: the reuse
+    admission's stream equals the same quantized mesh server WITHOUT
+    reuse (the donor rows are bit-identical to what B's own quantized
+    prefill would have written)."""
+    np.random.seed(43)
+    model = Llama(**dict(CFG, max_seq_len=128))
+    model.eval()
+    mesh = make_mesh({"dp": 2, "tp": 4})
+
+    def serve_b(prefix_cache, warm):
+        with pdn.no_grad():
+            srv = SpmdLlamaServer(model, mesh, batch_size=2, chunk=4,
+                                  eos_id=-1, quant="int8",
+                                  prefix_cache=prefix_cache)
+            if warm:
+                srv.submit(PA, max_new_tokens=6)
+                srv.step()
+            rb = srv.submit(PB, max_new_tokens=8)
+            srv.run()
+            if prefix_cache and warm:
+                assert srv.prefix_hits == 1, srv.prefix_hits
+            return srv._finished[rb].tokens
+
+    assert serve_b(True, warm=True) == serve_b(False, warm=False)
+
+
 def test_spmd_server_mixed_fleet_greedy_rows_exact():
     """A mixed fleet (one sampled, one greedy request) shares the
     sampled chunk program; the greedy row resolves to exact argmax —
