@@ -64,6 +64,17 @@ _VMEM_BUDGET = 12 << 20
 # activation fetch can't crowd the weight tiles out of the budget
 _M_SLAB = 256
 
+# decode rows (M <= this) take the K-grid layout; prefill slabs keep the
+# N-grid (their (M, N) i32 accumulator would not fit VMEM)
+_KGRID_M_MAX = 32
+
+# K-grid weight-tile depth: 128 rows measured best at 7B gate/up dims
+# (kt=256's 11 MB double-buffered window pipelined WORSE: 0.842 vs
+# 0.807 ms/iter interleaved; kt=128's 5.6 MB leaves the copy engine a
+# deeper queue) — larger kt only shrinks grid overhead, which is noise
+# against multi-ms weight streams
+_KGRID_KT = 128
+
 
 def _auto_nt(M, K, Kst, N, q4):
     """Largest valid output-tile width whose kernel working set fits the
@@ -83,6 +94,26 @@ def _auto_nt(M, K, Kst, N, q4):
             f"scoped-VMEM headroom for weight tiles — slab the rows "
             f"(prefill this long should chunk its tokens)")
     return pick_nt(N, Kst, 1, cap=max_nt * Kst)
+
+
+def _pick_kt(M, K, Kst, N, q4):
+    """K-grid weight-tile depth: the largest 128-multiple ``kt``
+    dividing ``Kst`` (capped at :data:`_KGRID_KT`; Pallas requires block
+    minor dims to be 128-multiples, and the (M, kt) activation blocks
+    put ``kt`` minor) whose working set fits the scoped-VMEM budget —
+    2x (kt, N) weight buffers, the biased int4 unpack's lo/hi halves
+    (2x kt*N int8; no i32 widen temporary — see _unpack_int4_biased),
+    2x the (M, N) i32 accumulator block, and the (M, K) int8 activation
+    block (delivered as (M, kt) column blocks, but counted whole for
+    slack).  0 if nothing fits (the caller falls back to the N-grid)."""
+    fixed = 2 * M * K + 8 * M * N
+    per_kt = (4 if q4 else 2) * N
+    max_kt = (_VMEM_BUDGET - fixed) // per_kt
+    best = 0
+    for kt in range(128, Kst + 1, 128):
+        if Kst % kt == 0 and kt <= min(max_kt, _KGRID_KT) and kt > best:
+            best = kt
+    return best
 
 
 def pick_nt(N, K, itemsize: int = 1, cap: int = 12 << 20) -> int:
@@ -116,6 +147,149 @@ def _qmm_kernel(xq_ref, w_ref, ws_ref, out_ref, *, q4):
     out_ref[...] = acc.astype(jnp.float32) * ws_ref[...]
 
 
+def _unpack_int4_biased(w):
+    """(kt, N) packed int8 -> (lo+8, hi+8) int8 in [0, 16): for a two's-
+    complement nibble ``s`` with stored bits ``u``, ``(u & 0xF) ^ 8 ==
+    s + 8`` in both sign cases.  Pure i32 mask/xor/shift on the PACKED
+    lanes via bitcast — no i8 arithmetic (Mosaic legalizes neither i8
+    shifts nor i8 subi on packed vectors), and unlike
+    ``quant.unpack_int4`` no i8<->i32 widen/narrow relayout and 4x fewer
+    vector elements touched (byte-wise ops are position-preserving under
+    the bitcast regardless of lane byte order; the cross-byte bits the
+    i32 shift drags in are masked off per byte).  The +8 bias is linear
+    in the dot — ``dot(x, s+8) = dot(x, s) + 8*rowsum(x)`` — and the
+    caller removes it OUTSIDE the kernel in exact int32
+    (:func:`_kgrid_call`)."""
+    p32 = pltpu.bitcast(w, jnp.int32)
+    mf = jnp.int32(0x0F0F0F0F)
+    m8 = jnp.int32(0x08080808)
+    hi = jax.lax.shift_right_logical(p32, jnp.int32(4))
+    lo8 = pltpu.bitcast((p32 & mf) ^ m8, jnp.int8)
+    hi8 = pltpu.bitcast((hi & mf) ^ m8, jnp.int8)
+    return lo8, hi8
+
+
+def _kgrid_kernel(xlo_ref, w_ref, out_ref, xhi_ref, *, q4):
+    """One K-slice of the decode gemv: dot the (kt, N) weight tile
+    against its activation-column block and accumulate int32 into the
+    resident (M, N) output block.  Integer addition is order-exact, so
+    the result (after the caller's bias fixup for q4) is bit-identical
+    to the N-grid kernel's per-tile full-K accumulation."""
+    t = pl.program_id(0)
+    if q4:
+        lo8, hi8 = _unpack_int4_biased(w_ref[...])
+        acc = jnp.dot(xlo_ref[...], lo8,
+                      preferred_element_type=jnp.int32) \
+            + jnp.dot(xhi_ref[...], hi8,
+                      preferred_element_type=jnp.int32)
+    else:
+        acc = jnp.dot(xlo_ref[...], w_ref[...],
+                      preferred_element_type=jnp.int32)
+
+    @pl.when(t == 0)
+    def _():
+        out_ref[...] = acc
+
+    @pl.when(t > 0)
+    def _():
+        out_ref[...] += acc
+
+
+def _kgrid_call(xq, wq, ws, sx, *, q4, kt, interpret, idx=None):
+    """Launch the K-grid kernel over ``Kst // kt`` weight-row tiles.
+
+    The K-grid streams (kt, N) FULL-WIDTH row blocks — contiguous HBM
+    reads — where the N-grid's (Kst, nt) tile is Kst separate nt-byte
+    strided chunks (nt=512 at 7B gate/up dims).  Measured interleaved on
+    silicon at (4096, 22016): int8 0.807 vs 0.999 ms/iter (+24%), int4
+    0.773 vs 0.827 (scripts/_drive_kgrid.py) — decode IS this DMA, so
+    the layout is the tok/s.  The (M, N) accumulator stays int32 in VMEM
+    across all grid steps (exact; see _kgrid_kernel) and the f32 rescale
+    by (channel scale x row scale) fuses into the consumer outside.
+
+    The activation columns arrive as (M, kt) BlockSpec blocks — int4's
+    lo/hi halves as two block views of the same array at block offsets
+    ``t`` and ``t + Kst//kt`` — because an in-kernel ``pl.ds`` on the
+    minor dim legalizes only at 128-multiple offsets (Mosaic rejected
+    kt=64 on silicon); block-unit index maps carry no such constraint.
+    ``idx`` (traced scalar) selects a layer of a stacked (L, Kst, N)
+    weight set via scalar prefetch — the rolled-scan path."""
+    M, K = xq.shape
+    if idx is None:
+        Kst, N = wq.shape
+        kb = Kst // kt
+
+        def xlo_map(t):
+            return (_Z, t)
+
+        def xhi_map(t, kb=kb):
+            return (_Z, t + kb)
+
+        w_bs = pl.BlockSpec((kt, N), lambda t: (t, _Z),
+                            memory_space=pltpu.VMEM)
+        grid_kw = dict(grid=(kb,))
+        operands = (xq, wq)
+    else:
+        L, Kst, N = wq.shape
+        kb = Kst // kt
+
+        def xlo_map(t, i):
+            return (_Z, t)
+
+        def xhi_map(t, i, kb=kb):
+            return (_Z, t + kb)
+
+        w_bs = pl.BlockSpec((1, kt, N), lambda t, i: (i[0], t, _Z),
+                            memory_space=pltpu.VMEM)
+        grid_kw = dict(grid=(kb,))
+        operands = (jnp.asarray(idx, jnp.int32).reshape((1,)), xq, wq)
+
+    x_bs = pl.BlockSpec((M, kt), xlo_map, memory_space=pltpu.VMEM)
+    in_specs = [x_bs, w_bs]
+    if q4:
+        in_specs.append(pl.BlockSpec((M, kt), xhi_map,
+                                     memory_space=pltpu.VMEM))
+        operands = operands + (xq,)
+
+    def kernel(*refs):
+        if idx is None:
+            xlo_ref, w_ref, *rest = refs
+        else:
+            _, xlo_ref, w_ref, *rest = refs
+            w_ref = w_ref.at[0]
+        xhi_ref = rest[0] if q4 else None
+        _kgrid_kernel(xlo_ref, w_ref, rest[-1], xhi_ref, q4=q4)
+
+    out_bs_map = (lambda t, i: (_Z, _Z)) if idx is not None \
+        else (lambda t: (_Z, _Z))
+    if idx is None:
+        grid_kw.update(in_specs=in_specs,
+                       out_specs=pl.BlockSpec((M, N), out_bs_map,
+                                              memory_space=pltpu.VMEM))
+    else:
+        grid_kw = dict(grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(kb,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((M, N), out_bs_map,
+                                   memory_space=pltpu.VMEM),
+        ))
+    acc = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((M, N), jnp.int32),
+        interpret=interpret,
+        **grid_kw,
+    )(*operands)
+    if q4:
+        # remove the +8 unpack bias in exact int32 (dot(x, s+8) summed
+        # over BOTH halves biases by 8 * rowsum over ALL of xq); XLA
+        # fuses the rowsum with the activation quantization above
+        acc = acc - 8 * jnp.sum(xq.astype(jnp.int32), axis=1,
+                                keepdims=True)
+    # same f32 op order as the N-grid path: (f32(acc) * ws) * sx
+    return acc.astype(jnp.float32) * ws * sx
+
+
 def qmatmul(x, wq, ws, q4: bool = False, nt: int = None,
             interpret: bool = None):
     """(M, K) x quantized (K, N) -> (M, N) f32 (see module doc).
@@ -139,6 +313,14 @@ def qmatmul(x, wq, ws, q4: bool = False, nt: int = None,
                        1e-30)
     xq = jnp.round(x32 * (127.0 / amax)).astype(jnp.int8)
     sx = amax * (1.0 / 127.0)              # (M, 1) f32
+
+    # decode rows ride the K-grid layout (contiguous full-width weight
+    # DMA, +24% measured — see _kgrid_call); explicit nt forces N-grid
+    if nt is None and M <= _KGRID_M_MAX:
+        kt = _pick_kt(M, K, Kst, N, q4)
+        if kt:
+            return _kgrid_call(xq, wq, ws, sx, q4=q4, kt=kt,
+                               interpret=interpret)
 
     # long-prompt prefill slabs the activation rows: the (M, K) int8
     # block lives whole in VMEM, so past _M_SLAB rows (a 928-token 7B
@@ -212,6 +394,17 @@ def qmatmul_stacked(x, wq_all, ws_all, idx, q4: bool = False,
                        1e-30)
     xq = jnp.round(x32 * (127.0 / amax)).astype(jnp.int8)
     sx = amax * (1.0 / 127.0)              # (M, 1) f32
+
+    # decode rows ride the K-grid layout exactly like qmatmul's; the
+    # per-layer (1, N) channel scales slice outside the kernel (one
+    # 128 KB gather per scan step — noise against the weight stream)
+    if nt is None and M <= _KGRID_M_MAX:
+        kt = _pick_kt(M, K, Kst, N, q4)
+        if kt:
+            ws_l = jax.lax.dynamic_index_in_dim(ws_all, idx, 0,
+                                                keepdims=False)
+            return _kgrid_call(xq, wq_all, ws_l, sx, q4=q4, kt=kt,
+                               interpret=interpret, idx=idx)
 
     ms = M if M <= _M_SLAB else _M_SLAB
     if nt is None:

@@ -57,6 +57,38 @@ def test_qmatmul_forced_small_tile():
         a4, qmatmul_ref(x, np.asarray(q4), np.asarray(s4), q4=True))
 
 
+def test_qmatmul_kgrid_layout_matches_ngrid():
+    """Decode rows (M <= _KGRID_M_MAX) take the K-grid layout (contiguous
+    full-width weight rows — the +24% silicon finding); forcing nt takes
+    the N-grid.  int32 accumulation is order-exact, so the two layouts
+    are bit-identical — and the K-grid frees N from the N-grid's tile
+    divisibility constraint (N=864 here is not a 128-multiple)."""
+    from pydynet_tpu.ops.gemv_quant import _KGRID_M_MAX, _pick_kt
+
+    rng = np.random.default_rng(5)
+    for M, K, N in [(1, 256, 864), (_KGRID_M_MAX, 256, 512)]:
+        x = rng.standard_normal((M, K)).astype(np.float32)
+        w = rng.standard_normal((K, N)).astype(np.float32) * 0.05
+        q8, s8 = quant.quantize_int8(jnp.asarray(w), 0)
+        assert _pick_kt(M, K, K, N, False) > 0
+        kg = np.asarray(qmatmul(jnp.asarray(x), q8, s8, interpret=True))
+        ng = np.asarray(qmatmul(jnp.asarray(x), q8, s8, nt=N,
+                                interpret=True))
+        np.testing.assert_array_equal(kg, ng)
+        q4, s4 = quant.quantize_int4(jnp.asarray(w), 0)
+        assert _pick_kt(M, K, K // 2, N, True) > 0
+        kg4 = np.asarray(qmatmul(jnp.asarray(x), q4, s4, q4=True,
+                                 interpret=True))
+        np.testing.assert_array_equal(
+            kg4, qmatmul_ref(x, np.asarray(q4), np.asarray(s4), q4=True))
+    # past the decode-row bound the N-grid takes over (the (M, N) i32
+    # accumulator would not fit VMEM at prefill slab sizes)
+    x = rng.standard_normal((_KGRID_M_MAX + 1, 256)).astype(np.float32)
+    out = np.asarray(qmatmul(jnp.asarray(x), q8, s8, interpret=True))
+    np.testing.assert_array_equal(
+        out, qmatmul_ref(x, np.asarray(q8), np.asarray(s8)))
+
+
 def test_pick_nt():
     assert pick_nt(32000, 288) % 128 == 0 and 32000 % pick_nt(32000, 288) == 0
     assert pick_nt(864, 288) == 864          # 8-mult fallback (864 % 128 != 0)
