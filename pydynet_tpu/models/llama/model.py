@@ -734,7 +734,20 @@ class Llama(nn.Module):
             pure-causal attention over the CURRENT tokens' K/V is
             bit-equivalent to the cache-read path (the causal mask
             already zeroes every cache column >= L).  "interpret" runs
-            the kernel in Pallas interpret mode (CPU tests)."""
+            the kernel in Pallas interpret mode (CPU tests).
+
+            int8 KV (``generate(kv_quant="int8", fused=False)`` — the
+            big-dims lane, where the fused kernel cannot run): ``ck`` /
+            ``cv`` arrive as ``(int8 data, (layers, B, S, Hkv) f32
+            per-row scales)`` TUPLES (pytree structure is the static
+            switch).  Fresh rows quantize with the fused kernel's exact
+            ``quantize_kv`` scheme before the cache write; the window
+            read dequantizes inline, so the attention streams half the
+            HBM bytes — at 7B dims the win=1024 bf16 window is ~540 MB
+            per token, a first-order decode cost next to the int4
+            weight stream.  Lossy at near-tie tokens, like the fused
+            kv_int8 mode.  Composes with weight quant (independent
+            matmul/attention mechanisms on this lane)."""
             B, L = tokens.shape
             if win is None or win > S:
                 win = S
@@ -749,6 +762,9 @@ class Llama(nn.Module):
                 from ...ops.gemv_quant import qmatmul, qmatmul_stacked
             if flash:
                 from ...ops.flash_attention import flash_attention_causal
+            kvq = isinstance(ck, tuple)  # int8 KV: (data, scale) pairs
+            if kvq:
+                from ...ops.decode_step import quantize_kv
             # rolled-scan quant decode reads the layer-STACKED quantized
             # matrices in place via qmatmul_stacked (scalar-prefetch layer
             # index) — slicing them per iteration would materialize a
@@ -805,10 +821,24 @@ class Llama(nn.Module):
                 v = qkv[..., D + Dkv:].reshape(B, L, Hkv, hd)
                 q = _rope_pure(q, cos.astype(q.dtype), sin.astype(q.dtype))
                 k = _rope_pure(k, cos.astype(k.dtype), sin.astype(k.dtype))
-                ck_i = jax.lax.dynamic_update_slice(
-                    ck_i, k, (zero, pos32, zero, zero))
-                cv_i = jax.lax.dynamic_update_slice(
-                    cv_i, v, (zero, pos32, zero, zero))
+                if kvq:
+                    # quantize fresh rows with the fused kernel's exact
+                    # scheme, then write data + per-row scales
+                    kq, ks_ = quantize_kv(k)
+                    vq, vs_ = quantize_kv(v)
+                    ck_i = (jax.lax.dynamic_update_slice(
+                                ck_i[0], kq, (zero, pos32, zero, zero)),
+                            jax.lax.dynamic_update_slice(
+                                ck_i[1], ks_, (zero, pos32, zero)))
+                    cv_i = (jax.lax.dynamic_update_slice(
+                                cv_i[0], vq, (zero, pos32, zero, zero)),
+                            jax.lax.dynamic_update_slice(
+                                cv_i[1], vs_, (zero, pos32, zero)))
+                else:
+                    ck_i = jax.lax.dynamic_update_slice(
+                        ck_i, k, (zero, pos32, zero, zero))
+                    cv_i = jax.lax.dynamic_update_slice(
+                        cv_i, v, (zero, pos32, zero, zero))
                 if flash:
                     # pure-causal prefill (pos == 0, no starts): attention
                     # over the CURRENT tokens' K/V only — O(block) VMEM
@@ -821,7 +851,17 @@ class Llama(nn.Module):
                     att = att.astype(h.dtype).reshape(B, L, -1)
                 else:
                     # static slice: attention reads only the live window
-                    kk, vv = ck_i[:, :win], cv_i[:, :win]
+                    if kvq:
+                        # inline dequant: the HBM read is the int8 data
+                        # + hd/4-byte-per-row scales (~0.53x the bf16
+                        # window); the f32 multiply fuses into the
+                        # window consumers
+                        kk = (ck_i[0][:, :win].astype(jnp.float32)
+                              * ck_i[1][:, :win, :, None]).astype(h.dtype)
+                        vv = (cv_i[0][:, :win].astype(jnp.float32)
+                              * cv_i[1][:, :win, :, None]).astype(h.dtype)
+                    else:
+                        kk, vv = ck_i[:, :win], cv_i[:, :win]
                     if g != 1:
                         kk = jnp.repeat(kk, g, axis=2)
                         vv = jnp.repeat(vv, g, axis=2)
@@ -1467,9 +1507,14 @@ class Llama(nn.Module):
         c = c5.reshape(N, B, S, -1)
         return c[:, 0] if B == 1 else c
 
-    def _empty_caches(self, B, dtype):
+    def _empty_caches(self, B, dtype, kv_quant=None):
         shape = (self.n_layers, B, self.max_seq_len, self.n_kv_heads,
                  self.head_dim)
+        if kv_quant:  # XLA-lane int8 KV: (data, per-row scale) tuples
+            def one():
+                return (jnp.zeros(shape, jnp.int8),
+                        jnp.zeros(shape[:-1], jnp.float32))
+            return one(), one()
         return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
 
     def generate(self, input_ids, max_new_tokens: int,
@@ -1508,12 +1553,17 @@ class Llama(nn.Module):
         rounding at near-ties, exactly like greedy).
         temperature=0 (default) is exact reference-greedy.
 
-        ``kv_quant="int8"`` (fused batched B>1 path) stores the KV cache
-        as int8 rows with per-row f32 scales (``quantize_kv``), halving
-        the per-step KV streaming that dominates batched long-context
-        decode.  Lossy like ``quant``: near-tie tokens may differ from
-        the bf16 stream (hardware-gated by majority agreement in
-        bench.py).
+        ``kv_quant="int8"`` stores the KV cache as int8 rows with
+        per-row f32 scales (``quantize_kv``), halving the per-step KV
+        streaming that dominates batched long-context decode.  On the
+        fused kernel (any B) the batched kernel's kv_int8 mode runs the
+        scores as int8 x int8 MXU dots; on the XLA lane (``fused=False``
+        — the big-dims path) the scan carries (data, scale) tuple caches
+        with inline dequant at the window read, and COMPOSES with weight
+        ``quant`` (at 7B dims the win=1024 bf16 window is ~540 MB/token
+        next to int4's ~3.3 GB weight stream).  Lossy like ``quant``:
+        near-tie tokens may differ from the bf16 stream (hardware-gated
+        by majority agreement in bench.py).
 
         ``bucket_prefill`` (default on) pads the prompt to the next
         power-of-two length before the prefill dispatch, so arbitrary
@@ -1583,12 +1633,12 @@ class Llama(nn.Module):
         # quantized matmuls (ops/gemv_quant.py) — the big-dims lane
         if kv_quant not in (None, "int8"):
             raise ValueError(f"unsupported kv_quant mode: {kv_quant!r}")
-        if kv_quant and not fused:
-            raise ValueError("kv_quant requires the fused decode path")
-        if kv_quant and quant:
+        if kv_quant and quant and fused:
             raise ValueError("kv_quant and (weight) quant are mutually "
-                             "exclusive (int8 caches and int8 weights "
-                             "disagree on the kernel's compute dtype)")
+                             "exclusive on the fused kernel (int8 caches "
+                             "and int8 weights disagree on its compute "
+                             "dtype); the XLA lane (fused=False) composes "
+                             "them")
         key = (np.dtype(dtype).name if dtype else "native", bool(fused),
                quant)
         weights = self._weights_cache.get(key)
@@ -1642,7 +1692,11 @@ class Llama(nn.Module):
             rkey = jax.random.PRNGKey(seed)
             tvec = jnp.float32(temperature)
 
-        ck, cv = self._empty_caches(B, weights["tok"].dtype)
+        # fused paths quantize AFTER the dense XLA prefill (flat-layout
+        # quantize_kv below); the XLA lane carries (data, scale) tuple
+        # caches through prefill + decode directly
+        ck, cv = self._empty_caches(B, weights["tok"].dtype,
+                                    kv_quant=None if fused else kv_quant)
         # static attention window for the XLA paths: prefill attends only
         # its own (power-of-two-padded) rows; each decode chunk attends the
         # next power of two >= pos + chunk.  Bit-preserving (see

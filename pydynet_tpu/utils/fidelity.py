@@ -23,14 +23,28 @@ REL_MARGIN = 0.02  # + relative part: bf16 ulp is |logit|/256, and a few
 # noise as a miss (measured: 1-in-54 "miss" at margin 0.054 on silicon)
 
 
-def dequant_int4_inplace(model):
-    """Round-trip a CPU model's quantizable weights through int4 (same
-    per-output-channel axes as ``_fused_weights(quant="int4")``), IN
-    PLACE: the eager f32 truth stream then carries the int4 WEIGHT error
-    itself, so the packed kernel differs from it only by per-call
-    activation-int8 noise — majority agreement becomes a tight gate for
-    a format whose weight error alone would swamp any margin."""
-    from ..ops.quant import dequantize_int4, quantize_int4
+def dequant_inplace(model, quant: str = "int4"):
+    """Round-trip a CPU model's quantizable weights through ``quant``
+    (same per-output-channel axes as ``_fused_weights`` /
+    ``_weights_xq``), IN PLACE: the eager f32 truth stream then carries
+    the quantized WEIGHT error itself, so a quantized kernel differs
+    from it only by per-call activation-int8 noise — majority agreement
+    becomes a tight gate for formats whose weight error alone would
+    swamp any margin.  (Per-output-channel scales commute with the
+    decode lanes' QKV / gate-up concatenation, so round-tripping the
+    per-matrix Parameters is exactly the fused-weight quantization.)"""
+    from ..ops import quant as Q
+
+    if quant == "int4":
+        def rt(a):
+            pk, sc = Q.quantize_int4(a, axis=0)
+            return Q.dequantize_int4(pk, sc, axis=0).astype(a.dtype)
+    elif quant == "int8":
+        def rt(a):
+            pk, sc = Q.quantize_int8(a, axis=0)
+            return Q.dequantize_int8(pk, sc).astype(a.dtype)
+    else:
+        raise ValueError(f"unsupported quant mode: {quant!r}")
 
     names = ["attention.Q.weight", "attention.K.weight",
              "attention.V.weight", "attention.O.weight",
@@ -38,14 +52,16 @@ def dequant_int4_inplace(model):
     for i in range(model.n_layers):
         for nm in names:
             par = model._parameters[f"layers.{i}.{nm}"]
-            pk, sc = quantize_int4(par._data, axis=0)
-            par._data = dequantize_int4(pk, sc, axis=0).astype(
-                par._data.dtype)
+            par._data = rt(par._data)
     ph = model._parameters["lm_head.weight"]
-    pk, sc = quantize_int4(ph._data, axis=0)
-    ph._data = dequantize_int4(pk, sc, axis=0).astype(ph._data.dtype)
+    ph._data = rt(ph._data)
     model._weights_cache.clear()
     return model
+
+
+def dequant_int4_inplace(model):
+    """Back-compat alias: ``dequant_inplace(model, "int4")``."""
+    return dequant_inplace(model, "int4")
 
 
 def greedy_truth(model, prompt_ids, steps: int):
