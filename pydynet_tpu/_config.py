@@ -22,22 +22,32 @@ if _X64:
 
 
 def _machine_tag() -> str:
-    """Host-CPU fingerprint for the cache path: XLA:CPU AOT results are
-    compiled for the build host's exact feature set, and loading them on
-    a different machine spews cpu_aot_loader feature-mismatch errors
-    (burying real diagnostics in the multichip dryrun artifact) and
-    risks SIGILL.  Scoping the cache per machine type makes a foreign
-    host recompile once instead."""
+    """Compile-host fingerprint for the cache path: XLA:CPU AOT results
+    are compiled for the build host's exact feature set, and loading
+    them on a different machine spews cpu_aot_loader feature-mismatch
+    errors (burying real diagnostics in the multichip dryrun artifact)
+    and risks SIGILL.  Two hosts can write one pool: the LOCAL machine
+    (forced-CPU tests/dryrun) and the REMOTE tunnel helper (inside an
+    axon/TPU-plugin process even cpu-device compiles run remotely, with
+    the helper's LLVM feature set).  So the tag is the local-CPU
+    fingerprint PLUS the platform route resolved at import (the callers
+    that force CPU do so before importing this package)."""
     import hashlib
     import platform
+    route = (os.environ.get("JAX_PLATFORMS") or "auto").split(",")[0]
+    try:  # an explicit jax.config override (conftest, llm/_cpu.py) wins
+        route = (jax.config.jax_platforms or route).split(",")[0]
+    except AttributeError:
+        pass
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
                 if line.startswith(("flags", "Features")):
-                    return hashlib.sha1(line.encode()).hexdigest()[:10]
+                    h = hashlib.sha1(line.encode()).hexdigest()[:10]
+                    return f"{h}-{route}"
     except OSError:
         pass
-    return platform.machine() or "unknown"
+    return f"{platform.machine() or 'unknown'}-{route}"
 
 
 if os.environ.get("PYDYNET_TPU_COMPILE_CACHE", "1") != "0":
