@@ -282,10 +282,12 @@ class LlamaServer(_FleetScheduler):
     >>> done = srv.run()           # {rid: Request}
 
     ``kv_quant="int8"`` keeps the fleet's KV caches int8 with per-row f32
-    scales (the batched kernel's kv_int8 mode; admission prefills are
-    quantized by the same ``quantize_kv`` scheme after the position-shift
-    rotation) — half the KV footprint, so 2x the slots or context per
-    HBM byte.  Lossy at near-tie tokens, like ``generate(kv_quant=...)``.
+    scales (the batched kernel's kv_int8 mode on the fused lane; tuple
+    caches with inline dequant on the XLA scan lane — admission prefills
+    are quantized by the same ``quantize_kv`` scheme after the
+    position-shift rotation) — half the KV footprint AND streaming, so
+    2x the slots or context per HBM byte.  Lossy at near-tie tokens,
+    like ``generate(kv_quant=...)``.
 
     Per-request sampling: ``submit(..., temperature=, top_k=, top_p=)``
     overrides the server defaults for that request only — the decode
@@ -297,7 +299,8 @@ class LlamaServer(_FleetScheduler):
     per-channel scales (the batched kernel's weight-int8 path, round-3
     late): the shared weight stream — still the dominant HBM traffic at
     small-to-mid fleet sizes — halves.  Mutually exclusive with
-    ``kv_quant``.
+    ``kv_quant`` on the fused lane; the XLA lane composes them (the 7B
+    serving configuration: int4/int8 weights + int8 KV).
 
     ``lane`` picks the decode engine (default: ``generate``'s routing).
     ``"fused"`` is the batched whole-token Pallas kernel — the small-dims
@@ -307,8 +310,7 @@ class LlamaServer(_FleetScheduler):
     windows exceed VMEM; see ``_fused_decode_supported``), on which
     ``quant="int8"/"int4"`` streams the weights through the
     ``ops/gemv_quant.py`` kernels (half / quarter the dominant weight
-    DMA).  Same continuous-batching semantics, same tests; ``kv_quant``
-    is fused-only.
+    DMA).  Same continuous-batching semantics, same tests.
 
     ``prefix_cache=True`` (scan lane only) reuses KV rows across
     requests sharing a prompt prefix — the shared-system-prompt serving
@@ -380,13 +382,11 @@ class LlamaServer(_FleetScheduler):
         self.prefix_rows_reused = 0   # prefill rows skipped via reuse
         if kv_quant not in (None, "int8"):
             raise ValueError(f"unsupported kv_quant mode: {kv_quant!r}")
-        if kv_quant and not fused_lane:
-            raise ValueError("kv_quant rides the fused batched kernel; the "
-                             "XLA scan lane serves big dims with weight "
-                             "quantization (quant=) only")
-        if quant and kv_quant:
+        if quant and kv_quant and fused_lane:
             raise ValueError("quant and kv_quant are mutually exclusive "
-                             "(see Llama.generate)")
+                             "on the fused kernel (see Llama.generate); "
+                             "the XLA lane composes them")
+        self._kv_quant = kv_quant
         model.eval()
         self.model = model
         self.B = batch_size
@@ -426,8 +426,12 @@ class LlamaServer(_FleetScheduler):
                 (model.n_kv_heads if narrow else model.n_heads)
                 * model.head_dim)
         if not fused_lane:
-            # scan-lane caches keep the (N, B, S, Hkv, hd) decode layout
-            self._ck, self._cv = model._empty_caches(self.B, cdt)
+            # scan-lane caches keep the (N, B, S, Hkv, hd) decode layout;
+            # kv_quant makes them (int8 data, per-row f32 scale) tuples
+            # (forward_logits_one's static switch) — half the fleet KV
+            # footprint AND streaming, composing with weight quant
+            self._ck, self._cv = model._empty_caches(self.B, cdt,
+                                                     kv_quant=kv_quant)
         elif kv_quant:
             # int8 rows + per-row f32 scales (ops/decode_step.quantize_kv
             # scheme): halves the fleet's KV footprint and streaming — 2x
@@ -629,6 +633,7 @@ class LlamaServer(_FleetScheduler):
             # riding the streamed gemv_quant kernels.  Caches keep the scan
             # layout (N, B, S, Hkv, hd); admission scatters the prefilled
             # rows directly and post-rotates K with the decode tables.
+            kvq = kv_quant is not None  # tuple (data, scale) fleet caches
 
             @partial(jax.jit, static_argnames=("sample", "flash"),
                      donate_argnums=(1, 2, 3, 4))
@@ -644,8 +649,20 @@ class LlamaServer(_FleetScheduler):
                 the same argument as the fused variant above), and scatter
                 them into the fleet cache at rows [pos0, pos0+L)."""
                 k, L = prompts.shape
-                ck1 = jnp.zeros((N, k, S, Hkv, hd), cdt)
-                cv1 = jnp.zeros((N, k, S, Hkv, hd), cdt)
+                if kvq:
+                    # tuple transient: the admission prefill attends
+                    # QUANTIZED fresh rows, exactly like standalone
+                    # generate(kv_quant=...) — pos0=0 admissions are then
+                    # bit-exact vs the standalone stream (V rows scatter
+                    # untouched; K's identity rotation and the dequant->
+                    # requant round-trip are exact at pos0=0)
+                    ck1 = (jnp.zeros((N, k, S, Hkv, hd), jnp.int8),
+                           jnp.zeros((N, k, S, Hkv), jnp.float32))
+                    cv1 = (jnp.zeros((N, k, S, Hkv, hd), jnp.int8),
+                           jnp.zeros((N, k, S, Hkv), jnp.float32))
+                else:
+                    ck1 = jnp.zeros((N, k, S, Hkv, hd), cdt)
+                    cv1 = jnp.zeros((N, k, S, Hkv, hd), cdt)
                 # generate()'s prefill win bucketing: queries live in [0, L),
                 # so the pow2 window drops only causally-masked columns
                 win = min(S, 1 << (L - 1).bit_length())
@@ -659,13 +676,22 @@ class LlamaServer(_FleetScheduler):
                     tok1, ck1, cv1 = forward_tokens(w, ck1, cv1, prompts, 0,
                                                     win=win, flash=flash)
                 pos0 = jnp.asarray(pos0, jnp.int32)
-                rows_k = ck1[:, :, :L].astype(jnp.float32)  # (N, k, L, Hkv, hd)
-                rows_v = cv1[:, :, :L]
                 cd = jax.lax.dynamic_slice_in_dim(
                     w["cos"], pos0, 1).astype(jnp.float32)   # (1, hd//2)
                 sd = jax.lax.dynamic_slice_in_dim(
                     w["sin"], pos0, 1).astype(jnp.float32)
-                rows_k = _rope_pure(rows_k, cd, sd).astype(cdt)
+                if kvq:
+                    # K: dequantize, rotate by angle(pos0), requantize
+                    # (identity + exact round-trip at pos0=0); V needs no
+                    # rotation — its int8 rows + scales scatter untouched
+                    rows_k = (ck1[0][:, :, :L].astype(jnp.float32)
+                              * ck1[1][:, :, :L][..., None])
+                    rows_k = quantize_kv(_rope_pure(rows_k, cd, sd))
+                    rows_v = (cv1[0][:, :, :L], cv1[1][:, :, :L])
+                else:
+                    rows_k = ck1[:, :, :L].astype(jnp.float32)
+                    rows_v = cv1[:, :, :L]
+                    rows_k = _rope_pure(rows_k, cd, sd).astype(cdt)
                 tok1 = tok1.reshape(k).astype(jnp.int32)
                 zero = jnp.int32(0)
                 dus = jax.lax.dynamic_update_slice
@@ -673,10 +699,20 @@ class LlamaServer(_FleetScheduler):
                 def body(i, carry):
                     ck, cv, tok = carry
                     slot = slots[i]
-                    ck = dus(ck, rows_k[:, i][:, None],
-                             (zero, slot, pos0, zero, zero))
-                    cv = dus(cv, rows_v[:, i][:, None],
-                             (zero, slot, pos0, zero, zero))
+                    if kvq:
+                        ck = (dus(ck[0], rows_k[0][:, i][:, None],
+                                  (zero, slot, pos0, zero, zero)),
+                              dus(ck[1], rows_k[1][:, i][:, None],
+                                  (zero, slot, pos0, zero)))
+                        cv = (dus(cv[0], rows_v[0][:, i][:, None],
+                                  (zero, slot, pos0, zero, zero)),
+                              dus(cv[1], rows_v[1][:, i][:, None],
+                                  (zero, slot, pos0, zero)))
+                    else:
+                        ck = dus(ck, rows_k[:, i][:, None],
+                                 (zero, slot, pos0, zero, zero))
+                        cv = dus(cv, rows_v[:, i][:, None],
+                                 (zero, slot, pos0, zero, zero))
                     return ck, cv, tok.at[slot].set(tok1[i])
 
                 ck, cv, tok = jax.lax.fori_loop(0, k, body, (ck, cv, tok))
@@ -715,22 +751,51 @@ class LlamaServer(_FleetScheduler):
                 pos0 = jnp.asarray(pos0, jnp.int32)
                 slot = jnp.asarray(slot, jnp.int32)
                 # donor prefix rows, extracted BEFORE this slot's overwrite
-                # (pure dataflow: donor == slot is fine)
-                pk = dss(ck, (zero, donor_slot, donor_start, zero, zero),
-                         (N, 1, kb, Hkv, hd)).astype(jnp.float32)
-                pv = dss(cv, (zero, donor_slot, donor_start, zero, zero),
-                         (N, 1, kb, Hkv, hd))
+                # (pure dataflow: donor == slot is fine); int8 donors
+                # dequantize here and REquantize at the final scatter — one
+                # extra rounding on reused rows, same class as the
+                # rotation-composition rounding this path already accepts
                 # un-rotate K to relative positions [0, kb): angle(-ds) has
                 # cos(ds), -sin(ds) — single-row tables broadcast over rows
                 cd = jax.lax.dynamic_slice_in_dim(
                     w["cos"], donor_start, 1).astype(jnp.float32)
                 sd = jax.lax.dynamic_slice_in_dim(
                     w["sin"], donor_start, 1).astype(jnp.float32)
-                pk = _rope_pure(pk, cd, -sd).astype(cdt)
-                ck1 = jnp.zeros((N, 1, S, Hkv, hd), cdt)
-                cv1 = jnp.zeros((N, 1, S, Hkv, hd), cdt)
-                ck1 = dus(ck1, pk, (zero,) * 5)
-                cv1 = dus(cv1, pv.astype(cdt), (zero,) * 5)
+                if kvq:
+                    # int8 donors: K dequantizes, un-rotates and
+                    # REquantizes into the tuple transient (one extra
+                    # rounding on reused rows — same class as the
+                    # rotation-composition rounding this path accepts);
+                    # V rows never rotate, so their int8 data + scales
+                    # copy through untouched
+                    pk = (dss(ck[0], (zero, donor_slot, donor_start, zero,
+                                      zero), (N, 1, kb, Hkv, hd))
+                          .astype(jnp.float32)
+                          * dss(ck[1], (zero, donor_slot, donor_start,
+                                        zero), (N, 1, kb, Hkv))[..., None])
+                    pkq, pks = quantize_kv(_rope_pure(pk, cd, -sd))
+                    ck1 = (dus(jnp.zeros((N, 1, S, Hkv, hd), jnp.int8),
+                               pkq, (zero,) * 5),
+                           dus(jnp.zeros((N, 1, S, Hkv), jnp.float32),
+                               pks, (zero,) * 4))
+                    cv1 = (dus(jnp.zeros((N, 1, S, Hkv, hd), jnp.int8),
+                               dss(cv[0], (zero, donor_slot, donor_start,
+                                           zero, zero),
+                                   (N, 1, kb, Hkv, hd)), (zero,) * 5),
+                           dus(jnp.zeros((N, 1, S, Hkv), jnp.float32),
+                               dss(cv[1], (zero, donor_slot, donor_start,
+                                           zero), (N, 1, kb, Hkv)),
+                               (zero,) * 4))
+                else:
+                    pk = dss(ck, (zero, donor_slot, donor_start, zero, zero),
+                             (N, 1, kb, Hkv, hd)).astype(jnp.float32)
+                    pv = dss(cv, (zero, donor_slot, donor_start, zero, zero),
+                             (N, 1, kb, Hkv, hd))
+                    pk = _rope_pure(pk, cd, -sd).astype(cdt)
+                    ck1 = jnp.zeros((N, 1, S, Hkv, hd), cdt)
+                    cv1 = jnp.zeros((N, 1, S, Hkv, hd), cdt)
+                    ck1 = dus(ck1, pk, (zero,) * 5)
+                    cv1 = dus(cv1, pv.astype(cdt), (zero,) * 5)
                 draw_k, keys_out = derive_keys(seeds_k, has_seed_k, rids_k)
                 # suffix queries live in [kb, kb+Ls): pow2 prefill win
                 win = min(S, 1 << (kb + Ls - 1).bit_length())
@@ -743,15 +808,27 @@ class LlamaServer(_FleetScheduler):
                     tok1, ck1, cv1 = forward_tokens(w, ck1, cv1, suffix, kb,
                                                     win=win)
                 L = kb + Ls
-                rows_k = ck1[:, :, :L].astype(jnp.float32)
-                rows_v = cv1[:, :, :L]
                 c0 = jax.lax.dynamic_slice_in_dim(
                     w["cos"], pos0, 1).astype(jnp.float32)
                 s0 = jax.lax.dynamic_slice_in_dim(
                     w["sin"], pos0, 1).astype(jnp.float32)
-                rows_k = _rope_pure(rows_k, c0, s0).astype(cdt)
-                ck = dus(ck, rows_k, (zero, slot, pos0, zero, zero))
-                cv = dus(cv, rows_v.astype(cdt), (zero, slot, pos0, zero, zero))
+                if kvq:
+                    rows_k = (ck1[0][:, :, :L].astype(jnp.float32)
+                              * ck1[1][:, :, :L][..., None])
+                    rk_q, rk_s = quantize_kv(_rope_pure(rows_k, c0, s0))
+                    ck = (dus(ck[0], rk_q, (zero, slot, pos0, zero, zero)),
+                          dus(ck[1], rk_s, (zero, slot, pos0, zero)))
+                    cv = (dus(cv[0], cv1[0][:, :, :L],
+                              (zero, slot, pos0, zero, zero)),
+                          dus(cv[1], cv1[1][:, :, :L],
+                              (zero, slot, pos0, zero)))
+                else:
+                    rows_k = ck1[:, :, :L].astype(jnp.float32)
+                    rows_v = cv1[:, :, :L]
+                    rows_k = _rope_pure(rows_k, c0, s0).astype(cdt)
+                    ck = dus(ck, rows_k, (zero, slot, pos0, zero, zero))
+                    cv = dus(cv, rows_v.astype(cdt),
+                             (zero, slot, pos0, zero, zero))
                 tok1 = tok1.reshape(1).astype(jnp.int32)
                 tok = tok.at[slot].set(tok1[0])
                 pkeys = pkeys.at[slot].set(keys_out[0])

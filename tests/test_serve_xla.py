@@ -99,12 +99,81 @@ def test_xla_lane_seeded_request_reproduces():
     assert a == b, (a, b)
 
 
-def test_xla_lane_rejects_kv_quant():
-    np.random.seed(0)
+def test_xla_lane_kv_quant_matches_standalone():
+    """int8-KV serving on the scan lane: tuple (data, scale) fleet caches
+    through admission (tuple-transient prefill — the admission attends
+    QUANTIZED fresh rows exactly like standalone generate; V rows scatter
+    bit-exact, K rows dequant->rotate->requant) and decode, tracking
+    ``generate(fused=False, kv_quant="int8")`` token-for-token on this
+    small f32 model, including a recycled slot."""
+    np.random.seed(13)
     model = Llama(**CFG)
     model.eval()
-    with pytest.raises(ValueError, match="fused"):
-        LlamaServer(model, batch_size=2, lane="xla", kv_quant="int8")
+    prompts = [[1, 5, 9], [2, 7, 3], [30, 20]]
+    want = [standalone(model, p, 6, kv_quant="int8") for p in prompts]
+
+    with pdn.no_grad():
+        srv = LlamaServer(model, batch_size=2, chunk=4, eos_id=-1,
+                          lane="xla", kv_quant="int8")
+        rids = [srv.submit(p, max_new_tokens=6) for p in prompts]
+        done = srv.run()
+    for rid, exp in zip(rids, want):
+        assert done[rid].tokens == exp, (done[rid].tokens, exp)
+
+
+def test_xla_lane_kv_quant_composes_with_weight_quant():
+    """The 7B serving configuration on the scan lane: weight int8/int4
+    (gemv_quant kernels) x int8 KV (tuple caches) in one server, tracking
+    the composed ``generate`` stream."""
+    np.random.seed(17)
+    model = Llama(**CFG)
+    model.eval()
+    prompts = [[1, 4, 7], [2, 9, 5]]
+    want = [standalone(model, p, 6, quant="int4", kv_quant="int8")
+            for p in prompts]
+
+    with pdn.no_grad():
+        srv = LlamaServer(model, batch_size=2, chunk=4, eos_id=-1,
+                          lane="xla", quant="int4", kv_quant="int8")
+        rids = [srv.submit(p, max_new_tokens=6) for p in prompts]
+        done = srv.run()
+    for rid, exp in zip(rids, want):
+        assert done[rid].tokens == exp, (done[rid].tokens, exp)
+
+
+def test_xla_lane_kv_quant_prefix_cache_reuse():
+    """prefix_cache x kv_quant: int8 donor rows dequantize, re-rotate and
+    requantize on reuse; the reused admission's stream must match the
+    same server WITHOUT reuse (fresh server, same request order), and the
+    reuse counters must show it happened."""
+    np.random.seed(21)
+    model = Llama(**dict(CFG, max_seq_len=128))
+    model.eval()
+    sys_prefix = [9, 8, 7, 6, 5, 4, 3, 2]   # pow2 shared prefix
+    p1 = sys_prefix + [10, 11]
+    p2 = sys_prefix + [12, 13]
+
+    def run(prefix_cache):
+        with pdn.no_grad():
+            srv = LlamaServer(model, batch_size=2, chunk=4, eos_id=-1,
+                              lane="xla", kv_quant="int8",
+                              prefix_cache=prefix_cache)
+            # 6 > admission token + one 4-chunk: request 1 must still
+            # be ACTIVE when 2 admits (an empty fleet rewinds the shared
+            # position, which clears donor residency)
+            r1 = srv.submit(p1, max_new_tokens=6)
+            srv.step()  # admit 1 alone so its rows become donor material
+            r2 = srv.submit(p2, max_new_tokens=6)
+            srv.run()
+        return srv._finished[r1].tokens, srv._finished[r2].tokens, \
+            srv.prefix_hits, srv.prefix_rows_reused
+
+    t1, t2, hits, rows = run(True)
+    u1, u2, h0, _ = run(False)
+    assert h0 == 0 and hits >= 1 and rows >= len(sys_prefix), \
+        (h0, hits, rows)
+    assert t1 == u1, (t1, u1)
+    assert t2 == u2, (t2, u2)
 
 
 def test_xla_lane_auto_routes():
