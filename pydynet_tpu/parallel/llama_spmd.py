@@ -262,18 +262,26 @@ def _ax(mesh: Mesh, name: str):
     return name if name in mesh.axis_names else None
 
 
-def cache_shardings(mesh: Mesh, cfg=None):
+def cache_shardings(mesh: Mesh, cfg=None, kv_quant=None):
     """KV caches (N, B, S, Hkv, hd): batch sharded over dp, heads over tp.
     When GQA leaves fewer KV heads than tp ranks (Hkv % tp != 0 —
     NamedSharding placement requires exact divisibility), the head axis is
     replicated instead; attention stays correct, GSPMD reshards as
     needed.  Axes absent from the mesh are replicated (a dp-only batched
-    decode is a legitimate configuration)."""
+    decode is a legitimate configuration).
+
+    ``kv_quant="int8"`` returns a TUPLE of shardings matching the
+    (data, scale) tuple caches: the (N, B, S, Hkv) scales shard like the
+    data minus the hd axis."""
     tp = mesh.shape.get("tp", 1)
     hkv = (cfg or {}).get("n_kv_heads")
     head = _ax(mesh, "tp") \
         if (hkv is None or tp <= 1 or hkv % tp == 0) else None
-    return named_sharding(mesh, None, _ax(mesh, "dp"), None, head, None)
+    data = named_sharding(mesh, None, _ax(mesh, "dp"), None, head, None)
+    if kv_quant:
+        return data, named_sharding(mesh, None, _ax(mesh, "dp"), None,
+                                    head)
+    return data
 
 
 def forward_tokens(params, ck, cv, tokens, pos, cfg, starts=None,
@@ -297,6 +305,15 @@ def forward_tokens(params, ck, cv, tokens, pos, cfg, starts=None,
     A :func:`quantize_params` pytree (``<k>_q``/``<k>_s`` keys, presence
     static per trace) routes every weight matmul through :func:`_qmm` —
     weight-only int8/int4 serving with the tp sharding schedule unchanged.
+
+    int8 KV: ``ck``/``cv`` arriving as ``(int8 data, (N, B, S, Hkv) f32
+    per-row scale)`` TUPLES (pytree structure static per trace) mirror
+    the single-chip scan lane (models/llama/model.py
+    forward_logits_one): fresh rows quantize with the fused kernel's
+    exact ``quantize_kv`` scheme, the window read dequantizes inline —
+    half the KV streaming and footprint, with the dp x tp sharding
+    schedule unchanged (scales shard like the data minus the hd axis).
+    Composes with :func:`quantize_params` weight quant.
     """
     B, L = tokens.shape
     H, D, S = cfg["n_heads"], cfg["dim"], cfg["max_seq_len"]
@@ -320,6 +337,10 @@ def forward_tokens(params, ck, cv, tokens, pos, cfg, starts=None,
     zero = jnp.zeros((), jnp.int32)
     pos32 = jnp.asarray(pos, jnp.int32)
 
+    kvq = isinstance(ck, tuple)  # int8 KV: (data, scale) pairs
+    if kvq:
+        from ..ops.decode_step import quantize_kv
+
     def layer(h, xs):
         W, ck_i, cv_i = xs
         hn = _rms(h, W["in_norm"])
@@ -327,11 +348,27 @@ def forward_tokens(params, ck, cv, tokens, pos, cfg, starts=None,
         k = _wmm(hn, W, "wk", q4).reshape(B, L, Hkv, hd)
         v = _wmm(hn, W, "wv", q4).reshape(B, L, Hkv, hd)
         q, k = _rope(q, cos, sin), _rope(k, cos, sin)
-        ck_i = jax.lax.dynamic_update_slice(ck_i, k, (zero, pos32, zero,
-                                                      zero))
-        cv_i = jax.lax.dynamic_update_slice(cv_i, v, (zero, pos32, zero,
-                                                      zero))
-        kk, vv = ck_i[:, :win], cv_i[:, :win]  # static live window
+        if kvq:
+            kq, ks_ = quantize_kv(k)
+            vq, vs_ = quantize_kv(v)
+            ck_i = (jax.lax.dynamic_update_slice(
+                        ck_i[0], kq, (zero, pos32, zero, zero)),
+                    jax.lax.dynamic_update_slice(
+                        ck_i[1], ks_, (zero, pos32, zero)))
+            cv_i = (jax.lax.dynamic_update_slice(
+                        cv_i[0], vq, (zero, pos32, zero, zero)),
+                    jax.lax.dynamic_update_slice(
+                        cv_i[1], vs_, (zero, pos32, zero)))
+            kk = (ck_i[0][:, :win].astype(jnp.float32)
+                  * ck_i[1][:, :win, :, None]).astype(h.dtype)
+            vv = (cv_i[0][:, :win].astype(jnp.float32)
+                  * cv_i[1][:, :win, :, None]).astype(h.dtype)
+        else:
+            ck_i = jax.lax.dynamic_update_slice(ck_i, k, (zero, pos32,
+                                                          zero, zero))
+            cv_i = jax.lax.dynamic_update_slice(cv_i, v, (zero, pos32,
+                                                          zero, zero))
+            kk, vv = ck_i[:, :win], cv_i[:, :win]  # static live window
         if g > 1:
             kk, vv = jnp.repeat(kk, g, axis=2), jnp.repeat(vv, g, axis=2)
         s = jnp.einsum("blhd,bmhd->bhlm", q, kk,

@@ -86,7 +86,7 @@ def params_from_model(model, dtype=jnp.float32):
     return params, cfg
 
 
-def make_serve_fns(mesh: Mesh, cfg, seed: int = 0):
+def make_serve_fns(mesh: Mesh, cfg, seed: int = 0, kv_quant=None):
     """Compiled SPMD (admit_many, decode_chunk, decode_sampled_chunk)
     triple over the mesh — the device half of :class:`SpmdLlamaServer`.
     The sampling design is the single-chip server's verbatim: per-SLOT
@@ -94,14 +94,22 @@ def make_serve_fns(mesh: Mesh, cfg, seed: int = 0):
     (prompt, params, seed) triple reproduces across servers and
     fleets), per-slot (B,) parameter vectors drawn through
     ``sample_logits_per_row`` (greedy rows resolve to exact argmax, so
-    mixed fleets share one compiled program)."""
+    mixed fleets share one compiled program).
+
+    ``kv_quant="int8"`` runs the fleet on (data, scale) tuple caches
+    (llama_spmd.forward_tokens' static switch); the admission discipline
+    is the single-chip XLA lane's verbatim (serve.py admit_many_xla):
+    tuple-transient prefill, V rows scatter untouched, K rows
+    dequantize -> rotate by angle(pos0) -> requantize."""
     from ..models.llama.model import sample_logits_per_row
+    from ..ops.decode_step import quantize_kv
 
     N, S = cfg["n_layers"], cfg["max_seq_len"]
     H = cfg["n_heads"]
     hd = cfg["dim"] // H
     Hkv = cfg.get("n_kv_heads", H)
-    c_sh = cache_shardings(mesh, cfg)
+    kvq = kv_quant is not None
+    c_sh = cache_shardings(mesh, cfg, kv_quant=kv_quant)
     base_key = jax.random.PRNGKey(seed)
     fixed_key = jax.random.PRNGKey(0x5EED)
 
@@ -127,8 +135,17 @@ def make_serve_fns(mesh: Mesh, cfg, seed: int = 0):
         scatter them into the fleet cache rows [pos0, pos0+L) of their
         slots, and record each request's first token."""
         k, L = prompts.shape
-        ck1 = jnp.zeros((N, k, S, Hkv, hd), ck.dtype)
-        cv1 = jnp.zeros((N, k, S, Hkv, hd), cv.dtype)
+        if kvq:
+            # tuple transient: the admission prefill attends QUANTIZED
+            # fresh rows exactly like standalone decode — pos0=0
+            # admissions are bit-exact vs the standalone stream
+            ck1 = (jnp.zeros((N, k, S, Hkv, hd), jnp.int8),
+                   jnp.zeros((N, k, S, Hkv), jnp.float32))
+            cv1 = (jnp.zeros((N, k, S, Hkv, hd), jnp.int8),
+                   jnp.zeros((N, k, S, Hkv), jnp.float32))
+        else:
+            ck1 = jnp.zeros((N, k, S, Hkv, hd), ck.dtype)
+            cv1 = jnp.zeros((N, k, S, Hkv, hd), cv.dtype)
         # generate()'s prefill bucketing: queries live in [0, L), so the
         # pow2 window drops only causally-masked columns
         win = min(S, 1 << (L - 1).bit_length())
@@ -143,14 +160,22 @@ def make_serve_fns(mesh: Mesh, cfg, seed: int = 0):
             tok1, ck1, cv1 = forward_tokens(params, ck1, cv1, prompts, 0,
                                             cfg, win=win)
         pos0 = jnp.asarray(pos0, jnp.int32)
-        rows_k = ck1[:, :, :L].astype(jnp.float32)  # (N, k, L, Hkv, hd)
-        rows_v = cv1[:, :, :L]
         cd = jax.lax.dynamic_slice_in_dim(
             params["cos"], pos0, 1).astype(jnp.float32)
         sd = jax.lax.dynamic_slice_in_dim(
             params["sin"], pos0, 1).astype(jnp.float32)
-        rows_k = _rope(rows_k, cd, sd).astype(ck.dtype)
-        rows_v = rows_v.astype(cv.dtype)
+        if kvq:
+            # K: dequantize, rotate by angle(pos0), requantize (identity
+            # + exact round-trip at pos0=0); V rows scatter untouched
+            rows_k = (ck1[0][:, :, :L].astype(jnp.float32)
+                      * ck1[1][:, :, :L][..., None])
+            rows_k = quantize_kv(_rope(rows_k, cd, sd))
+            rows_v = (cv1[0][:, :, :L], cv1[1][:, :, :L])
+        else:
+            rows_k = ck1[:, :, :L].astype(jnp.float32)  # (N, k, L, Hkv, hd)
+            rows_v = cv1[:, :, :L]
+            rows_k = _rope(rows_k, cd, sd).astype(ck.dtype)
+            rows_v = rows_v.astype(cv.dtype)
         tok1 = tok1.reshape(k).astype(jnp.int32)
         zero = jnp.int32(0)
         dus = jax.lax.dynamic_update_slice
@@ -158,10 +183,20 @@ def make_serve_fns(mesh: Mesh, cfg, seed: int = 0):
         def body(i, carry):
             ck, cv, tok = carry
             slot = slots[i]
-            ck = dus(ck, rows_k[:, i][:, None],
-                     (zero, slot, pos0, zero, zero))
-            cv = dus(cv, rows_v[:, i][:, None],
-                     (zero, slot, pos0, zero, zero))
+            if kvq:
+                ck = (dus(ck[0], rows_k[0][:, i][:, None],
+                          (zero, slot, pos0, zero, zero)),
+                      dus(ck[1], rows_k[1][:, i][:, None],
+                          (zero, slot, pos0, zero)))
+                cv = (dus(cv[0], rows_v[0][:, i][:, None],
+                          (zero, slot, pos0, zero, zero)),
+                      dus(cv[1], rows_v[1][:, i][:, None],
+                          (zero, slot, pos0, zero)))
+            else:
+                ck = dus(ck, rows_k[:, i][:, None],
+                         (zero, slot, pos0, zero, zero))
+                cv = dus(cv, rows_v[:, i][:, None],
+                         (zero, slot, pos0, zero, zero))
             return ck, cv, tok.at[slot].set(tok1[i])
 
         ck, cv, tok = jax.lax.fori_loop(0, k, body, (ck, cv, tok))
@@ -189,22 +224,43 @@ def make_serve_fns(mesh: Mesh, cfg, seed: int = 0):
         donor_start = jnp.asarray(donor_start, jnp.int32)
         pos0 = jnp.asarray(pos0, jnp.int32)
         slot = jnp.asarray(slot, jnp.int32)
-        # donor prefix rows, extracted BEFORE this slot's overwrite
-        # (pure dataflow: donor == slot is fine)
-        pk = dss(ck, (zero, donor_slot, donor_start, zero, zero),
-                 (N, 1, kb, Hkv, hd)).astype(jnp.float32)
-        pv = dss(cv, (zero, donor_slot, donor_start, zero, zero),
-                 (N, 1, kb, Hkv, hd))
         # un-rotate K to relative positions [0, kb): angle(-ds)
         cd = jax.lax.dynamic_slice_in_dim(
             params["cos"], donor_start, 1).astype(jnp.float32)
         sd = jax.lax.dynamic_slice_in_dim(
             params["sin"], donor_start, 1).astype(jnp.float32)
-        pk = _rope(pk, cd, -sd).astype(ck.dtype)
-        ck1 = jnp.zeros((N, 1, S, Hkv, hd), ck.dtype)
-        cv1 = jnp.zeros((N, 1, S, Hkv, hd), cv.dtype)
-        ck1 = dus(ck1, pk, (zero,) * 5)
-        cv1 = dus(cv1, pv.astype(cv.dtype), (zero,) * 5)
+        # donor prefix rows, extracted BEFORE this slot's overwrite
+        # (pure dataflow: donor == slot is fine); int8 donors: K
+        # dequantizes for the un-rotate hop and requantizes (one extra
+        # rounding — same class as rotation-composition rounding), V
+        # copies its int8 data + scales through untouched
+        if kvq:
+            pk = (dss(ck[0], (zero, donor_slot, donor_start, zero, zero),
+                      (N, 1, kb, Hkv, hd)).astype(jnp.float32)
+                  * dss(ck[1], (zero, donor_slot, donor_start, zero),
+                        (N, 1, kb, Hkv))[..., None])
+            pkq, pks = quantize_kv(_rope(pk, cd, -sd))
+            ck1 = (dus(jnp.zeros((N, 1, S, Hkv, hd), jnp.int8), pkq,
+                       (zero,) * 5),
+                   dus(jnp.zeros((N, 1, S, Hkv), jnp.float32), pks,
+                       (zero,) * 4))
+            cv1 = (dus(jnp.zeros((N, 1, S, Hkv, hd), jnp.int8),
+                       dss(cv[0], (zero, donor_slot, donor_start, zero,
+                                   zero), (N, 1, kb, Hkv, hd)),
+                       (zero,) * 5),
+                   dus(jnp.zeros((N, 1, S, Hkv), jnp.float32),
+                       dss(cv[1], (zero, donor_slot, donor_start, zero),
+                           (N, 1, kb, Hkv)), (zero,) * 4))
+        else:
+            pk = dss(ck, (zero, donor_slot, donor_start, zero, zero),
+                     (N, 1, kb, Hkv, hd)).astype(jnp.float32)
+            pv = dss(cv, (zero, donor_slot, donor_start, zero, zero),
+                     (N, 1, kb, Hkv, hd))
+            pk = _rope(pk, cd, -sd).astype(ck.dtype)
+            ck1 = jnp.zeros((N, 1, S, Hkv, hd), ck.dtype)
+            cv1 = jnp.zeros((N, 1, S, Hkv, hd), cv.dtype)
+            ck1 = dus(ck1, pk, (zero,) * 5)
+            cv1 = dus(cv1, pv.astype(cv.dtype), (zero,) * 5)
         draw_k, keys_out = derive_keys(seeds_k, has_seed_k, rids_k)
         # suffix queries live in [kb, kb+Ls): pow2 prefill win
         win = min(S, 1 << (kb + Ls - 1).bit_length())
@@ -218,16 +274,26 @@ def make_serve_fns(mesh: Mesh, cfg, seed: int = 0):
             tok1, ck1, cv1 = forward_tokens(params, ck1, cv1, suffix, kb,
                                             cfg, win=win)
         L = kb + Ls
-        rows_k = ck1[:, :, :L].astype(jnp.float32)
-        rows_v = cv1[:, :, :L]
         c0 = jax.lax.dynamic_slice_in_dim(
             params["cos"], pos0, 1).astype(jnp.float32)
         s0 = jax.lax.dynamic_slice_in_dim(
             params["sin"], pos0, 1).astype(jnp.float32)
-        rows_k = _rope(rows_k, c0, s0).astype(ck.dtype)
-        ck = dus(ck, rows_k, (zero, slot, pos0, zero, zero))
-        cv = dus(cv, rows_v.astype(cv.dtype), (zero, slot, pos0, zero,
-                                               zero))
+        if kvq:
+            rows_k = (ck1[0][:, :, :L].astype(jnp.float32)
+                      * ck1[1][:, :, :L][..., None])
+            rk_q, rk_s = quantize_kv(_rope(rows_k, c0, s0))
+            ck = (dus(ck[0], rk_q, (zero, slot, pos0, zero, zero)),
+                  dus(ck[1], rk_s, (zero, slot, pos0, zero)))
+            cv = (dus(cv[0], cv1[0][:, :, :L],
+                      (zero, slot, pos0, zero, zero)),
+                  dus(cv[1], cv1[1][:, :, :L], (zero, slot, pos0, zero)))
+        else:
+            rows_k = ck1[:, :, :L].astype(jnp.float32)
+            rows_v = cv1[:, :, :L]
+            rows_k = _rope(rows_k, c0, s0).astype(ck.dtype)
+            ck = dus(ck, rows_k, (zero, slot, pos0, zero, zero))
+            cv = dus(cv, rows_v.astype(cv.dtype), (zero, slot, pos0, zero,
+                                                   zero))
         tok1 = tok1.reshape(1).astype(jnp.int32)
         tok = tok.at[slot].set(tok1[0])
         pkeys = pkeys.at[slot].set(keys_out[0])
@@ -275,7 +341,8 @@ def make_serve_fns(mesh: Mesh, cfg, seed: int = 0):
 class SpmdLlamaServer(_FleetScheduler):
     """Continuous-batching server over a dp x tp mesh (greedy or
     sampled, per-request params like the single-chip server; weight-only
-    ``quant=`` and ``prefix_cache=True`` compose with the mesh).
+    ``quant=``, int8-KV ``kv_quant=`` and ``prefix_cache=True`` all
+    compose with the mesh — the full 7B serving configuration).
 
     >>> mesh = make_mesh({"dp": 2, "tp": 4})
     >>> srv = SpmdLlamaServer(model, mesh, batch_size=8, quant="int8")
@@ -295,7 +362,9 @@ class SpmdLlamaServer(_FleetScheduler):
                  batch_size: int = 8, chunk: int = 32, eos_id: int = 2,
                  dtype=jnp.float32, temperature: float = 0.0,
                  top_k: int = None, top_p: float = None, seed: int = 0,
-                 quant=None, prefix_cache: bool = False):
+                 quant=None, prefix_cache: bool = False, kv_quant=None):
+        if kv_quant not in (None, "int8"):
+            raise ValueError(f"unsupported kv_quant mode: {kv_quant!r}")
         if cfg is None:
             params, cfg = params_from_model(model_or_params, dtype)
         else:
@@ -314,7 +383,8 @@ class SpmdLlamaServer(_FleetScheduler):
         self.S = cfg["max_seq_len"]
         self._params = shard_params(params, mesh)
         (self._admit, self._decode, self._decode_sampled, c_sh,
-         self._admit_prefix) = make_serve_fns(mesh, cfg, seed=seed)
+         self._admit_prefix) = make_serve_fns(mesh, cfg, seed=seed,
+                                              kv_quant=kv_quant)
         self._prefix_cache = bool(prefix_cache)
         self.prefix_hits = 0
         self.prefix_rows_reused = 0
@@ -329,10 +399,22 @@ class SpmdLlamaServer(_FleetScheduler):
         # mismatched cache dtype crashes the first admission's
         # dynamic_update_slice
         cdt = self._params["tok"].dtype
-        self._ck = jax.device_put(
-            jnp.zeros((N, self.B, self.S, Hkv, hd), cdt), c_sh)
-        self._cv = jax.device_put(
-            jnp.zeros((N, self.B, self.S, Hkv, hd), cdt), c_sh)
+        if kv_quant:
+            # (data, scale) tuple caches (llama_spmd.forward_tokens'
+            # static switch); c_sh is the matching sharding tuple
+            def one():
+                return (jax.device_put(
+                            jnp.zeros((N, self.B, self.S, Hkv, hd),
+                                      jnp.int8), c_sh[0]),
+                        jax.device_put(
+                            jnp.zeros((N, self.B, self.S, Hkv),
+                                      jnp.float32), c_sh[1]))
+            self._ck, self._cv = one(), one()
+        else:
+            self._ck = jax.device_put(
+                jnp.zeros((N, self.B, self.S, Hkv, hd), cdt), c_sh)
+            self._cv = jax.device_put(
+                jnp.zeros((N, self.B, self.S, Hkv, hd), cdt), c_sh)
         self._tok = jnp.ones((self.B,), jnp.int32)
         self._init_fleet_state()
         self._init_sampling_state(cfg["vocab_size"], temperature,

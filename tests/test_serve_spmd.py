@@ -240,3 +240,57 @@ def test_spmd_server_mixed_fleet_greedy_rows_exact():
         rg = srv.submit(pg, max_new_tokens=8)  # greedy row
         done = srv.run()
     assert done[rg].tokens == want, (done[rg].tokens, want)
+
+
+def test_spmd_server_kv_quant_matches_module_generate():
+    """int8-KV serving on the mesh (tuple (data, scale) caches through
+    llama_spmd.forward_tokens): the dp x tp stream equals single-chip
+    ``generate(fused=False, kv_quant="int8")`` — the mesh admission's
+    tuple-transient prefill attends quantized rows exactly like the
+    standalone scan lane, and GSPMD partitioning is value-preserving."""
+    np.random.seed(44)
+    model = Llama(**CFG)
+    model.eval()
+    prompts = [[1, 5, 9], [2, 7, 3], [30, 20]]
+    with pdn.no_grad():
+        want = [[int(t.numpy()[0, 0])
+                 for t in model.generate(np.asarray([p]), len(p) + 6,
+                                         fused=False, kv_quant="int8")]
+                for p in prompts]
+
+    mesh = make_mesh({"dp": 2, "tp": 4})
+    with pdn.no_grad():
+        srv = SpmdLlamaServer(model, mesh, batch_size=2, chunk=4,
+                              eos_id=-1, kv_quant="int8")
+        rids = [srv.submit(p, max_new_tokens=6) for p in prompts]
+        done = srv.run()
+    for rid, exp in zip(rids, want):
+        assert done[rid].tokens == exp, (done[rid].tokens, exp)
+
+
+def test_spmd_server_kv_quant_quant_prefix_compose():
+    """The FULL 7B serving configuration on the mesh: weight int4 x
+    int8 KV x prefix_cache in one server — the reuse admission's stream
+    equals the same server without reuse, and the counters prove the
+    donor path ran."""
+    np.random.seed(45)
+    model = Llama(**dict(CFG, max_seq_len=128))
+    model.eval()
+    mesh = make_mesh({"dp": 2, "tp": 4})
+
+    def serve_b(prefix_cache, warm):
+        with pdn.no_grad():
+            srv = SpmdLlamaServer(model, mesh, batch_size=2, chunk=4,
+                                  eos_id=-1, quant="int4",
+                                  kv_quant="int8",
+                                  prefix_cache=prefix_cache)
+            if warm:
+                srv.submit(PA, max_new_tokens=6)
+                srv.step()
+            rb = srv.submit(PB, max_new_tokens=8)
+            srv.run()
+            if prefix_cache and warm:
+                assert srv.prefix_hits == 1, srv.prefix_hits
+            return srv._finished[rb].tokens
+
+    assert serve_b(True, warm=True) == serve_b(False, warm=False)
