@@ -93,11 +93,13 @@ def run(n_devices: int) -> None:
     assert set(sdone) == set(srids) and \
         all(len(sdone[r].tokens) == 4 for r in srids)
 
-    # quant x tp x prefix-cache serving on the mesh (weight-only int8
-    # pytree, plain-XLA scaled int matmuls — llama_spmd.quantize_params;
-    # the second request reuses the first's prompt-prefix KV rows)
+    # quant x kv-int8 x tp x prefix-cache serving on the mesh — the full
+    # 7B serving composition (weight-only int8 pytree, plain-XLA scaled
+    # int matmuls — llama_spmd.quantize_params; tuple (data, scale) KV
+    # caches; the second request reuses the first's prompt-prefix rows)
     qsrv = SpmdLlamaServer(params, mesh, cfg=cfg, batch_size=dp, chunk=4,
-                           eos_id=-1, quant="int8", prefix_cache=True)
+                           eos_id=-1, quant="int8", kv_quant="int8",
+                           prefix_cache=True)
     pa = [1, 2, 3, 4, 5, 6, 7, 8, 9, 10]
     qa = qsrv.submit(pa, max_new_tokens=6)  # outlives chunk 1: stays a
     qsrv.step()                             # live donor (no idle rewind)
