@@ -32,6 +32,9 @@ Run on the real chip, ONE process at a time:
 
     python scripts/bench_7b_full.py int4     # merges into PROBE7B_r05.json
     python scripts/bench_7b_full.py int8
+    python scripts/bench_7b_full.py int4-kv8 # + int8 KV cache (tuple caches
+                                             # on the scan lane) — the full
+                                             # 7B serving quant composition
 """
 import json
 import os
@@ -167,8 +170,9 @@ def build_weights(quant, jnp, put):
 
 
 def main():
-    quant = sys.argv[1] if len(sys.argv) > 1 else "int4"
-    assert quant in ("int4", "int8"), quant
+    mode = sys.argv[1] if len(sys.argv) > 1 else "int4"
+    assert mode in ("int4", "int8", "int4-kv8", "int8-kv8"), mode
+    quant, kv8 = mode.split("-")[0], mode.endswith("-kv8")
     import jax
     import jax.numpy as jnp
 
@@ -194,13 +198,17 @@ def main():
                  for k, a in w.items()
                  if hasattr(a, "shape") and ("_xq" in k or "_xs" in k))
     # per decode step the scan also reads the full static attention
-    # window from both caches per layer (forward_logits_one: ck_i[:, :win])
-    kv_read = CFG["n_layers"] * 2 * WIN * CFG["n_kv_heads"] * g.head_dim * 2
+    # window from both caches per layer (forward_logits_one: ck_i[:, :win]);
+    # int8 KV reads int8 data + per-row f32 scales instead of bf16
+    kv_row = CFG["n_kv_heads"] * g.head_dim
+    kv_read = CFG["n_layers"] * 2 * WIN * (
+        (kv_row + CFG["n_kv_heads"] * 4) if kv8 else kv_row * 2)
     bytes_tok = wbytes + kv_read
 
     def run_len(n, seed):
         prompt = np.asarray([[1, 243 + seed, 532, 991]], np.int32)
-        ck, cv = Llama._empty_caches(g, 1, w["tok"].dtype)
+        ck, cv = Llama._empty_caches(g, 1, w["tok"].dtype,
+                                     kv_quant="int8" if kv8 else None)
         tok, ck, cv = prefill(w, ck, cv, jnp.asarray(prompt), 0, win=4)
         t0 = time.time()
         ck, cv, toks = decode_chunk(w, ck, cv, tok, 4, n, win=WIN)
@@ -238,7 +246,7 @@ def main():
         contaminated = marg <= 0 or bytes_tok / marg > V5E_HBM_GB_S * 2e9
 
     row = {
-        "quant": quant,
+        "quant": mode,
         "layers": CFG["n_layers"],
         "marginal_us_token": round(marg * 1e6, 1),
         "tok_s_marginal": round(1.0 / marg, 1) if marg > 0 else None,
@@ -268,7 +276,7 @@ def main():
     if os.path.exists(path):
         with open(path) as f:
             out = json.load(f)
-    out["measured_32L"][quant] = row
+    out["measured_32L"][mode] = row
     line = json.dumps(out)
     print(line)
     with open(path, "w") as f:

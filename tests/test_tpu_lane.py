@@ -380,3 +380,35 @@ def test_xla_quant_lane_decode_on_chip():
                                      quant="int4")]
     agree = np.mean([a == b for a, b in zip(truth, got)])
     assert agree >= 0.6, (agree, got, truth)
+
+
+def test_xla_kv_quant_lane_on_chip():
+    """int8-KV on the XLA scan lane on silicon (round 5): tuple (data,
+    scale) caches through generate — chunk-size bit-invariance (the
+    sharp plumbing oracle: different executables and window buckets,
+    same math) plus majority stream agreement vs the CPU f32 truth, and
+    the weight-quant compose (int4 x kv-int8, the 7B serving
+    configuration) chunk-invariant too."""
+    import pydynet_tpu as pdn
+
+    cpu, dev = _models()
+    ids = np.array([[1, 5, 9]])
+    with pdn.no_grad():
+        truth = [int(t.numpy()[0, 0])
+                 for t in cpu.generate(ids, STEPS, fused=False)]
+        kv5 = [int(t.numpy()[0, 0])
+               for t in dev.generate(ids, STEPS, chunk=4, fused=False,
+                                     kv_quant="int8")]
+        kv2 = [int(t.numpy()[0, 0])
+               for t in dev.generate(ids, STEPS, chunk=2, fused=False,
+                                     kv_quant="int8")]
+        assert kv5 == kv2, (kv5, kv2)
+        agree = np.mean([a == b for a, b in zip(truth, kv5)])
+        assert agree >= 0.6, (agree, kv5, truth)
+        c5 = [int(t.numpy()[0, 0])
+              for t in dev.generate(ids, STEPS, chunk=4, fused=False,
+                                    quant="int4", kv_quant="int8")]
+        c2 = [int(t.numpy()[0, 0])
+              for t in dev.generate(ids, STEPS, chunk=2, fused=False,
+                                    quant="int4", kv_quant="int8")]
+        assert c5 == c2, (c5, c2)
