@@ -1,7 +1,7 @@
 """Interleaved quant-format timing: marginal us/token per weight format,
 measured the tunnel-safe way (two on-device chunk scans from the same
 prefill, one host readback each, difference cancels dispatch+readback; see
-bench.py's module doc).  INTERLEAVED: each best-of-N trial cycles through
+bench.py's module doc).  INTERLEAVED: each paired-delta trial cycles through
 every format back-to-back, so shared-tunnel tenant noise hits all formats
 equally — the only comparison ROADMAP.md trusts.
 
@@ -34,7 +34,7 @@ DIMS = {
                         dtype=np.float32),
 }
 FORMATS = [None, "int8-head", "int8", "int4"]
-TRIALS = 5
+TRIALS = 7
 N_SHORT, N_LONG = 64, 512
 
 
@@ -55,14 +55,40 @@ def main():
                 return timed_chunk_s(model, quant, n, seed, B=B)
 
             def trial_block():
-                t64 = {q: [] for q in FORMATS}
-                t512 = {q: [] for q in FORMATS}
+                """Median of PAIRED per-trial deltas: each trial runs the
+                short and long chunk back-to-back for one format, so the
+                delta cancels that moment's tenant load; the median over
+                trials rejects spike outliers.  (min(t512) - min(t64)
+                across different windows flipped signs run-to-run on the
+                shared tunnel — the r05 first attempts.)"""
+                deltas = {q: [] for q in FORMATS}
                 for s in range(1, TRIALS + 1):  # interleaved trials
                     for q in FORMATS:
-                        t64[q].append(run_len(q, N_SHORT, s))
-                        t512[q].append(run_len(q, N_LONG, s))
-                return {q: (min(t512[q]) - min(t64[q]))
+                        ts = run_len(q, N_SHORT, s)
+                        tl = run_len(q, N_LONG, s)
+                        deltas[q].append(tl - ts)
+                return {q: float(np.median(deltas[q]))
                         / (N_LONG - N_SHORT) * 1e6 for q in FORMATS}
+
+            # per-step weight-stream floor per format: a decode step
+            # STREAMS every layer matrix and the lm_head once (the
+            # embedding is a per-token row gather, not a stream), so a
+            # marginal below streamed-bytes / pin-rate is physically
+            # impossible — noise can only make the marginal
+            # UNDERestimate, which is exactly the failure to catch (the
+            # first r05 run shipped an int4 cell implying >1.1 TB/s;
+            # the kernel itself re-gated correct on-chip — the window
+            # lied)
+            nlay = sum(int(np.prod(p.shape))
+                       for name, p in model._parameters.items()
+                       if name.endswith(".weight") and p.ndim == 2
+                       and name.startswith("layers."))
+            nhead = int(np.prod(model._parameters["lm_head.weight"].shape))
+            fbytes = {None: (nlay + nhead) * 2,
+                      "int8-head": nlay * 2 + nhead,
+                      "int8": nlay + nhead,
+                      "int4": (nlay + nhead) * 0.5}
+            floor_us = {q: b / 819e9 * 1e6 for q, b in fbytes.items()}
 
             def bad(marg):
                 """Emit-time sanity (VERDICT r04 weak #1: QUANTBENCH_r04
@@ -70,12 +96,18 @@ def main():
                 A non-positive marginal is physically impossible; int8
                 slower than bf16 at stories110M contradicts every
                 interleaved session since round 3 (weight-DMA-bound dims)
-                and flags tenant contamination."""
+                and flags tenant contamination; any cell under its
+                weight-stream floor implies more than the HBM pin
+                rate."""
                 if any(m <= 0 for m in marg.values()):
                     return "negative marginal"
                 if dims_name == "stories110M" and marg["int8"] \
                         > marg[None] * 1.05:
                     return "int8-vs-bf16 sign flip at DMA-bound dims"
+                for q, m in marg.items():
+                    if m < floor_us[q]:
+                        return (f"{q or 'bf16'} implies "
+                                f">pin-rate bandwidth")
                 return None
 
             with pdn.no_grad():
